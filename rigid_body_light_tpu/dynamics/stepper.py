@@ -1,0 +1,166 @@
+"""Brownian-dynamics time steppers as single jitted device programs.
+
+The reference documents (but never exposes) an Euler–Maruyama/midpoint
+stochastic scheme in ``RHS_and_Midpoint`` (``c_rigid_obj.cpp:917-976``):
+Brownian increment M^{1/2}W (split into predictor/corrector parts when
+``split_rand``), RFD drift kBT·∂·M, a predictor half-kick of the
+configuration, then a saddle solve and commit.  The reference version has a
+defect — it computes the half-step blob positions but rebuilds K at the
+*unchanged* configuration (``c_rigid_obj.cpp:957-960``), so the solve never
+actually happens at the midpoint.  This implementation follows the published
+scheme (Sprinkle et al. 2017, "Large Scale Brownian Dynamics of Confined
+Suspensions of Rigid Particles" — PAPERS.md): the corrector saddle solve is
+evaluated at the half-kicked configuration.
+
+Everything composes under ``jax.jit``/``lax.scan``: ``run_bd`` executes an
+entire trajectory on device with zero host round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from rigid_body_light_tpu.config import SimulationConfig
+from rigid_body_light_tpu.ops import kinematics as kin
+from rigid_body_light_tpu.ops import lanczos
+from rigid_body_light_tpu.ops import rfd
+from rigid_body_light_tpu.ops import saddle as saddle_mod
+from rigid_body_light_tpu.ops import solvers
+from rigid_body_light_tpu.state import BodyState
+
+
+class StepAux(NamedTuple):
+    U: jax.Array          # (B, 6) body velocities used for the commit
+    lam: jax.Array        # (N, 3) constraint forces
+    residual: jax.Array   # GMRES relative residual
+
+
+def deterministic_step(
+    geom: kin.RefGeometry,
+    cfg: SimulationConfig,
+    state: BodyState,
+    force,
+    slip=None,
+    mob_apply: Callable = None,
+):
+    """One deterministic step: solve the mobility problem, advance by U·dt.
+
+    force: (B, 6) applied body force/torque; slip: optional (N, 3) active
+    slip on blobs.  Returns (new_state, StepAux).
+    """
+    if mob_apply is None:
+        mob_apply = saddle_mod.mobility_apply_fn(cfg)
+    ops = saddle_mod.geometry_ops(geom, state)
+    dtype = state.X.dtype
+    if slip is None:
+        B, n, _ = ops.offsets.shape
+        slip = jnp.zeros((B * n, 3), dtype)
+    res = solvers.solve_saddle(ops, cfg, slip, force, mob_apply=mob_apply)
+    dU = res.U * jnp.asarray(cfg.dt, dtype)
+    X, Q = kin.update_X_Q(state.X, state.Q, dU)
+    return BodyState(X=X, Q=Q), StepAux(U=res.U, lam=res.lam, residual=res.residual)
+
+
+def stochastic_step(
+    geom: kin.RefGeometry,
+    cfg: SimulationConfig,
+    state: BodyState,
+    key,
+    force,
+    slip=None,
+    mob_apply: Callable = None,
+):
+    """One fluctuating BD step (EM–midpoint with RFD drift).
+
+    Scheme (reference intent, ``c_rigid_obj.cpp:917-976``, done correctly):
+      1. Draw M^{1/2}W₁ (and W₂ if ``split_rand``) via Lanczos at q^n.
+      2. Drift D = kBT·M_RFD at q^n; Brownian increment
+         BI = c₂(M^{1/2}W₁ − M^{1/2}W₂)  [split]  or  c₂ M^{1/2}W₁,
+         with c₁ = 2√(kBT/dt), c₂ = √(kBT/dt) (split) or c₁ = c₂ = √(2kBT/dt)
+         (reference coefficients, ``c_rigid_obj.cpp:944-953``).
+      3. Predictor half-kick: q^{n+1/2} = q^n advanced by (dt/2)·K⁺(c₁ M^{1/2}W₁).
+      4. Corrector: solve the saddle system at q^{n+1/2} with
+         RHS = [slip − (D + BI); F], giving U.
+      5. Commit q^{n+1} = q^n advanced by U·dt.
+
+    Returns (new_state, StepAux).
+    """
+    if mob_apply is None:
+        mob_apply = saddle_mod.mobility_apply_fn(cfg)
+    dtype = state.X.dtype
+    ops = saddle_mod.geometry_ops(geom, state)
+    B, n, _ = ops.offsets.shape
+    if slip is None:
+        slip = jnp.zeros((B * n, 3), dtype)
+
+    kBT = cfg.kBT
+    if kBT > 0.0:
+        k1, k2, k3 = jax.random.split(key, 3)
+        pos = ops.flat_positions
+        mhw1 = lanczos.m_half_w(mob_apply, pos, k1, iters=cfg.lanczos_iters)
+        if cfg.split_rand:
+            mhw2 = lanczos.m_half_w(mob_apply, pos, k2, iters=cfg.lanczos_iters)
+            c1 = 2.0 * jnp.sqrt(jnp.asarray(kBT / cfg.dt, dtype))
+            c2 = jnp.sqrt(jnp.asarray(kBT / cfg.dt, dtype))
+            bi = c2 * (mhw1 - mhw2)
+        else:
+            c1 = jnp.sqrt(jnp.asarray(2.0 * kBT / cfg.dt, dtype))
+            c2 = c1
+            bi = c2 * mhw1
+        drift = jnp.asarray(kBT, dtype) * rfd.m_rfd(geom, state, ops, cfg, k3, mob_apply)
+        slip_eff = slip - (drift + bi)
+
+        # predictor half-kick of the configuration
+        u_half = kin.Kinv_dot((c1 * mhw1).reshape(B, n, 3), ops.offsets, ops.ktkinv)
+        dU_half = (cfg.dt / 2.0) * u_half
+        X_half, Q_half = kin.update_X_Q(state.X, state.Q, dU_half)
+        ops_solve = saddle_mod.geometry_ops(geom, BodyState(X=X_half, Q=Q_half))
+    else:
+        slip_eff = slip
+        ops_solve = ops
+
+    res = solvers.solve_saddle(ops_solve, cfg, slip_eff, force, mob_apply=mob_apply)
+    dU = res.U * jnp.asarray(cfg.dt, dtype)
+    X, Q = kin.update_X_Q(state.X, state.Q, dU)
+    return BodyState(X=X, Q=Q), StepAux(U=res.U, lam=res.lam, residual=res.residual)
+
+
+def run_bd(
+    geom: kin.RefGeometry,
+    cfg: SimulationConfig,
+    state: BodyState,
+    key,
+    n_steps: int,
+    force_fn: Callable = None,
+    mob_apply: Callable = None,
+    save_every: int = 1,
+):
+    """Run a whole BD trajectory as one ``lax.scan`` — zero host round-trips.
+
+    force_fn: (BodyState, step) → (B, 6) applied force/torque (default 0).
+    Returns (final_state, trajectory) where trajectory is a pytree of stacked
+    (X, Q) snapshots every ``save_every`` steps.
+    """
+    dtype = state.X.dtype
+    B = state.X.shape[0]
+    if force_fn is None:
+        def force_fn(s, i):
+            return jnp.zeros((B, 6), dtype)
+
+    def body(carry, i):
+        s, k = carry
+        k, sub = jax.random.split(k)
+        force = force_fn(s, i)
+        s_new, aux = stochastic_step(geom, cfg, s, sub, force, mob_apply=mob_apply)
+        out = (s_new.X, s_new.Q, aux.residual)
+        return (s_new, k), out
+
+    (final, _), (Xs, Qs, residuals) = lax.scan(
+        body, (state, key), jnp.arange(n_steps)
+    )
+    keep = slice(save_every - 1, None, save_every)
+    return final, {"X": Xs[keep], "Q": Qs[keep], "residual": residuals[keep]}

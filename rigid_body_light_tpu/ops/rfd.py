@@ -1,0 +1,84 @@
+"""Random-finite-difference (RFD) stochastic drift terms.
+
+The Brownian velocity kBT·∂/∂x·M enters the midpoint scheme as a centered
+random finite difference (Delong et al. 2014; Sprinkle et al. 2017 —
+PAPERS.md).  Parity targets: reference ``M_RFD`` (``c_rigid_obj.cpp:769-796``)
+and ``KTinv_RFD`` (``:743-767``), which are compiled-but-unbound internals.
+All displacement/evaluation steps here are jitted and use explicit PRNG keys.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from rigid_body_light_tpu.config import SimulationConfig
+from rigid_body_light_tpu.ops import kinematics as kin
+from rigid_body_light_tpu.ops import saddle as saddle_mod
+from rigid_body_light_tpu.state import BodyState
+
+
+def _displaced_positions(geom, state: BodyState, dU):
+    """Blob positions of the configuration displaced by dU (B, 6)."""
+    X, Q = kin.update_X_Q(state.X, state.Q, dU)
+    return kin.blob_positions(geom, X, Q)
+
+
+def m_rfd(
+    geom: kin.RefGeometry,
+    state: BodyState,
+    ops: saddle_mod.GeometryOps,
+    cfg: SimulationConfig,
+    key,
+    mob_apply: Callable = None,
+):
+    """Drift term (1/δ)[M(q + δu/2) − M(q − δu/2)]·W with u = K⁺W.
+
+    W ~ N(0, I) on blob space; returns (N, 3).  Parity: reference ``M_RFD``
+    (``c_rigid_obj.cpp:769-796``) — the rigid direction is u = K⁺W so the
+    difference approximates the divergence of the *rigid-projected* mobility.
+    """
+    if mob_apply is None:
+        mob_apply = saddle_mod.mobility_apply_fn(cfg)
+    B, n, _ = ops.offsets.shape
+    dtype = ops.positions.dtype
+    w = jax.random.normal(key, (B, n, 3), dtype=dtype)
+    u = kin.Kinv_dot(w, ops.offsets, ops.ktkinv)  # (B, 6)
+    delta = jnp.asarray(cfg.rfd_delta, dtype)
+    dU = (delta / 2.0) * u
+    r_p = _displaced_positions(geom, state, dU).reshape(-1, 3)
+    r_m = _displaced_positions(geom, state, -dU).reshape(-1, 3)
+    w_flat = w.reshape(-1, 3)
+    mp = mob_apply(w_flat, r_p)
+    mm = mob_apply(w_flat, r_m)
+    return (mp - mm) / delta
+
+
+def kt_inv_rfd(
+    geom: kin.RefGeometry,
+    state: BodyState,
+    ops: saddle_mod.GeometryOps,
+    cfg: SimulationConfig,
+    key,
+):
+    """Kᵀ·(1/δ)[K⁺ᵀ(q+δW/2) − K⁺ᵀ(q−δW/2)]·W with W ~ N(0,I) on body space.
+
+    Parity: reference ``KTinv_RFD`` (``c_rigid_obj.cpp:743-767``).
+    Returns (B, 6).
+    """
+    B = state.X.shape[0]
+    dtype = state.X.dtype
+    w = jax.random.normal(key, (B, 6), dtype=dtype)
+    delta = jnp.asarray(cfg.rfd_delta, dtype)
+    dU = (delta / 2.0) * w
+
+    def kinvT_at(dU_signed):
+        X, Q = kin.update_X_Q(state.X, state.Q, dU_signed)
+        offsets = kin.blob_offsets(geom, Q)
+        ktkinv = kin.ktk_inv(geom, Q)
+        return kin.KinvT_dot(w, offsets, ktkinv)
+
+    diff = (kinvT_at(dU) - kinvT_at(-dU)) / delta  # (B, n, 3)
+    return kin.KT_dot(diff, ops.offsets)

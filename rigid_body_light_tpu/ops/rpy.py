@@ -1,0 +1,313 @@
+"""Rotne–Prager–Yamakawa blob mobility, free-space + Swan–Brady single wall.
+
+Physics parity targets in the reference:
+  - free-space pair/self mobility ``mobilityUFRPY`` (``c_rigid_obj.cpp:31-83``)
+    with the far (r≥2a) and overlapping near (r<2a) branches,
+  - finite-size single-wall correction ``mobilityUFSingleWallCorrection``
+    (``c_rigid_obj.cpp:85-142``),
+  - dense assembly ``rotne_prager_tensor`` (``c_rigid_obj.cpp:413-459``),
+  - damped product B·M·B ``apply_M``/``make_damp_mat``
+    (``c_rigid_obj.cpp:618-659``).
+
+TPU-first design: the 3×3 pair block is never formed.  Both branches of the
+pair mobility reduce to M_ij = α(r)·I + β(r)·d⊗d, and the wall correction to
+C_ij = f1·I + f2·e⊗e + f3·e⊗ẑ + f4·ẑ⊗e + f5·ẑ⊗ẑ (verified numerically to
+satisfy C_ji = C_ijᵀ, so evaluating every ordered pair directly reproduces
+the reference's mirrored upper-triangle assembly).  The matvec therefore
+streams scalar coefficient fields:
+
+    U_i = Σ_j α F_j + β (d·F_j) d  [+ wall terms]
+
+which is pure VPU work at O(N²) flops and O(tile·N) memory — M is never
+materialized.  A dense assembler is kept for small systems and the
+block-diagonal preconditioner.
+
+All distances inside are normalized by the blob radius ``a``; outputs are
+scaled by 1/(8πηa) exactly as the reference does (``c_rigid_obj.cpp:415,456``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_SELF_COEF = 4.0 / 3.0
+# r² floor used to make overlapping distinct blobs produce finite garbage
+# instead of NaN inside jit (the reference kills the process instead,
+# ``c_rigid_obj.cpp:53-58``; our API layer validates and raises).
+_R2_FLOOR = 1e-24
+
+
+def _free_coeffs(r2, dtype):
+    """Free-space RPY pair coefficients (α, β) with M = α·I + β·d⊗d.
+
+    d is the displacement in units of a, r2 = |d|².  Branches (r≥2, r<2)
+    are evaluated via masks — no data-dependent control flow.
+    """
+    r2s = jnp.maximum(r2, _R2_FLOOR)
+    r = jnp.sqrt(r2s)
+    invr = 1.0 / r
+    invr2 = 1.0 / r2s
+    far = r >= 2.0
+    # far field: α = (1 + 2/(3r²))/r, β = (1 − 2/r²)/r³
+    alpha_far = (1.0 + (2.0 / 3.0) * invr2) * invr
+    beta_far = (1.0 - 2.0 * invr2) * invr2 * invr
+    # near field (r<2): α = 4/3(1 − 9r/32), β = (4/3)(3/32)/r
+    alpha_near = _SELF_COEF * (1.0 - 0.28125 * r)
+    beta_near = _SELF_COEF * 0.09375 * invr
+    alpha = jnp.where(far, alpha_far, alpha_near).astype(dtype)
+    beta = jnp.where(far, beta_far, beta_near).astype(dtype)
+    return alpha, beta
+
+
+def _wall_coeffs(d_img, hj):
+    """Swan–Brady finite-size wall correction coefficients (f1..f5).
+
+    d_img: (..., 3) displacement from the *image* of blob j to blob i, in
+      units of a — components (x_i−x_j, y_i−y_j, z_i+z_j).
+    hj: (...) height of the source blob j in units of a.
+
+    The correction block is f1·I + f2·e⊗e + f3·e⊗ẑ + f4·ẑ⊗e + f5·ẑ⊗ẑ with
+    e = d_img/|d_img|.  Matches ``mobilityUFSingleWallCorrection``
+    (``c_rigid_obj.cpp:105-141``).
+    """
+    rz = d_img[..., 2]
+    h_hat = hj / rz
+    r2 = jnp.sum(d_img * d_img, axis=-1)
+    invR = lax.rsqrt(jnp.maximum(r2, _R2_FLOOR))
+    ez = rz * invR
+    ez2 = ez * ez
+    invR3 = invR * invR * invR
+    invR5 = invR3 * invR * invR
+    hh = h_hat * (1.0 - h_hat)
+    f1 = -(3.0 * (1.0 + 2.0 * hh * ez2) * invR
+           + 2.0 * (1.0 - 3.0 * ez2) * invR3
+           - 2.0 * (1.0 - 5.0 * ez2) * invR5) / 3.0
+    f2 = -(3.0 * (1.0 - 6.0 * hh * ez2) * invR
+           - 6.0 * (1.0 - 5.0 * ez2) * invR3
+           + 10.0 * (1.0 - 7.0 * ez2) * invR5) / 3.0
+    f3 = ez * (3.0 * h_hat * (1.0 - 6.0 * (1.0 - h_hat) * ez2) * invR
+               - 6.0 * (1.0 - 5.0 * ez2) * invR3
+               + 10.0 * (2.0 - 7.0 * ez2) * invR5) * (2.0 / 3.0)
+    f4 = ez * (3.0 * h_hat * invR - 10.0 * invR5) * (2.0 / 3.0)
+    f5 = -(3.0 * h_hat * h_hat * ez2 * invR
+           + 3.0 * ez2 * invR3
+           + (2.0 - 15.0 * ez2) * invR5) * (4.0 / 3.0)
+    return f1, f2, f3, f4, f5, invR
+
+
+def wall_self_diag(z, a, dtype):
+    """Per-blob wall self-correction diagonal, shape (N, 3).
+
+    Added to the 4/3 free self term; reference i==j branch of
+    ``mobilityUFSingleWallCorrection`` (``c_rigid_obj.cpp:98-104``).
+    """
+    invZ = a / jnp.asarray(z, dtype)
+    invZ3 = invZ * invZ * invZ
+    invZ5 = invZ3 * invZ * invZ
+    cxx = -(9.0 * invZ - 2.0 * invZ3 + invZ5) / 12.0
+    czz = -(9.0 * invZ - 4.0 * invZ3 + invZ5) / 6.0
+    return jnp.stack([cxx, cxx, czz], axis=-1)
+
+
+def self_mobility_blocks(r, a=1.0, eta=1.0, wall=False):
+    """Per-blob 3×3 self mobility (N, 3, 3), scaled by 1/(8πηa).
+
+    Used by the diagonal preconditioner (reference ``diag_invM``,
+    ``c_rigid_obj.cpp:489-543``).  Diagonal both with and without wall.
+    """
+    r = jnp.asarray(r).reshape(-1, 3)
+    dtype = r.dtype
+    n = r.shape[0]
+    diag = jnp.full((n, 3), _SELF_COEF, dtype=dtype)
+    if wall:
+        diag = diag + wall_self_diag(r[:, 2], a, dtype)
+    norm = 1.0 / (8.0 * jnp.pi * eta * a)
+    return jnp.einsum("ni,ij->nij", diag * norm, jnp.eye(3, dtype=dtype))
+
+
+def damping_factors(r, a=1.0):
+    """Wall-overlap damping d_i = min(z_i/a, 1), shape (N,).
+
+    Reference ``make_damp_mat`` (``c_rigid_obj.cpp:618-639``), citing Balboa
+    Usabiaga, Delmotte & Donev (2017) appendix A.
+    """
+    r = jnp.asarray(r).reshape(-1, 3)
+    return jnp.minimum(r[:, 2] / a, 1.0).astype(r.dtype)
+
+
+def _pair_tile(ri, zi_img_unused, rj, row_ids, col_ids, F, inv_a, wall, dtype):
+    """Mobility contribution of all column blobs onto a tile of row blobs.
+
+    ri: (T, 3) row positions;  rj: (N, 3) all positions;  F: (N, 3) forces.
+    row_ids/col_ids: global indices for self-pair masking.
+    Returns (T, 3) = Σ_j M_ij F_j  (pair terms only; self added by caller).
+    """
+    d = (ri[:, None, :] - rj[None, :, :]) * inv_a  # (T, N, 3)
+    r2 = jnp.sum(d * d, axis=-1)
+    self_mask = row_ids[:, None] == col_ids[None, :]
+    alpha, beta = _free_coeffs(r2, dtype)
+    alpha = jnp.where(self_mask, 0.0, alpha)
+    beta = jnp.where(self_mask, 0.0, beta)
+    dF = jnp.einsum("tnk,nk->tn", d, F)
+    out = alpha @ F + jnp.einsum("tn,tn,tnk->tk", beta, dF, d)
+    if wall:
+        zj = rj[:, 2] * inv_a
+        d_img = d.at[:, :, 2].add(2.0 * zj[None, :])
+        f1, f2, f3, f4, f5, invR = _wall_coeffs(d_img, zj[None, :])
+        e = d_img * invR[:, :, None]
+        keep = jnp.logical_not(self_mask)
+        f1 = jnp.where(keep, f1, 0.0).astype(dtype)
+        f2 = jnp.where(keep, f2, 0.0).astype(dtype)
+        f3 = jnp.where(keep, f3, 0.0).astype(dtype)
+        f4 = jnp.where(keep, f4, 0.0).astype(dtype)
+        f5 = jnp.where(keep, f5, 0.0).astype(dtype)
+        eF = jnp.einsum("tnk,nk->tn", e, F)
+        Fz = F[:, 2]
+        out = out + f1 @ F
+        out = out + jnp.einsum("tn,tn,tnk->tk", f2, eF, e)
+        out = out + jnp.einsum("tn,n,tnk->tk", f3, Fz, e)
+        z_part = jnp.einsum("tn,tn->t", f4, eF) + f5 @ Fz
+        out = out.at[:, 2].add(z_part)
+    return out
+
+
+def pair_sum(
+    r_rows,
+    row_ids,
+    r_cols,
+    col_ids,
+    F_cols,
+    a=1.0,
+    wall=False,
+    row_tile=512,
+):
+    """Σ_j M_ij·F_j over all column blobs, for a set of row blobs.
+
+    Pair terms only — no self term, no 1/(8πηa) scaling, no damping (the
+    caller owns those; they are elementwise).  This is the unit both the
+    single-device streamed matvec and the ``shard_map`` row-sharded matvec
+    are built from.  Shapes: r_rows (R, 3), r_cols/F_cols (N, 3),
+    row_ids (R,), col_ids (N,) global indices for self-pair masking.
+    """
+    dtype = r_rows.dtype
+    inv_a = jnp.asarray(1.0 / a, dtype)
+    n_rows = r_rows.shape[0]
+    tile = min(row_tile, n_rows)
+    n_tiles = -(-n_rows // tile)
+    n_pad = n_tiles * tile
+    r_pad = jnp.pad(r_rows, ((0, n_pad - n_rows), (0, 0)))
+    # padded rows get id -1 → never match a column id → no self masking issues
+    ids_pad = jnp.pad(row_ids.astype(jnp.int32), (0, n_pad - n_rows), constant_values=-1)
+
+    def tile_fn(start):
+        ri = lax.dynamic_slice(r_pad, (start, jnp.int32(0)), (tile, 3))
+        rid = lax.dynamic_slice(ids_pad, (start,), (tile,))
+        return _pair_tile(ri, None, r_cols, rid, col_ids.astype(jnp.int32), F_cols, inv_a, wall, dtype)
+
+    if n_tiles == 1:
+        U = tile_fn(jnp.int32(0))
+    else:
+        starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile
+        U = lax.map(tile_fn, starts).reshape(n_pad, 3)
+    return U[:n_rows]
+
+
+def mobility_apply(
+    F,
+    r,
+    a=1.0,
+    eta=1.0,
+    wall=False,
+    damp=None,
+    row_tile=512,
+):
+    """Matrix-free U = M(r)·F (optionally B·M·B·F), shapes (N, 3)→(N, 3).
+
+    Streams row tiles with ``lax.map`` so peak memory is O(row_tile·N)
+    instead of O(N²) — the TPU replacement for the reference's dense
+    per-call assembly (``apply_M``, ``c_rigid_obj.cpp:641-659``).
+
+    damp: None → apply damping iff ``wall`` (reference semantics);
+      True/False forces it.
+    """
+    r = jnp.asarray(r).reshape(-1, 3)
+    F = jnp.asarray(F, dtype=r.dtype).reshape(-1, 3)
+    n = r.shape[0]
+    dtype = r.dtype
+    use_damp = wall if damp is None else damp
+
+    Fd = F
+    if use_damp:
+        b = damping_factors(r, a)
+        Fd = F * b[:, None]
+
+    ids = jnp.arange(n, dtype=jnp.int32)
+    U = pair_sum(r, ids, r, ids, Fd, a=a, wall=wall, row_tile=row_tile)
+
+    # self term (4/3 + wall self) — diagonal, added outside the pair sweep
+    self_diag = jnp.full((n, 3), _SELF_COEF, dtype=dtype)
+    if wall:
+        self_diag = self_diag + wall_self_diag(r[:, 2], a, dtype)
+    U = U + self_diag * Fd
+
+    norm = jnp.asarray(1.0 / (8.0 * jnp.pi * eta * a), dtype)
+    U = U * norm
+    if use_damp:
+        U = U * b[:, None]
+    return U
+
+
+def mobility_matrix(r, a=1.0, eta=1.0, wall=False):
+    """Dense (3N, 3N) RPY mobility — small-N reference path and PC blocks.
+
+    Parity: ``rotne_prager_tensor`` (``c_rigid_obj.cpp:413-459``), evaluated
+    for every ordered pair (valid because the wall block satisfies
+    C_ji = C_ijᵀ — see module docstring).
+    """
+    r = jnp.asarray(r).reshape(-1, 3)
+    dtype = r.dtype
+    n = r.shape[0]
+    inv_a = jnp.asarray(1.0 / a, dtype)
+    d = (r[:, None, :] - r[None, :, :]) * inv_a  # (N, N, 3)
+    r2 = jnp.sum(d * d, axis=-1)
+    eye_n = jnp.eye(n, dtype=bool)
+    alpha, beta = _free_coeffs(r2, dtype)
+    alpha = jnp.where(eye_n, _SELF_COEF, alpha)
+    beta = jnp.where(eye_n, 0.0, beta)
+    eye3 = jnp.eye(3, dtype=dtype)
+    M = alpha[:, :, None, None] * eye3 + beta[:, :, None, None] * d[:, :, :, None] * d[:, :, None, :]
+    if wall:
+        zj = r[:, 2] * inv_a
+        d_img = d.at[:, :, 2].add(2.0 * zj[None, :])
+        f1, f2, f3, f4, f5, invR = _wall_coeffs(d_img, zj[None, :])
+        e = d_img * invR[:, :, None]
+        zhat = jnp.zeros((3,), dtype).at[2].set(1.0)
+        C = (f1[:, :, None, None] * eye3
+             + f2[:, :, None, None] * e[:, :, :, None] * e[:, :, None, :]
+             + f3[:, :, None, None] * e[:, :, :, None] * zhat[None, None, None, :]
+             + f4[:, :, None, None] * zhat[None, None, :, None] * e[:, :, None, :]
+             + f5[:, :, None, None] * zhat[None, None, :, None] * zhat[None, None, None, :])
+        # self: diagonal wall correction
+        self_c = wall_self_diag(r[:, 2], a, dtype)  # (N, 3)
+        C_self = jnp.einsum("ni,ij->nij", self_c, eye3)
+        C = jnp.where(eye_n[:, :, None, None], 0.0, C)
+        C = C + eye_n[:, :, None, None] * C_self[:, None, :, :]
+        M = M + C
+    norm = jnp.asarray(1.0 / (8.0 * jnp.pi * eta * a), dtype)
+    M = M * norm
+    return M.transpose(0, 2, 1, 3).reshape(3 * n, 3 * n)
+
+
+def apply_M_dense(F, r, a=1.0, eta=1.0, wall=False):
+    """Dense-path U = B·M·B·F (damping iff wall), for small N / validation."""
+    r = jnp.asarray(r).reshape(-1, 3)
+    F = jnp.asarray(F, dtype=r.dtype).reshape(-1)
+    M = mobility_matrix(r, a, eta, wall)
+    if wall:
+        b = jnp.repeat(damping_factors(r, a), 3)
+        return (b * (M @ (b * F))).reshape(-1, 3)
+    return (M @ F).reshape(-1, 3)

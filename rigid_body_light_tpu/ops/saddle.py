@@ -1,0 +1,206 @@
+"""Saddle-point operator and block preconditioner, fully fused on device.
+
+The rigid multiblob saddle system (reference operators split across
+``apply_saddle`` in Python, ``Rigid.py:73-80``, and four separate C++ calls):
+
+    [ M   −K ] [λ]   [slip]
+    [ Kᵀ   0 ] [U] = [−F  ]
+
+Here one jitted function evaluates the whole left-hand side — the reference's
+per-Krylov-iteration host round-trips (4 per matvec) collapse into a single
+XLA computation.
+
+The preconditioner follows the reference exactly (``apply_PC``,
+``c_rigid_obj.cpp:589-616``): approximate M⁻¹ by a per-blob diagonal
+(``diag_invM``, ``:489-543``) or per-body block inverse (``Block_diag_invM``,
+``:461-487``), form per-body 6×6 Ñ⁻¹ = Kᵀ M̃⁻¹ K, Cholesky-factor it
+(``get_blk_diag_lu``, ``:554-567``), then
+
+    U  = Ñ solve of (−F − Kᵀ M̃⁻¹ slip)      (B batched 6×6 cho_solve)
+    λ  = m_scale · M̃⁻¹ (slip + K U)
+
+Everything is batched over bodies with vmapped dense algebra — no sparse
+matrices, no factor caching protocol (rebuilding the PC is itself a jitted
+op; callers close over it per configuration).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from rigid_body_light_tpu.config import SimulationConfig
+from rigid_body_light_tpu.ops import kinematics as kin
+from rigid_body_light_tpu.ops import rpy
+from rigid_body_light_tpu.state import BodyState
+
+
+class GeometryOps(NamedTuple):
+    """Configuration-dependent kinematic quantities (rebuilt each step).
+
+    offsets: (B, n, 3) world-frame blob offsets from body tracking points.
+    positions: (B, n, 3) world-frame blob positions.
+    ktkinv: (B, 6, 6) closed-form (KᵀK)⁻¹ blocks.
+    """
+
+    offsets: jax.Array
+    positions: jax.Array
+    ktkinv: jax.Array
+
+    @property
+    def flat_positions(self):
+        return self.positions.reshape(-1, 3)
+
+
+def geometry_ops(geom: kin.RefGeometry, state: BodyState) -> GeometryOps:
+    offsets = kin.blob_offsets(geom, state.Q)
+    return GeometryOps(
+        offsets=offsets,
+        positions=offsets + state.X[:, None, :],
+        ktkinv=kin.ktk_inv(geom, state.Q),
+    )
+
+
+def body_K_blocks(offsets) -> jax.Array:
+    """Dense per-blob K blocks (B, n, 3, 6): [ I | −[r]ₓ ].
+
+    Column layout matches the reference triplets (``c_rigid_obj.cpp:369-383``).
+    """
+    B, n, _ = offsets.shape
+    dtype = offsets.dtype
+    rx, ry, rz = offsets[..., 0], offsets[..., 1], offsets[..., 2]
+    zero = jnp.zeros_like(rx)
+    neg_skew = jnp.stack(
+        [
+            jnp.stack([zero, rz, -ry], axis=-1),
+            jnp.stack([-rz, zero, rx], axis=-1),
+            jnp.stack([ry, -rx, zero], axis=-1),
+        ],
+        axis=-2,
+    )  # (B, n, 3, 3) = −[r]ₓ
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (B, n, 3, 3))
+    return jnp.concatenate([eye, neg_skew], axis=-1)
+
+
+def mobility_apply_fn(cfg: SimulationConfig):
+    """The blob-space mobility product used by saddle/PC/noise paths.
+
+    Dispatches to the Pallas TPU kernel when enabled and available, else the
+    XLA streamed matvec.  Signature: (F (N,3), r (N,3)) → (N,3), with the
+    damping sandwich applied iff ``cfg.wall``.
+    """
+    if cfg.use_pallas:
+        try:
+            from rigid_body_light_tpu.ops import rpy_pallas
+
+            if rpy_pallas.available():
+                def apply_pallas(F, r):
+                    return rpy_pallas.mobility_apply(
+                        F, r, a=cfg.a, eta=cfg.eta, wall=cfg.wall
+                    )
+
+                return apply_pallas
+        except ImportError:
+            pass
+
+    def apply_xla(F, r):
+        return rpy.mobility_apply(
+            F, r, a=cfg.a, eta=cfg.eta, wall=cfg.wall, row_tile=cfg.matvec_row_tile
+        )
+
+    return apply_xla
+
+
+def apply_saddle(lam, U, ops: GeometryOps, cfg: SimulationConfig, mob_apply=None):
+    """One saddle matvec: (λ (N,3), U (B,6)) → (Mλ − KU (N,3), Kᵀλ (B,6)).
+
+    Collapses reference call stack §3.2 (4 host crossings + dense assembly,
+    ``Rigid.py:73-80`` / ``c_rigid_obj.cpp:641-659``) into one fused op.
+    """
+    if mob_apply is None:
+        mob_apply = mobility_apply_fn(cfg)
+    B, n, _ = ops.offsets.shape
+    lam_b = lam.reshape(B, n, 3)
+    slip = mob_apply(lam.reshape(-1, 3), ops.flat_positions)
+    slip = slip.reshape(B, n, 3) - kin.K_dot(U, ops.offsets)
+    F = kin.KT_dot(lam_b, ops.offsets)
+    return slip.reshape(-1, 3), F
+
+
+class PCData(NamedTuple):
+    """Cached preconditioner factors for one configuration.
+
+    inv_m_diag: (N, 3, 3) per-blob inverse self mobilities (diag PC) or None.
+    inv_m_block: (B, 3n, 3n) per-body inverse mobility blocks (block PC) or None.
+    n_chol: (B, 6, 6) lower Cholesky factors of Ñ⁻¹ = Kᵀ M̃⁻¹ K.
+    """
+
+    inv_m_diag: Optional[jax.Array]
+    inv_m_block: Optional[jax.Array]
+    n_chol: jax.Array
+
+
+def build_pc(ops: GeometryOps, cfg: SimulationConfig) -> PCData:
+    B, n, _ = ops.offsets.shape
+    Kb = body_K_blocks(ops.offsets)  # (B, n, 3, 6)
+    if cfg.block_diag_pc:
+        # per-body dense RPY of the body's own blobs (wall-corrected iff wall),
+        # inverted — reference Block_diag_invM (c_rigid_obj.cpp:461-487)
+        def body_inv(pos_b):
+            M = rpy.mobility_matrix(pos_b, cfg.a, cfg.eta, cfg.wall)
+            return jnp.linalg.inv(M)
+
+        inv_m_block = jax.vmap(body_inv)(ops.positions)  # (B, 3n, 3n)
+        Kb_flat = Kb.reshape(B, 3 * n, 6)
+        ninv = jnp.einsum("bia,bij,bjc->bac", Kb_flat, inv_m_block, Kb_flat)
+        pc = PCData(inv_m_diag=None, inv_m_block=inv_m_block, n_chol=jnp.linalg.cholesky(ninv))
+    else:
+        # per-blob 3×3 self mobility (incl. wall self term), inverted —
+        # reference diag_invM (c_rigid_obj.cpp:489-543)
+        self_blocks = rpy.self_mobility_blocks(
+            ops.flat_positions, cfg.a, cfg.eta, cfg.wall
+        )  # (N, 3, 3)
+        inv_m_diag = jnp.linalg.inv(self_blocks).reshape(B, n, 3, 3)
+        ninv = jnp.einsum("bkia,bkij,bkjc->bac", Kb, inv_m_diag, Kb)
+        pc = PCData(
+            inv_m_diag=inv_m_diag.reshape(B * n, 3, 3),
+            inv_m_block=None,
+            n_chol=jnp.linalg.cholesky(ninv),
+        )
+    return pc
+
+
+def _inv_m_apply(pc: PCData, v, B, n):
+    """M̃⁻¹ · v for either PC flavor; v, result (B, n, 3)."""
+    if pc.inv_m_block is not None:
+        vf = v.reshape(B, 3 * n)
+        return jnp.einsum("bij,bj->bi", pc.inv_m_block, vf).reshape(B, n, 3)
+    blocks = pc.inv_m_diag.reshape(B, n, 3, 3)
+    return jnp.einsum("bkij,bkj->bki", blocks, v)
+
+
+def _cho_solve_batched(L, rhs):
+    """Batched 6×6 Cholesky solve: L (B,6,6) lower, rhs (B,6)."""
+    y = jax.scipy.linalg.solve_triangular(L, rhs[..., None], lower=True)
+    x = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(L, -1, -2), y, lower=False
+    )
+    return x[..., 0]
+
+
+def apply_pc(pc: PCData, slip, F, ops: GeometryOps, cfg: SimulationConfig):
+    """Apply the saddle preconditioner: (slip (N,3), F (B,6)) → (λ, U).
+
+    Parity: reference ``apply_PC`` steady-state path
+    (``c_rigid_obj.cpp:598-615``).
+    """
+    B, n, _ = ops.offsets.shape
+    slip_b = slip.reshape(B, n, 3)
+    im_slip = _inv_m_apply(pc, slip_b, B, n)
+    rhs = -F - kin.KT_dot(im_slip, ops.offsets)
+    U = _cho_solve_batched(pc.n_chol, rhs)
+    lam = _inv_m_apply(pc, slip_b + kin.K_dot(U, ops.offsets), B, n)
+    lam = jnp.asarray(cfg.m_scale, lam.dtype) * lam
+    return lam.reshape(-1, 3), U

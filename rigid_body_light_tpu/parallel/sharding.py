@@ -1,0 +1,116 @@
+"""Multi-chip distribution of the mobility matvec and the BD step.
+
+The reference has no parallelism at all (single process, single thread —
+SURVEY.md §2.5).  The TPU-native design shards the O(N²) blob-pair sweep —
+the only operator that couples all blobs — row-wise across a 1-D device
+mesh: each chip keeps its row tile of blobs resident, ``all_gather``s the
+(N, 3) forces/positions over ICI once per matvec (O(N) bytes, vs O(N²/D)
+flops of local work), and computes its rows with the same tiled kernel used
+on one chip.  Everything else in a BD step (K/Kᵀ projections, 6×6 solves,
+quaternion updates) is per-body-local and rides along replicated or
+body-sharded under the same ``jit``.
+
+Usage:
+    mesh = make_mesh()
+    mob = sharded_mobility_apply_fn(cfg, mesh)
+    state, aux = jax.jit(lambda s, k, f: stochastic_step(geom, cfg, s, k, f,
+                                                          mob_apply=mob))(...)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from rigid_body_light_tpu.config import SimulationConfig
+from rigid_body_light_tpu.ops import rpy
+
+try:  # jax>=0.4.31 moved shard_map
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+AXIS = "blobs"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = AXIS) -> Mesh:
+    """1-D device mesh over the first ``n_devices`` visible devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def sharded_pair_sum(r, F, mesh: Mesh, a=1.0, wall=False, row_tile=512, axis_name=AXIS):
+    """Row-sharded Σ_j M_ij F_j (pair terms only) over the mesh.
+
+    r, F: global (N, 3).  Pads N to a multiple of the mesh size; each device
+    computes its padded row block against the full gathered columns.
+    """
+    n = r.shape[0]
+    d = mesh.shape[axis_name]
+    n_pad = -(-n // d) * d
+    pad = n_pad - n
+    r_p = jnp.pad(r, ((0, pad), (0, 0)))
+    F_p = jnp.pad(F, ((0, pad), (0, 0)))
+    # padded columns carry F=0 → contribute nothing; padded rows are dropped.
+    col_ids = jnp.arange(n_pad, dtype=jnp.int32)
+
+    def local(r_l, F_l):
+        n_loc = r_l.shape[0]
+        idx = lax.axis_index(axis_name)
+        r_all = lax.all_gather(r_l, axis_name, tiled=True)
+        F_all = lax.all_gather(F_l, axis_name, tiled=True)
+        row_ids = idx * n_loc + jnp.arange(n_loc, dtype=jnp.int32)
+        return rpy.pair_sum(
+            r_l, row_ids, r_all, col_ids, F_all, a=a, wall=wall, row_tile=row_tile
+        )
+
+    U_p = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=P(axis_name),
+    )(r_p, F_p)
+    return U_p[:n]
+
+
+def sharded_mobility_apply_fn(
+    cfg: SimulationConfig, mesh: Mesh, axis_name: str = AXIS
+) -> Callable:
+    """Build a drop-in ``mob_apply(F, r) → U`` whose pair sweep is sharded.
+
+    Damping sandwich and self term are elementwise and applied outside the
+    ``shard_map`` (XLA shards them for free).  Semantics identical to
+    :func:`rigid_body_light_tpu.ops.rpy.mobility_apply`.
+    """
+
+    def apply(F, r):
+        r = r.reshape(-1, 3)
+        F = F.reshape(-1, 3)
+        dtype = r.dtype
+        Fd = F
+        if cfg.wall:
+            b = rpy.damping_factors(r, cfg.a)
+            Fd = F * b[:, None]
+        U = sharded_pair_sum(
+            r, Fd, mesh, a=cfg.a, wall=cfg.wall,
+            row_tile=cfg.matvec_row_tile, axis_name=axis_name,
+        )
+        self_diag = jnp.full(r.shape, 4.0 / 3.0, dtype=dtype)
+        if cfg.wall:
+            self_diag = self_diag + rpy.wall_self_diag(r[:, 2], cfg.a, dtype)
+        U = U + self_diag * Fd
+        U = U * jnp.asarray(1.0 / (8.0 * jnp.pi * cfg.eta * cfg.a), dtype)
+        if cfg.wall:
+            U = U * b[:, None]
+        return U
+
+    return apply

@@ -1,0 +1,89 @@
+"""Preconditioner exactness (port of the reference's internal ``test_PC``,
+``c_rigid_obj.cpp:569-587``) and full saddle solves vs a dense direct solve."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import oracle
+import utils
+from rigid_body_light_tpu.config import SimulationConfig
+from rigid_body_light_tpu.ops import kinematics as kin
+from rigid_body_light_tpu.ops import saddle as saddle_mod
+from rigid_body_light_tpu.ops import solvers
+from rigid_body_light_tpu.state import make_state
+
+
+def _setup(N_rigid, wall, block, seed=0):
+    X, Q = utils.create_random_positions(N_rigid, wall_PC=wall, seed=seed)
+    _, config = utils.load_config(utils.struct_shell_12)
+    cfg = SimulationConfig(wall=wall, block_diag_pc=block, dtype=jnp.float64,
+                           gmres_tol=1e-10, gmres_maxiter=400)
+    geom = kin.make_ref_geometry(config, dtype=jnp.float64)
+    state = make_state(X, Q, dtype=jnp.float64)
+    ops = saddle_mod.geometry_ops(geom, state)
+    return cfg, geom, state, ops
+
+
+@pytest.mark.parametrize("wall", [False, True])
+@pytest.mark.parametrize("block", [False, True])
+def test_pc_is_exact_inverse_of_approximate_saddle(wall, block):
+    """PC([M̃Λ − KU; −KᵀΛ]) must return exactly (Λ, U)."""
+    cfg, geom, state, ops = _setup(3, wall, block, seed=2)
+    pc = saddle_mod.build_pc(ops, cfg)
+    B, n, _ = ops.offsets.shape
+    rng = np.random.default_rng(7)
+    lam = jnp.asarray(rng.standard_normal((B, n, 3)))
+    U = jnp.asarray(rng.standard_normal((B, 6)))
+
+    # M̃Λ: invert the PC's own approximate inverse mobility
+    if block:
+        m_lam = jnp.linalg.solve(pc.inv_m_block, lam.reshape(B, 3 * n, 1))[..., 0].reshape(B, n, 3)
+    else:
+        m_lam = jnp.linalg.solve(pc.inv_m_diag.reshape(B, n, 3, 3), lam[..., None])[..., 0]
+    slip = (m_lam - kin.K_dot(U, ops.offsets)).reshape(-1, 3)
+    F = -kin.KT_dot(lam, ops.offsets)
+    lam_pc, U_pc = saddle_mod.apply_pc(pc, slip, F, ops, cfg)
+    assert np.allclose(np.asarray(U_pc), np.asarray(U), atol=1e-9)
+    assert np.allclose(np.asarray(lam_pc), np.asarray(lam).reshape(-1, 3), atol=1e-9)
+
+
+@pytest.mark.parametrize("wall", [False, True])
+def test_saddle_solve_matches_dense_direct(wall):
+    cfg, geom, state, ops = _setup(2, wall, False, seed=4)
+    B, n, _ = ops.offsets.shape
+    rng = np.random.default_rng(9)
+    slip = rng.standard_normal((B * n, 3))
+    force = rng.standard_normal((B, 6))
+
+    res = solvers.solve_saddle(ops, cfg, jnp.asarray(slip), jnp.asarray(force))
+    assert float(res.residual) < 1e-8
+
+    # dense direct solve of [M −K; Kᵀ 0][λ;U] = [slip; F]
+    pos = np.asarray(ops.flat_positions)
+    M = oracle.rpy_matrix(pos, 1.0, 1.0, wall)
+    if wall:
+        b = oracle.damping(pos)
+        M = np.diag(b) @ M @ np.diag(b)
+    K = oracle.dense_K(np.asarray(ops.offsets))
+    nn = 3 * B * n
+    A = np.zeros((nn + 6 * B, nn + 6 * B))
+    A[:nn, :nn] = M
+    A[:nn, nn:] = -K
+    A[nn:, :nn] = K.T
+    rhs = np.concatenate([slip.ravel(), force.ravel()])
+    x = np.linalg.solve(A, rhs)
+    assert np.allclose(np.asarray(res.U).ravel(), x[nn:], atol=1e-7)
+    assert np.allclose(np.asarray(res.lam).ravel(), x[:nn], atol=1e-6)
+
+
+def test_solve_mobility_api():
+    X, Q = utils.create_random_positions(2, seed=5)
+    cb = utils.create_solver(X, Q, dtype=jnp.float64)
+    force = np.zeros((2, 6))
+    force[:, 2] = -1.0
+    U, lam, res = cb.solve_mobility(force)
+    assert res < 1e-5
+    assert U.shape == (2, 6)
+    # downward force → downward velocity
+    assert np.all(U[:, 2] < 0)
