@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Headline benchmark: fluctuating BD steps/sec at 10k blobs on one TPU chip.
+
+Workload = BASELINE.json config 5: a 16-body suspension of shell_N_642
+spheres (10,272 blobs) sedimenting above a no-slip wall, full stochastic
+step (2× Lanczos M^{1/2}W, RFD drift, predictor half-kick, preconditioned
+GMRES saddle solve, quaternion commit), float32.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline compares against the measured CPU-reference cost model
+(BENCH_NOTES.md): the reference's per-step work at this size — dense RPY
+assembly per operator application + O(N³) Cholesky per noise draw
+(``c_rigid_obj.cpp:413-459,661-675``) — measured with vectorized numpy
+float32 on one core of this machine (generous to the reference, whose
+scalar C++ loops are slower than BLAS): 1124 s/step → 8.9e-4 steps/s.
+"""
+
+import functools
+import json
+import time
+
+import numpy as np
+
+CPU_REFERENCE_STEPS_PER_SEC = 8.9e-4  # measured: see BENCH_NOTES.md
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rigid_body_light_tpu import SimulationConfig, load_structure
+    from rigid_body_light_tpu.dynamics import stochastic_step
+    from rigid_body_light_tpu.ops import kinematics as kin
+    from rigid_body_light_tpu.state import make_state
+
+    params, cfgb = load_structure("shell_N_642")
+    B = 16
+    xs = np.array([[2.5 * (i % 4), 2.5 * (i // 4), 2.0 + 0.2 * (i % 3)] for i in range(B)])
+    qs = np.tile([1.0, 0, 0, 0], (B, 1))
+    # float32 stagnates ~1e-3 relative on this ill-conditioned touching-blob
+    # system (the reference's default build is also single precision); 60
+    # iterations reaches the stagnation floor.
+    cfg = SimulationConfig(
+        a=params["sep"] / 2, dt=0.01, kBT=1.0, wall=True,
+        dtype=jnp.float32, lanczos_iters=30, gmres_tol=2e-3,
+        gmres_restart=30, gmres_maxiter=60, matvec_row_tile=512,
+    )
+    geom = kin.make_ref_geometry(cfgb, dtype=jnp.float32)
+    state = make_state(xs, qs, dtype=jnp.float32)
+    n_blobs = B * params["N"]
+
+    F = jnp.zeros((B, 6), jnp.float32).at[:, 2].set(-1.0)
+    step = jax.jit(functools.partial(stochastic_step, geom, cfg))
+
+    def run_one(s, key):
+        s, aux = step(s, key, F)
+        return s, aux
+
+    # warmup / compile
+    s, aux = run_one(state, jax.random.key(0))
+    _ = float(jnp.sum(s.X))  # host sync (block_until_ready is unreliable here)
+
+    n_rep = 8
+    t0 = time.perf_counter()
+    for i in range(n_rep):
+        s, aux = run_one(s, jax.random.key(i + 1))
+    _ = float(jnp.sum(s.X))
+    dt = (time.perf_counter() - t0) / n_rep
+
+    assert bool(jnp.isfinite(s.X).all()), "trajectory diverged"
+    steps_per_sec = 1.0 / dt
+    print(json.dumps({
+        "metric": f"fluctuating BD steps/sec @ {n_blobs} blobs (16x shell_N_642, wall)",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / CPU_REFERENCE_STEPS_PER_SEC, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

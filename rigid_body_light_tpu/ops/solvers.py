@@ -1,31 +1,29 @@
-"""On-device Krylov solver for the saddle system.
+"""On-device Krylov solve of the rigid multiblob saddle system.
 
 The reference ships *no* solver — it exposes operator/PC matvecs for an
 external scipy GMRES driver (scipy/pyamg are deps in ``environment.yml:5-7``
 but unused in-repo; every Krylov iteration crosses the Python↔C++ boundary
-4 times, ``Rigid.py:73-80``).  Here the whole preconditioned GMRES runs
+4 times, ``Rigid.py:73-80``).  Here the whole left-preconditioned GMRES runs
 under ``jit``: the Krylov basis, the Arnoldi recurrence, the mobility matvec
-and the preconditioner are one XLA computation.
-
-The solve operates on the natural pytree vector ((N,3) blob space, (B,6)
-body space) via ``jax.scipy.sparse.linalg.gmres``, which supports pytrees.
+and the preconditioner are one XLA computation
+(:mod:`rigid_body_light_tpu.ops.gmres`).
 """
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.sparse.linalg import gmres as _jax_gmres
 
 from rigid_body_light_tpu.config import SimulationConfig
+from rigid_body_light_tpu.ops import gmres as gmres_mod
 from rigid_body_light_tpu.ops import saddle as saddle_mod
 
 
 class SolveResult(NamedTuple):
-    lam: jax.Array  # (N, 3) constraint forces on blobs
-    U: jax.Array    # (B, 6) rigid body velocities
+    lam: jax.Array       # (N, 3) constraint forces on blobs
+    U: jax.Array         # (B, 6) rigid body velocities
     residual: jax.Array  # final relative residual (preconditioned system)
 
 
@@ -53,36 +51,34 @@ def solve_saddle(
     if pc is None:
         pc = saddle_mod.build_pc(ops, cfg)
     dtype = ops.positions.dtype
+    B, n, _ = ops.offsets.shape
+    nb = 3 * B * n
     slip = jnp.asarray(slip, dtype).reshape(-1, 3)
     force = jnp.asarray(force, dtype).reshape(-1, 6)
 
-    def A(x):
-        lam, U = x
-        return saddle_mod.apply_saddle(lam, U, ops, cfg, mob_apply)
+    def pc_apply_flat(s, f):
+        lam, U = saddle_mod.apply_pc(pc, s, f, ops, cfg)
+        return jnp.concatenate([lam.reshape(-1), U.reshape(-1)])
 
-    def M(x):
-        s, f = x
-        return saddle_mod.apply_pc(pc, s, f, ops, cfg)
+    def matvec(x):
+        lam = x[:nb].reshape(-1, 3)
+        U = x[nb:].reshape(-1, 6)
+        s, f = saddle_mod.apply_saddle(lam, U, ops, cfg, mob_apply)
+        return pc_apply_flat(s, f)
 
-    b = (slip, force)
-    if x0 is None:
-        x0 = (jnp.zeros_like(slip), jnp.zeros_like(force))
+    b = pc_apply_flat(slip, force)
+    if x0 is not None:
+        x0 = jnp.concatenate([x0[0].reshape(-1), x0[1].reshape(-1)])
 
-    x, _ = _jax_gmres(
-        A,
+    max_restarts = max(1, -(-cfg.gmres_maxiter // cfg.gmres_restart))
+    result = gmres_mod.gmres(
+        matvec,
         b,
         x0=x0,
         tol=cfg.gmres_tol,
-        atol=0.0,
         restart=cfg.gmres_restart,
-        maxiter=max(1, cfg.gmres_maxiter // cfg.gmres_restart),
-        M=M,
-        solve_method="batched",
+        max_restarts=max_restarts,
     )
-    lam, U = x
-    r = A(x)
-    res = jnp.sqrt(
-        (jnp.sum((r[0] - b[0]) ** 2) + jnp.sum((r[1] - b[1]) ** 2))
-        / jnp.maximum(jnp.sum(b[0] ** 2) + jnp.sum(b[1] ** 2), 1e-30)
-    )
-    return SolveResult(lam=lam, U=U, residual=res)
+    lam = result.x[:nb].reshape(-1, 3)
+    U = result.x[nb:].reshape(-1, 6)
+    return SolveResult(lam=lam, U=U, residual=result.residual)
