@@ -13,7 +13,7 @@ vs_baseline compares against the measured CPU-reference cost model
 assembly per operator application + O(N³) Cholesky per noise draw
 (``c_rigid_obj.cpp:413-459,661-675``) — measured with vectorized numpy
 float32 on one core of this machine (generous to the reference, whose
-scalar C++ loops are slower than BLAS): 1124 s/step → 8.9e-4 steps/s.
+scalar C++ loops are slower than BLAS): 8553 s/step → 1.17e-4 steps/s.
 """
 
 import functools
@@ -22,7 +22,7 @@ import time
 
 import numpy as np
 
-CPU_REFERENCE_STEPS_PER_SEC = 8.9e-4  # measured: see BENCH_NOTES.md
+CPU_REFERENCE_STEPS_PER_SEC = 1.17e-4  # measured: see BENCH_NOTES.md
 
 
 def main():
@@ -38,13 +38,10 @@ def main():
     B = 16
     xs = np.array([[2.5 * (i % 4), 2.5 * (i // 4), 2.0 + 0.2 * (i % 3)] for i in range(B)])
     qs = np.tile([1.0, 0, 0, 0], (B, 1))
-    # float32 stagnates ~1e-3 relative on this ill-conditioned touching-blob
-    # system (the reference's default build is also single precision); 60
-    # iterations reaches the stagnation floor.
     cfg = SimulationConfig(
         a=params["sep"] / 2, dt=0.01, kBT=1.0, wall=True,
-        dtype=jnp.float32, lanczos_iters=30, gmres_tol=2e-3,
-        gmres_restart=30, gmres_maxiter=60, matvec_row_tile=512,
+        dtype=jnp.float32, lanczos_iters=30, gmres_tol=1e-4,
+        gmres_restart=40, gmres_maxiter=80, matvec_row_tile=512,
     )
     geom = kin.make_ref_geometry(cfgb, dtype=jnp.float32)
     state = make_state(xs, qs, dtype=jnp.float32)

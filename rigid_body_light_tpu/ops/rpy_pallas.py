@@ -1,13 +1,273 @@
-"""Pallas TPU kernel for the matrix-free RPY mobility matvec (stub — the
-XLA streamed path in :mod:`rigid_body_light_tpu.ops.rpy` is used until this
-lands)."""
+"""Pallas TPU kernel for the matrix-free RPY pair sweep.
+
+Replaces the XLA streamed path of :func:`rigid_body_light_tpu.ops.rpy.
+mobility_apply` on TPU.  Same math (free-space RPY near/far branches +
+Swan–Brady wall correction as scalar coefficient fields — see ``ops/rpy.py``
+docstring), but hand-tiled:
+
+  - packed VMEM-resident operands (8, N_pad): rows 0–2 = positions/a,
+    rows 3–5 = (damped) forces, rows 6–7 zero.  Whole operands fit VMEM
+    comfortably to ~300k blobs (8·N·4 B), so every grid program reads its
+    row tile and streams column tiles out of VMEM — zero HBM traffic in the
+    inner loop.
+  - grid over row tiles of TR=128; inner ``fori_loop`` over column tiles of
+    TC=512; all pair fields are (TR, TC) f32 VPU tiles (8×128-aligned).
+  - reductions along the lane (column) axis accumulate the output rows.
+  - rows and columns are independent operands (rectangular slab), so the
+    same kernel serves the single-chip square sweep and the ``shard_map``
+    row-sharded sweep (local rows × gathered columns); a scalar row-id
+    offset in SMEM keeps global self-pair masking correct.
+
+Numerical note: this kernel is *more* accurate than the XLA path on TPU —
+Mosaic lowers ``rsqrt``/division at full f32 precision, while XLA's fused
+elementwise pipelines use approximate VPU reciprocals (~2e-3 relative),
+which visibly floors GMRES convergence.  Measured: kernel ≈ 3e-7 relative
+vs a float64 oracle, XLA path ≈ 2e-3 (BENCH_NOTES.md).
+
+The kernel computes pair terms only (i≠j); the caller applies the self term,
+1/(8πηa) scaling and the B·M·B damping sandwich — identical contract to
+``rpy.pair_sum``.
+"""
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from rigid_body_light_tpu.ops import rpy as rpy_xla
+
+try:  # pallas import is safe everywhere; compilation is TPU-only
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover
+    _PALLAS_OK = False
+
+TR = 128   # row tile (sublane-aligned multiples)
+TC = 512   # column tile (lane-aligned)
+
+_SELF_COEF = 4.0 / 3.0
+_R2_FLOOR = 1e-24
+
 
 def available() -> bool:
-    return False
+    """True when the default backend is a TPU (incl. the 'axon' tunnel)."""
+    if not _PALLAS_OK:
+        return False
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:  # pragma: no cover
+        return False
+    return plat in ("tpu", "axon")
 
 
-def mobility_apply(F, r, a=1.0, eta=1.0, wall=False):  # pragma: no cover
-    raise NotImplementedError("Pallas RPY kernel not yet implemented")
+def _kernel(off_ref, rows_ref, cols_ref, out_ref, *, n_cols_valid: int,
+            n_cols_pad: int, wall: bool):
+    i = pl.program_id(0)
+    row_start = i * TR
+    row_offset = off_ref[0]
+
+    xR = rows_ref[0, pl.ds(row_start, TR)].reshape(TR, 1)
+    yR = rows_ref[1, pl.ds(row_start, TR)].reshape(TR, 1)
+    zR = rows_ref[2, pl.ds(row_start, TR)].reshape(TR, 1)
+    row_ids = row_offset + row_start + jax.lax.broadcasted_iota(
+        jnp.int32, (TR, 1), 0
+    )
+
+    n_col_tiles = n_cols_pad // TC
+
+    def col_tile(j, acc):
+        ux, uy, uz = acc
+        c0 = j * TC
+        xC = cols_ref[0, pl.ds(c0, TC)].reshape(1, TC)
+        yC = cols_ref[1, pl.ds(c0, TC)].reshape(1, TC)
+        zC = cols_ref[2, pl.ds(c0, TC)].reshape(1, TC)
+        fx = cols_ref[3, pl.ds(c0, TC)].reshape(1, TC)
+        fy = cols_ref[4, pl.ds(c0, TC)].reshape(1, TC)
+        fz = cols_ref[5, pl.ds(c0, TC)].reshape(1, TC)
+        col_ids = c0 + jax.lax.broadcasted_iota(jnp.int32, (1, TC), 1)
+        # pair validity: not self, column is a real blob
+        live = jnp.logical_and(row_ids != col_ids, col_ids < n_cols_valid)
+
+        dx = xR - xC
+        dy = yR - yC
+        dz = zR - zC
+        r2 = jnp.maximum(dx * dx + dy * dy + dz * dz, _R2_FLOOR)
+        invr = jax.lax.rsqrt(r2)
+        invr2 = invr * invr
+        r = r2 * invr  # = sqrt(r2), one less transcendental
+        far = r >= 2.0
+        alpha = jnp.where(
+            far,
+            (1.0 + (2.0 / 3.0) * invr2) * invr,
+            _SELF_COEF * (1.0 - 0.28125 * r),
+        )
+        beta = jnp.where(
+            far,
+            (1.0 - 2.0 * invr2) * invr2 * invr,
+            (_SELF_COEF * 0.09375) * invr,
+        )
+        alpha = jnp.where(live, alpha, 0.0)
+        beta = jnp.where(live, beta, 0.0)
+
+        dF = dx * fx + dy * fy + dz * fz
+        bdF = beta * dF
+        cx = alpha * fx + bdF * dx
+        cy = alpha * fy + bdF * dy
+        cz = alpha * fz + bdF * dz
+
+        if wall:
+            # image displacement: (dx, dy, zR + zC); source height hj = zC
+            dzi = zR + zC
+            R2 = jnp.maximum(dx * dx + dy * dy + dzi * dzi, _R2_FLOOR)
+            invR = jax.lax.rsqrt(R2)
+            ex = dx * invR
+            ey = dy * invR
+            ez = dzi * invR
+            ez2 = ez * ez
+            invR3 = invR * invR * invR
+            invR5 = invR3 * invR * invR
+            h_hat = zC / jnp.maximum(dzi, 1e-12)
+            hh = h_hat * (1.0 - h_hat)
+            f1 = -(3.0 * (1.0 + 2.0 * hh * ez2) * invR
+                   + 2.0 * (1.0 - 3.0 * ez2) * invR3
+                   - 2.0 * (1.0 - 5.0 * ez2) * invR5) * (1.0 / 3.0)
+            f2 = -(3.0 * (1.0 - 6.0 * hh * ez2) * invR
+                   - 6.0 * (1.0 - 5.0 * ez2) * invR3
+                   + 10.0 * (1.0 - 7.0 * ez2) * invR5) * (1.0 / 3.0)
+            f3 = ez * (3.0 * h_hat * (1.0 - 6.0 * (1.0 - h_hat) * ez2) * invR
+                       - 6.0 * (1.0 - 5.0 * ez2) * invR3
+                       + 10.0 * (2.0 - 7.0 * ez2) * invR5) * (2.0 / 3.0)
+            f4 = ez * (3.0 * h_hat * invR - 10.0 * invR5) * (2.0 / 3.0)
+            f5 = -(3.0 * h_hat * h_hat * ez2 * invR
+                   + 3.0 * ez2 * invR3
+                   + (2.0 - 15.0 * ez2) * invR5) * (4.0 / 3.0)
+            f1 = jnp.where(live, f1, 0.0)
+            f2 = jnp.where(live, f2, 0.0)
+            f3 = jnp.where(live, f3, 0.0)
+            f4 = jnp.where(live, f4, 0.0)
+            f5 = jnp.where(live, f5, 0.0)
+            eF = ex * fx + ey * fy + ez * fz
+            f2eF = f2 * eF
+            cx = cx + f1 * fx + f2eF * ex + f3 * fz * ex
+            cy = cy + f1 * fy + f2eF * ey + f3 * fz * ey
+            cz = cz + f1 * fz + f2eF * ez + f3 * fz * ez + f4 * eF + f5 * fz
+
+        ux = ux + jnp.sum(cx, axis=1, keepdims=True)
+        uy = uy + jnp.sum(cy, axis=1, keepdims=True)
+        uz = uz + jnp.sum(cz, axis=1, keepdims=True)
+        return ux, uy, uz
+
+    zero = jnp.zeros((TR, 1), jnp.float32)
+    ux, uy, uz = jax.lax.fori_loop(0, n_col_tiles, col_tile, (zero, zero, zero))
+
+    out_ref[0, :] = ux.reshape(1, TR)[0]
+    out_ref[1, :] = uy.reshape(1, TR)[0]
+    out_ref[2, :] = uz.reshape(1, TR)[0]
+    out_ref[3:8, :] = jnp.zeros((5, TR), jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_cols_valid", "n_cols_pad", "n_rows_pad", "wall", "interpret"),
+)
+def _pair_sweep_packed(
+    P_rows, P_cols, row_offset,
+    n_cols_valid: int, n_cols_pad: int, n_rows_pad: int,
+    wall: bool, interpret: bool = False,
+):
+    n_row_tiles = n_rows_pad // TR
+    flops_per_pair = 90 if wall else 40
+    kernel = functools.partial(
+        _kernel, n_cols_valid=n_cols_valid, n_cols_pad=n_cols_pad, wall=wall
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_row_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, TR), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, n_rows_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=n_rows_pad * n_cols_pad * flops_per_pair,
+            bytes_accessed=8 * n_cols_pad * 4 * n_row_tiles,
+            transcendentals=2 * n_rows_pad * n_cols_pad,
+        ),
+        interpret=interpret,
+    )(row_offset, P_rows, P_cols)
+
+
+def _pack(r_over_a, F, n_pad):
+    n = r_over_a.shape[0]
+    P = jnp.zeros((8, n_pad), jnp.float32)
+    P = P.at[0:3, :n].set(r_over_a.astype(jnp.float32).T)
+    # padded column heights default to 1.0 (not 0) so the wall branch cannot
+    # produce 0/0 NaNs; padded columns carry zero force so they contribute 0.
+    P = P.at[2, n:].set(1.0)
+    P = P.at[3:6, :n].set(F.astype(jnp.float32).T)
+    return P
+
+
+def pair_sum(r_over_a, F, wall: bool, interpret: bool = False):
+    """Σ_{j≠i} M_ij F_j (unscaled, undamped pair terms), (N,3)×(N,3)→(N,3).
+
+    r_over_a: positions already normalized by the blob radius.
+    """
+    n = r_over_a.shape[0]
+    n_pad = -(-n // TC) * TC
+    P = _pack(r_over_a, F, n_pad)
+    off = jnp.zeros((1,), jnp.int32)
+    out = _pair_sweep_packed(P, P, off, n, n_pad, n_pad, wall, interpret)
+    return out[0:3, :n].T
+
+
+def pair_sum_slab(r_rows_over_a, row_offset, r_cols_over_a, F_cols, wall: bool,
+                  n_cols_valid: int = None, interpret: bool = False):
+    """Rectangular slab sweep for the sharded path: local rows × all columns.
+
+    row_offset: global index of the first row blob (for self-pair masking).
+    """
+    n_rows = r_rows_over_a.shape[0]
+    n_cols = r_cols_over_a.shape[0]
+    if n_cols_valid is None:
+        n_cols_valid = n_cols
+    n_rows_pad = -(-n_rows // TR) * TR
+    n_cols_pad = -(-n_cols // TC) * TC
+    P_rows = _pack(r_rows_over_a, jnp.zeros_like(r_rows_over_a), n_rows_pad)
+    P_cols = _pack(r_cols_over_a, F_cols, n_cols_pad)
+    off = jnp.asarray(row_offset, jnp.int32).reshape(1)
+    out = _pair_sweep_packed(
+        P_rows, P_cols, off, n_cols_valid, n_cols_pad, n_rows_pad, wall, interpret
+    )
+    return out[0:3, :n_rows].T
+
+
+def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, damp=None, interpret=False):
+    """Drop-in for :func:`rigid_body_light_tpu.ops.rpy.mobility_apply` on TPU
+    (float32): U = M·F, or B·M·B·F when ``wall``."""
+    r = jnp.asarray(r, jnp.float32).reshape(-1, 3)
+    F = jnp.asarray(F, jnp.float32).reshape(-1, 3)
+    use_damp = wall if damp is None else damp
+    inv_a = jnp.float32(1.0 / a)
+
+    Fd = F
+    if use_damp:
+        b = rpy_xla.damping_factors(r, a)
+        Fd = F * b[:, None]
+
+    U = pair_sum(r * inv_a, Fd, wall, interpret=interpret)
+
+    self_diag = jnp.full(r.shape, _SELF_COEF, jnp.float32)
+    if wall:
+        self_diag = self_diag + rpy_xla.wall_self_diag(r[:, 2], a, jnp.float32)
+    U = U + self_diag * Fd
+    U = U * jnp.float32(1.0 / (8.0 * jnp.pi * eta * a))
+    if use_damp:
+        U = U * b[:, None]
+    return U

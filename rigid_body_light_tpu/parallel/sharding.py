@@ -48,11 +48,15 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = AXIS) -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def sharded_pair_sum(r, F, mesh: Mesh, a=1.0, wall=False, row_tile=512, axis_name=AXIS):
+def sharded_pair_sum(
+    r, F, mesh: Mesh, a=1.0, wall=False, row_tile=512, axis_name=AXIS,
+    use_pallas=False,
+):
     """Row-sharded Σ_j M_ij F_j (pair terms only) over the mesh.
 
     r, F: global (N, 3).  Pads N to a multiple of the mesh size; each device
-    computes its padded row block against the full gathered columns.
+    computes its padded row block against the full gathered columns — with
+    the Pallas slab kernel on TPU (float32), else the XLA streamed sweep.
     """
     n = r.shape[0]
     d = mesh.shape[axis_name]
@@ -63,11 +67,23 @@ def sharded_pair_sum(r, F, mesh: Mesh, a=1.0, wall=False, row_tile=512, axis_nam
     # padded columns carry F=0 → contribute nothing; padded rows are dropped.
     col_ids = jnp.arange(n_pad, dtype=jnp.int32)
 
+    if use_pallas:
+        from rigid_body_light_tpu.ops import rpy_pallas
+
+        use_pallas = rpy_pallas.available() and r.dtype == jnp.float32
+
     def local(r_l, F_l):
         n_loc = r_l.shape[0]
         idx = lax.axis_index(axis_name)
         r_all = lax.all_gather(r_l, axis_name, tiled=True)
         F_all = lax.all_gather(F_l, axis_name, tiled=True)
+        if use_pallas:
+            from rigid_body_light_tpu.ops import rpy_pallas
+
+            inv_a = jnp.float32(1.0 / a)
+            return rpy_pallas.pair_sum_slab(
+                r_l * inv_a, idx * n_loc, r_all * inv_a, F_all, wall
+            )
         row_ids = idx * n_loc + jnp.arange(n_loc, dtype=jnp.int32)
         return rpy.pair_sum(
             r_l, row_ids, r_all, col_ids, F_all, a=a, wall=wall, row_tile=row_tile
@@ -103,6 +119,7 @@ def sharded_mobility_apply_fn(
         U = sharded_pair_sum(
             r, Fd, mesh, a=cfg.a, wall=cfg.wall,
             row_tile=cfg.matvec_row_tile, axis_name=axis_name,
+            use_pallas=cfg.use_pallas,
         )
         self_diag = jnp.full(r.shape, 4.0 / 3.0, dtype=dtype)
         if cfg.wall:

@@ -1,0 +1,60 @@
+"""Pallas RPY kernel parity — run in interpreter mode so the kernel logic is
+covered on the CPU test mesh (on TPU the compiled kernel is exercised by
+bench.py and is *more* accurate than the XLA path, see BENCH_NOTES.md)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import oracle
+from rigid_body_light_tpu.ops import rpy_pallas
+
+
+@pytest.fixture
+def cloud():
+    rng = np.random.default_rng(7)
+    r = rng.uniform([-4, -4, 0.6], [4, 4, 7], (150, 3)).astype(np.float32)
+    F = rng.standard_normal((150, 3)).astype(np.float32)
+    return r, F
+
+
+@pytest.mark.parametrize("wall", [False, True])
+def test_kernel_parity_interpret(cloud, wall):
+    r, F = cloud
+    a, eta = 0.9, 1.3
+    Uref = oracle.apply_M(F.astype(np.float64), r.astype(np.float64), a, eta, wall).reshape(-1, 3)
+    U = np.asarray(
+        rpy_pallas.mobility_apply(
+            jnp.asarray(F), jnp.asarray(r), a, eta, wall, interpret=True
+        )
+    )
+    scale = np.abs(Uref).max()
+    assert np.abs(U - Uref).max() / scale < 5e-6
+
+
+@pytest.mark.parametrize("wall", [False, True])
+def test_slab_matches_square(cloud, wall):
+    """Rectangular slab sweep over a row chunk must equal the corresponding
+    rows of the square sweep (the sharded-path contract)."""
+    r, F = cloud
+    r_n = jnp.asarray(r) / 0.9
+    F_j = jnp.asarray(F)
+    full = rpy_pallas.pair_sum(r_n, F_j, wall, interpret=True)
+    lo, hi = 40, 110
+    slab = rpy_pallas.pair_sum_slab(
+        r_n[lo:hi], lo, r_n, F_j, wall, interpret=True
+    )
+    assert np.allclose(np.asarray(slab), np.asarray(full)[lo:hi], atol=1e-5)
+
+
+def test_padded_columns_are_inert(cloud):
+    """Ragged N (not a multiple of the column tile) must not perturb results:
+    compare against the XLA reference path at the same precision."""
+    from rigid_body_light_tpu.ops import rpy
+
+    r, F = cloud
+    r1, F1 = jnp.asarray(r[:137]), jnp.asarray(F[:137])
+    U_pal = np.asarray(rpy_pallas.mobility_apply(F1, r1, 1.0, 1.0, True, interpret=True))
+    U_xla = np.asarray(rpy.mobility_apply(F1, r1, 1.0, 1.0, True))
+    assert np.abs(U_pal - U_xla).max() / np.abs(U_xla).max() < 1e-5
+    assert np.isfinite(U_pal).all()
