@@ -49,19 +49,16 @@ def main():
 
     F = jnp.zeros((B, 6), jnp.float32).at[:, 2].set(-1.0)
     step = jax.jit(functools.partial(stochastic_step, geom, cfg))
+    x0 = (jnp.zeros((n_blobs, 3), jnp.float32), jnp.zeros((B, 6), jnp.float32))
 
-    def run_one(s, key):
-        s, aux = step(s, key, F)
-        return s, aux
-
-    # warmup / compile
-    s, aux = run_one(state, jax.random.key(0))
+    # warmup / compile (Krylov warm start threaded step to step)
+    s, aux = step(state, jax.random.key(0), F, x0=x0)
     _ = float(jnp.sum(s.X))  # host sync (block_until_ready is unreliable here)
 
     n_rep = 8
     t0 = time.perf_counter()
     for i in range(n_rep):
-        s, aux = run_one(s, jax.random.key(i + 1))
+        s, aux = step(s, jax.random.key(i + 1), F, x0=(aux.lam, aux.U))
     _ = float(jnp.sum(s.X))
     dt = (time.perf_counter() - t0) / n_rep
 

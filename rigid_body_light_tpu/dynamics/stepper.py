@@ -73,6 +73,7 @@ def stochastic_step(
     force,
     slip=None,
     mob_apply: Callable = None,
+    x0=None,
 ):
     """One fluctuating BD step (EM–midpoint with RFD drift).
 
@@ -86,6 +87,10 @@ def stochastic_step(
       4. Corrector: solve the saddle system at q^{n+1/2} with
          RHS = [slip − (D + BI); F], giving U.
       5. Commit q^{n+1} = q^n advanced by U·dt.
+
+    x0: optional (λ, U) warm start for the Krylov solve — pass the previous
+    step's StepAux fields; configurations move little per step, so this cuts
+    GMRES iterations substantially in long runs.
 
     Returns (new_state, StepAux).
     """
@@ -123,7 +128,9 @@ def stochastic_step(
         slip_eff = slip
         ops_solve = ops
 
-    res = solvers.solve_saddle(ops_solve, cfg, slip_eff, force, mob_apply=mob_apply)
+    res = solvers.solve_saddle(
+        ops_solve, cfg, slip_eff, force, mob_apply=mob_apply, x0=x0
+    )
     dU = res.U * jnp.asarray(cfg.dt, dtype)
     X, Q = kin.update_X_Q(state.X, state.Q, dU)
     return BodyState(X=X, Q=Q), StepAux(U=res.U, lam=res.lam, residual=res.residual)
@@ -152,15 +159,22 @@ def run_bd(
             return jnp.zeros((B, 6), dtype)
 
     def body(carry, i):
-        s, k = carry
+        s, k, x_prev = carry
         k, sub = jax.random.split(k)
         force = force_fn(s, i)
-        s_new, aux = stochastic_step(geom, cfg, s, sub, force, mob_apply=mob_apply)
+        s_new, aux = stochastic_step(
+            geom, cfg, s, sub, force, mob_apply=mob_apply, x0=x_prev
+        )
         out = (s_new.X, s_new.Q, aux.residual)
-        return (s_new, k), out
+        return (s_new, k, (aux.lam, aux.U)), out
 
-    (final, _), (Xs, Qs, residuals) = lax.scan(
-        body, (state, key), jnp.arange(n_steps)
+    n_blb = geom.ref_cfg.shape[0]
+    x_init = (
+        jnp.zeros((B * n_blb, 3), dtype),
+        jnp.zeros((B, 6), dtype),
+    )
+    (final, _, _), (Xs, Qs, residuals) = lax.scan(
+        body, (state, key, x_init), jnp.arange(n_steps)
     )
     keep = slice(save_every - 1, None, save_every)
     return final, {"X": Xs[keep], "Q": Qs[keep], "residual": residuals[keep]}
