@@ -94,7 +94,8 @@ def stochastic_step(
 
     Returns (new_state, StepAux).
     """
-    if mob_apply is None:
+    default_mob = mob_apply is None
+    if default_mob:
         mob_apply = saddle_mod.mobility_apply_fn(cfg)
     dtype = state.X.dtype
     ops = saddle_mod.geometry_ops(geom, state)
@@ -106,13 +107,24 @@ def stochastic_step(
     if kBT > 0.0:
         k1, k2, k3 = jax.random.split(key, 3)
         pos = ops.flat_positions
-        mhw1 = lanczos.m_half_w(mob_apply, pos, k1, iters=cfg.lanczos_iters)
-        if cfg.split_rand:
+        if cfg.split_rand and default_mob:
+            # fused two-draw Lanczos: both recurrences share one pair-field
+            # sweep per iteration (2-RHS mobility product)
+            mob_multi = saddle_mod.mobility_apply_multi_fn(cfg)
+            mhw1, mhw2 = lanczos.m_half_w_pair(
+                mob_multi, pos, k1, k2, iters=cfg.lanczos_iters
+            )
+            c1 = 2.0 * jnp.sqrt(jnp.asarray(kBT / cfg.dt, dtype))
+            c2 = jnp.sqrt(jnp.asarray(kBT / cfg.dt, dtype))
+            bi = c2 * (mhw1 - mhw2)
+        elif cfg.split_rand:
+            mhw1 = lanczos.m_half_w(mob_apply, pos, k1, iters=cfg.lanczos_iters)
             mhw2 = lanczos.m_half_w(mob_apply, pos, k2, iters=cfg.lanczos_iters)
             c1 = 2.0 * jnp.sqrt(jnp.asarray(kBT / cfg.dt, dtype))
             c2 = jnp.sqrt(jnp.asarray(kBT / cfg.dt, dtype))
             bi = c2 * (mhw1 - mhw2)
         else:
+            mhw1 = lanczos.m_half_w(mob_apply, pos, k1, iters=cfg.lanczos_iters)
             c1 = jnp.sqrt(jnp.asarray(2.0 * kBT / cfg.dt, dtype))
             c2 = c1
             bi = c2 * mhw1

@@ -23,61 +23,84 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def sqrt_matvec_batched(
+    matvec: Callable,
+    W: jax.Array,
+    iters: int = 30,
+) -> jax.Array:
+    """Approximate A^{1/2}·w_k for a batch of vectors with a *joint* matvec.
+
+    W: (k, sz).  ``matvec`` maps (k, sz) → (k, sz), applying the same SPD
+    operator to each row — on TPU the k rows share one pair-field sweep
+    (see ``rpy_pallas.mobility_apply_multi``), so k Lanczos recurrences cost
+    far less than k separate ones.  Returns (k, sz).
+
+    Fixed iteration count (static shape); eigenvalues of each tridiagonal T
+    are clamped at 0 so float32 round-off on near-singular modes cannot
+    produce NaN.
+    """
+    k, sz = W.shape
+    dtype = W.dtype
+    m = iters
+    norm_w = jnp.linalg.norm(W, axis=1)  # (k,)
+    v1 = W / jnp.maximum(norm_w, 1e-30)[:, None]
+
+    V0 = jnp.zeros((k, m, sz), dtype=dtype).at[:, 0].set(v1)
+
+    def body(i, carry):
+        V, alphas, betas, v_prev, beta_prev = carry
+        v = V[:, i]
+        av = matvec(v)
+        alpha = jnp.einsum("ks,ks->k", v, av)
+        r = av - alpha[:, None] * v - beta_prev[:, None] * v_prev
+        # full reorthogonalization against the basis built so far (rows ≥ i+1
+        # are still zero, so no masking needed) — keeps the small-m
+        # approximation accurate in float32
+        proj = jnp.einsum("kms,ks->km", V, r)
+        r = r - jnp.einsum("km,kms->ks", proj, V)
+        beta = jnp.linalg.norm(r, axis=1)
+        v_next = r / jnp.maximum(beta, 1e-30)[:, None]
+        V = lax.cond(
+            i + 1 < m,
+            lambda V: V.at[:, i + 1].set(v_next),
+            lambda V: V,
+            V,
+        )
+        alphas = alphas.at[:, i].set(alpha)
+        betas = betas.at[:, i].set(beta)
+        return (V, alphas, betas, v, beta)
+
+    alphas = jnp.zeros((k, m), dtype=dtype)
+    betas = jnp.zeros((k, m), dtype=dtype)
+    V, alphas, betas, _, _ = lax.fori_loop(
+        0, m, body,
+        (V0, alphas, betas, jnp.zeros_like(v1), jnp.zeros((k,), dtype)),
+    )
+
+    # batched tridiagonal T_k from (alphas_k, betas_k[:-1])
+    idx = jnp.arange(m)
+    T = jnp.zeros((k, m, m), dtype)
+    T = T.at[:, idx, idx].set(alphas)
+    T = T.at[:, idx[:-1], idx[1:]].set(betas[:, :-1])
+    T = T.at[:, idx[1:], idx[:-1]].set(betas[:, :-1])
+    evals, evecs = jnp.linalg.eigh(T)
+    sq = jnp.sqrt(jnp.maximum(evals, 0.0))
+    e1_proj = evecs[:, 0, :]  # (k, m) = first row of each eigenvector matrix
+    y = jnp.einsum("kmj,kj->km", evecs, sq * e1_proj)
+    return norm_w[:, None] * jnp.einsum("km,kms->ks", y, V)
+
+
 def sqrt_matvec(
     matvec: Callable,
     w: jax.Array,
     iters: int = 30,
 ) -> jax.Array:
-    """Approximate A^{1/2}·w for SPD operator ``matvec`` (flat vectors).
+    """Approximate A^{1/2}·w for SPD operator ``matvec`` on (sz,) vectors."""
 
-    w: (sz,) flat vector.  Returns (sz,).
-    Fixed iteration count (static shape); eigenvalues of T are clamped at 0
-    so float32 round-off near-singular modes cannot produce NaN.
-    """
-    sz = w.shape[0]
-    dtype = w.dtype
-    m = iters
-    norm_w = jnp.linalg.norm(w)
-    v1 = w / jnp.maximum(norm_w, 1e-30)
+    def mv_batched(vk):
+        return matvec(vk[0])[None]
 
-    V0 = jnp.zeros((m, sz), dtype=dtype).at[0].set(v1)
-
-    def body(i, carry):
-        V, alphas, betas, v_prev, beta_prev = carry
-        v = V[i]
-        av = matvec(v)
-        alpha = jnp.vdot(v, av)
-        r = av - alpha * v - beta_prev * v_prev
-        # full reorthogonalization against the basis built so far (masked) —
-        # keeps the small-m approximation accurate in float32
-        proj = V @ r  # (m,)
-        mask = (jnp.arange(m) <= i).astype(dtype)
-        r = r - (proj * mask) @ V
-        beta = jnp.linalg.norm(r)
-        v_next = r / jnp.maximum(beta, 1e-30)
-        V = lax.cond(
-            i + 1 < m,
-            lambda V: V.at[i + 1].set(v_next),
-            lambda V: V,
-            V,
-        )
-        alphas = alphas.at[i].set(alpha)
-        betas = betas.at[i].set(beta)
-        return (V, alphas, betas, v, beta)
-
-    alphas = jnp.zeros((m,), dtype=dtype)
-    betas = jnp.zeros((m,), dtype=dtype)
-    V, alphas, betas, _, _ = lax.fori_loop(
-        0, m, body, (V0, alphas, betas, jnp.zeros_like(v1), jnp.asarray(0.0, dtype))
-    )
-
-    # tridiagonal T from (alphas, betas[:-1])
-    T = jnp.diag(alphas) + jnp.diag(betas[:-1], 1) + jnp.diag(betas[:-1], -1)
-    evals, evecs = jnp.linalg.eigh(T)
-    sq = jnp.sqrt(jnp.maximum(evals, 0.0))
-    e1 = jnp.zeros((m,), dtype=dtype).at[0].set(1.0)
-    y = evecs @ (sq * (evecs.T @ e1))
-    return norm_w * (y @ V)
+    return sqrt_matvec_batched(mv_batched, w[None], iters=iters)[0]
 
 
 def m_half_w(
@@ -102,3 +125,31 @@ def m_half_w(
         return mob_apply(flat.reshape(-1, 3), positions).reshape(-1)
 
     return sqrt_matvec(mv, w, iters=iters).reshape(-1, 3)
+
+
+def m_half_w_pair(
+    mob_apply_multi: Callable,
+    positions,
+    key1,
+    key2,
+    iters: int = 30,
+):
+    """Two independent M^{1/2}W draws with fused matvecs.
+
+    The stochastic midpoint stepper needs two draws per step at the same
+    configuration (``split_rand``, reference ``c_rigid_obj.cpp:930-936``);
+    running both Lanczos recurrences through a 2-RHS mobility sweep shares
+    the pair coefficient fields and nearly halves the noise cost.
+    Returns ((N,3), (N,3)).
+    """
+    positions = positions.reshape(-1, 3)
+    n = positions.shape[0]
+    dtype = positions.dtype
+    w1 = jax.random.normal(key1, (3 * n,), dtype=dtype)
+    w2 = jax.random.normal(key2, (3 * n,), dtype=dtype)
+
+    def mv2(vk):
+        return mob_apply_multi(vk.reshape(2, -1, 3), positions).reshape(2, -1)
+
+    out = sqrt_matvec_batched(mv2, jnp.stack([w1, w2]), iters=iters)
+    return out[0].reshape(-1, 3), out[1].reshape(-1, 3)

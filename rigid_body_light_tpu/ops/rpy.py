@@ -142,18 +142,24 @@ def damping_factors(r, a=1.0):
 def _pair_tile(ri, zi_img_unused, rj, row_ids, col_ids, F, inv_a, wall, dtype):
     """Mobility contribution of all column blobs onto a tile of row blobs.
 
-    ri: (T, 3) row positions;  rj: (N, 3) all positions;  F: (N, 3) forces.
+    ri: (T, 3) row positions;  rj: (N, 3) all positions;
+    F: (N, 3) forces, or (k, N, 3) for a multi-RHS sweep (the pair
+    coefficient fields — the expensive part — are shared across RHS).
     row_ids/col_ids: global indices for self-pair masking.
-    Returns (T, 3) = Σ_j M_ij F_j  (pair terms only; self added by caller).
+    Returns (T, 3) / (k, T, 3) = Σ_j M_ij F_j (pair terms only).
     """
+    multi = F.ndim == 3
+    Fk = F if multi else F[None]
     d = (ri[:, None, :] - rj[None, :, :]) * inv_a  # (T, N, 3)
     r2 = jnp.sum(d * d, axis=-1)
     self_mask = row_ids[:, None] == col_ids[None, :]
     alpha, beta = _free_coeffs(r2, dtype)
     alpha = jnp.where(self_mask, 0.0, alpha)
     beta = jnp.where(self_mask, 0.0, beta)
-    dF = jnp.einsum("tnk,nk->tn", d, F)
-    out = alpha @ F + jnp.einsum("tn,tn,tnk->tk", beta, dF, d)
+    dF = jnp.einsum("tnx,knx->ktn", d, Fk)
+    out = jnp.einsum("tn,knx->ktx", alpha, Fk) + jnp.einsum(
+        "ktn,tn,tnx->ktx", dF, beta, d
+    )
     if wall:
         zj = rj[:, 2] * inv_a
         d_img = d.at[:, :, 2].add(2.0 * zj[None, :])
@@ -165,14 +171,14 @@ def _pair_tile(ri, zi_img_unused, rj, row_ids, col_ids, F, inv_a, wall, dtype):
         f3 = jnp.where(keep, f3, 0.0).astype(dtype)
         f4 = jnp.where(keep, f4, 0.0).astype(dtype)
         f5 = jnp.where(keep, f5, 0.0).astype(dtype)
-        eF = jnp.einsum("tnk,nk->tn", e, F)
-        Fz = F[:, 2]
-        out = out + f1 @ F
-        out = out + jnp.einsum("tn,tn,tnk->tk", f2, eF, e)
-        out = out + jnp.einsum("tn,n,tnk->tk", f3, Fz, e)
-        z_part = jnp.einsum("tn,tn->t", f4, eF) + f5 @ Fz
-        out = out.at[:, 2].add(z_part)
-    return out
+        eF = jnp.einsum("tnx,knx->ktn", e, Fk)
+        Fz = Fk[:, :, 2]
+        out = out + jnp.einsum("tn,knx->ktx", f1, Fk)
+        out = out + jnp.einsum("ktn,tn,tnx->ktx", eF, f2, e)
+        out = out + jnp.einsum("tn,kn,tnx->ktx", f3, Fz, e)
+        z_part = jnp.einsum("tn,ktn->kt", f4, eF) + jnp.einsum("tn,kn->kt", f5, Fz)
+        out = out.at[:, :, 2].add(z_part)
+    return out if multi else out[0]
 
 
 def pair_sum(
@@ -208,12 +214,17 @@ def pair_sum(
         rid = lax.dynamic_slice(ids_pad, (start,), (tile,))
         return _pair_tile(ri, None, r_cols, rid, col_ids.astype(jnp.int32), F_cols, inv_a, wall, dtype)
 
+    multi = F_cols.ndim == 3
     if n_tiles == 1:
         U = tile_fn(jnp.int32(0))
     else:
         starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile
-        U = lax.map(tile_fn, starts).reshape(n_pad, 3)
-    return U[:n_rows]
+        U = lax.map(tile_fn, starts)  # (n_tiles, [k,] tile, 3)
+        if multi:
+            U = jnp.moveaxis(U, 1, 0).reshape(F_cols.shape[0], n_pad, 3)
+        else:
+            U = U.reshape(n_pad, 3)
+    return U[..., :n_rows, :]
 
 
 def mobility_apply(
@@ -258,6 +269,48 @@ def mobility_apply(
     U = U * norm
     if use_damp:
         U = U * b[:, None]
+    return U
+
+
+def mobility_apply_multi(
+    Fs,
+    r,
+    a=1.0,
+    eta=1.0,
+    wall=False,
+    damp=None,
+    row_tile=512,
+):
+    """Multi-RHS U_k = M(r)·F_k (damped iff wall), (k, N, 3)×(N, 3)→(k, N, 3).
+
+    The pair coefficient fields — the dominant cost — are computed once and
+    applied to every RHS; a k-RHS sweep costs ~(1 + 0.2·k)× a single matvec
+    instead of k×.  Used by the fused two-draw Lanczos in the stochastic
+    stepper (``split_rand`` draws two M^{1/2}W per step at one configuration).
+    """
+    r = jnp.asarray(r).reshape(-1, 3)
+    Fs = jnp.asarray(Fs, dtype=r.dtype)
+    k = Fs.shape[0]
+    Fs = Fs.reshape(k, -1, 3)
+    n = r.shape[0]
+    dtype = r.dtype
+    use_damp = wall if damp is None else damp
+
+    Fd = Fs
+    if use_damp:
+        b = damping_factors(r, a)
+        Fd = Fs * b[None, :, None]
+
+    ids = jnp.arange(n, dtype=jnp.int32)
+    U = pair_sum(r, ids, r, ids, Fd, a=a, wall=wall, row_tile=row_tile)
+
+    self_diag = jnp.full((n, 3), _SELF_COEF, dtype=dtype)
+    if wall:
+        self_diag = self_diag + wall_self_diag(r[:, 2], a, dtype)
+    U = U + self_diag[None] * Fd
+    U = U * jnp.asarray(1.0 / (8.0 * jnp.pi * eta * a), dtype)
+    if use_damp:
+        U = U * b[None, :, None]
     return U
 
 

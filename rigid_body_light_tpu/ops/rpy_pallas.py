@@ -65,7 +65,7 @@ def available() -> bool:
 
 
 def _kernel(off_ref, rows_ref, cols_ref, out_ref, *, n_cols_valid: int,
-            n_cols_pad: int, wall: bool):
+            n_cols_pad: int, wall: bool, nrhs: int):
     i = pl.program_id(0)
     row_start = i * TR
     row_offset = off_ref[0]
@@ -80,14 +80,10 @@ def _kernel(off_ref, rows_ref, cols_ref, out_ref, *, n_cols_valid: int,
     n_col_tiles = n_cols_pad // TC
 
     def col_tile(j, acc):
-        ux, uy, uz = acc
         c0 = j * TC
         xC = cols_ref[0, pl.ds(c0, TC)].reshape(1, TC)
         yC = cols_ref[1, pl.ds(c0, TC)].reshape(1, TC)
         zC = cols_ref[2, pl.ds(c0, TC)].reshape(1, TC)
-        fx = cols_ref[3, pl.ds(c0, TC)].reshape(1, TC)
-        fy = cols_ref[4, pl.ds(c0, TC)].reshape(1, TC)
-        fz = cols_ref[5, pl.ds(c0, TC)].reshape(1, TC)
         col_ids = c0 + jax.lax.broadcasted_iota(jnp.int32, (1, TC), 1)
         # pair validity: not self, column is a real blob
         live = jnp.logical_and(row_ids != col_ids, col_ids < n_cols_valid)
@@ -113,14 +109,10 @@ def _kernel(off_ref, rows_ref, cols_ref, out_ref, *, n_cols_valid: int,
         alpha = jnp.where(live, alpha, 0.0)
         beta = jnp.where(live, beta, 0.0)
 
-        dF = dx * fx + dy * fy + dz * fz
-        bdF = beta * dF
-        cx = alpha * fx + bdF * dx
-        cy = alpha * fy + bdF * dy
-        cz = alpha * fz + bdF * dz
-
         if wall:
-            # image displacement: (dx, dy, zR + zC); source height hj = zC
+            # image displacement: (dx, dy, zR + zC); source height hj = zC.
+            # All five coefficient fields are RHS-independent — computed once,
+            # applied to every RHS below.
             dzi = zR + zC
             R2 = jnp.maximum(dx * dx + dy * dy + dzi * dzi, _R2_FLOOR)
             invR = jax.lax.rsqrt(R2)
@@ -150,39 +142,60 @@ def _kernel(off_ref, rows_ref, cols_ref, out_ref, *, n_cols_valid: int,
             f3 = jnp.where(live, f3, 0.0)
             f4 = jnp.where(live, f4, 0.0)
             f5 = jnp.where(live, f5, 0.0)
-            eF = ex * fx + ey * fy + ez * fz
-            f2eF = f2 * eF
-            cx = cx + f1 * fx + f2eF * ex + f3 * fz * ex
-            cy = cy + f1 * fy + f2eF * ey + f3 * fz * ey
-            cz = cz + f1 * fz + f2eF * ez + f3 * fz * ez + f4 * eF + f5 * fz
 
-        ux = ux + jnp.sum(cx, axis=1, keepdims=True)
-        uy = uy + jnp.sum(cy, axis=1, keepdims=True)
-        uz = uz + jnp.sum(cz, axis=1, keepdims=True)
-        return ux, uy, uz
+        new_acc = []
+        for k in range(nrhs):
+            ux, uy, uz = acc[3 * k], acc[3 * k + 1], acc[3 * k + 2]
+            fx = cols_ref[3 + 3 * k, pl.ds(c0, TC)].reshape(1, TC)
+            fy = cols_ref[4 + 3 * k, pl.ds(c0, TC)].reshape(1, TC)
+            fz = cols_ref[5 + 3 * k, pl.ds(c0, TC)].reshape(1, TC)
+
+            dF = dx * fx + dy * fy + dz * fz
+            bdF = beta * dF
+            cx = alpha * fx + bdF * dx
+            cy = alpha * fy + bdF * dy
+            cz = alpha * fz + bdF * dz
+
+            if wall:
+                eF = ex * fx + ey * fy + ez * fz
+                f2eF = f2 * eF
+                cx = cx + f1 * fx + f2eF * ex + f3 * fz * ex
+                cy = cy + f1 * fy + f2eF * ey + f3 * fz * ey
+                cz = cz + f1 * fz + f2eF * ez + f3 * fz * ez + f4 * eF + f5 * fz
+
+            new_acc.extend([
+                ux + jnp.sum(cx, axis=1, keepdims=True),
+                uy + jnp.sum(cy, axis=1, keepdims=True),
+                uz + jnp.sum(cz, axis=1, keepdims=True),
+            ])
+        return tuple(new_acc)
 
     zero = jnp.zeros((TR, 1), jnp.float32)
-    ux, uy, uz = jax.lax.fori_loop(0, n_col_tiles, col_tile, (zero, zero, zero))
+    acc = jax.lax.fori_loop(0, n_col_tiles, col_tile, (zero,) * (3 * nrhs))
 
-    out_ref[0, :] = ux.reshape(1, TR)[0]
-    out_ref[1, :] = uy.reshape(1, TR)[0]
-    out_ref[2, :] = uz.reshape(1, TR)[0]
-    out_ref[3:8, :] = jnp.zeros((5, TR), jnp.float32)
+    for k in range(nrhs):
+        out_ref[3 * k + 0, :] = acc[3 * k + 0].reshape(1, TR)[0]
+        out_ref[3 * k + 1, :] = acc[3 * k + 1].reshape(1, TR)[0]
+        out_ref[3 * k + 2, :] = acc[3 * k + 2].reshape(1, TR)[0]
+    out_ref[3 * nrhs : 8, :] = jnp.zeros((8 - 3 * nrhs, TR), jnp.float32)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_cols_valid", "n_cols_pad", "n_rows_pad", "wall", "interpret"),
+    static_argnames=(
+        "n_cols_valid", "n_cols_pad", "n_rows_pad", "wall", "nrhs", "interpret",
+    ),
 )
 def _pair_sweep_packed(
     P_rows, P_cols, row_offset,
     n_cols_valid: int, n_cols_pad: int, n_rows_pad: int,
-    wall: bool, interpret: bool = False,
+    wall: bool, nrhs: int = 1, interpret: bool = False,
 ):
     n_row_tiles = n_rows_pad // TR
-    flops_per_pair = 90 if wall else 40
+    flops_per_pair = (60 if wall else 25) + nrhs * (30 if wall else 15)
     kernel = functools.partial(
-        _kernel, n_cols_valid=n_cols_valid, n_cols_pad=n_cols_pad, wall=wall
+        _kernel, n_cols_valid=n_cols_valid, n_cols_pad=n_cols_pad, wall=wall,
+        nrhs=nrhs,
     )
     return pl.pallas_call(
         kernel,
@@ -203,28 +216,38 @@ def _pair_sweep_packed(
     )(row_offset, P_rows, P_cols)
 
 
-def _pack(r_over_a, F, n_pad):
+def _pack(r_over_a, Fs, n_pad):
+    """Pack positions + k force sets into (8·ceil((3+3k)/8), n_pad)."""
     n = r_over_a.shape[0]
-    P = jnp.zeros((8, n_pad), jnp.float32)
+    k = Fs.shape[0]
+    rows = 8 * (-(-(3 + 3 * k) // 8))
+    P = jnp.zeros((rows, n_pad), jnp.float32)
     P = P.at[0:3, :n].set(r_over_a.astype(jnp.float32).T)
     # padded column heights default to 1.0 (not 0) so the wall branch cannot
     # produce 0/0 NaNs; padded columns carry zero force so they contribute 0.
     P = P.at[2, n:].set(1.0)
-    P = P.at[3:6, :n].set(F.astype(jnp.float32).T)
+    for i in range(k):
+        P = P.at[3 + 3 * i : 6 + 3 * i, :n].set(Fs[i].astype(jnp.float32).T)
     return P
 
 
 def pair_sum(r_over_a, F, wall: bool, interpret: bool = False):
-    """Σ_{j≠i} M_ij F_j (unscaled, undamped pair terms), (N,3)×(N,3)→(N,3).
+    """Σ_{j≠i} M_ij F_j (unscaled, undamped pair terms).
 
+    F: (N, 3) single RHS, or (k, N, 3) multi-RHS (k ≤ 2 on the compiled
+    path) — pair coefficient fields are shared across RHS.
     r_over_a: positions already normalized by the blob radius.
     """
+    multi = F.ndim == 3
+    Fk = F if multi else F[None]
+    k = Fk.shape[0]
     n = r_over_a.shape[0]
     n_pad = -(-n // TC) * TC
-    P = _pack(r_over_a, F, n_pad)
+    P = _pack(r_over_a, Fk, n_pad)
     off = jnp.zeros((1,), jnp.int32)
-    out = _pair_sweep_packed(P, P, off, n, n_pad, n_pad, wall, interpret)
-    return out[0:3, :n].T
+    out = _pair_sweep_packed(P, P, off, n, n_pad, n_pad, wall, k, interpret)
+    U = jnp.stack([out[3 * i : 3 * i + 3, :n].T for i in range(k)])
+    return U if multi else U[0]
 
 
 def pair_sum_slab(r_rows_over_a, row_offset, r_cols_over_a, F_cols, wall: bool,
@@ -239,11 +262,11 @@ def pair_sum_slab(r_rows_over_a, row_offset, r_cols_over_a, F_cols, wall: bool,
         n_cols_valid = n_cols
     n_rows_pad = -(-n_rows // TR) * TR
     n_cols_pad = -(-n_cols // TC) * TC
-    P_rows = _pack(r_rows_over_a, jnp.zeros_like(r_rows_over_a), n_rows_pad)
-    P_cols = _pack(r_cols_over_a, F_cols, n_cols_pad)
+    P_rows = _pack(r_rows_over_a, jnp.zeros_like(r_rows_over_a)[None], n_rows_pad)
+    P_cols = _pack(r_cols_over_a, F_cols[None], n_cols_pad)
     off = jnp.asarray(row_offset, jnp.int32).reshape(1)
     out = _pair_sweep_packed(
-        P_rows, P_cols, off, n_cols_valid, n_cols_pad, n_rows_pad, wall, interpret
+        P_rows, P_cols, off, n_cols_valid, n_cols_pad, n_rows_pad, wall, 1, interpret
     )
     return out[0:3, :n_rows].T
 
@@ -270,4 +293,32 @@ def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, damp=None, interpret=False)
     U = U * jnp.float32(1.0 / (8.0 * jnp.pi * eta * a))
     if use_damp:
         U = U * b[:, None]
+    return U
+
+
+def mobility_apply_multi(Fs, r, a=1.0, eta=1.0, wall=False, damp=None,
+                         interpret=False):
+    """Multi-RHS variant: (k, N, 3) forces → (k, N, 3) velocities, sharing
+    the pair coefficient fields across RHS (k ≤ 2 on the compiled path)."""
+    r = jnp.asarray(r, jnp.float32).reshape(-1, 3)
+    Fs = jnp.asarray(Fs, jnp.float32)
+    k = Fs.shape[0]
+    Fs = Fs.reshape(k, -1, 3)
+    use_damp = wall if damp is None else damp
+    inv_a = jnp.float32(1.0 / a)
+
+    Fd = Fs
+    if use_damp:
+        b = rpy_xla.damping_factors(r, a)
+        Fd = Fs * b[None, :, None]
+
+    U = pair_sum(r * inv_a, Fd, wall, interpret=interpret)
+
+    self_diag = jnp.full(r.shape, _SELF_COEF, jnp.float32)
+    if wall:
+        self_diag = self_diag + rpy_xla.wall_self_diag(r[:, 2], a, jnp.float32)
+    U = U + self_diag[None] * Fd
+    U = U * jnp.float32(1.0 / (8.0 * jnp.pi * eta * a))
+    if use_damp:
+        U = U * b[None, :, None]
     return U

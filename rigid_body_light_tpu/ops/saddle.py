@@ -113,6 +113,34 @@ def mobility_apply_fn(cfg: SimulationConfig):
     return apply_xla
 
 
+def mobility_apply_multi_fn(cfg: SimulationConfig):
+    """Multi-RHS mobility product (Fs (k,N,3), r (N,3)) → (k,N,3).
+
+    Shares pair coefficient fields across RHS — used to fuse the stochastic
+    stepper's two M^{1/2}W Lanczos recurrences into one sweep per iteration.
+    """
+    if cfg.use_pallas:
+        try:
+            from rigid_body_light_tpu.ops import rpy_pallas
+
+            if rpy_pallas.available():
+                def apply_pallas(Fs, r):
+                    return rpy_pallas.mobility_apply_multi(
+                        Fs, r, a=cfg.a, eta=cfg.eta, wall=cfg.wall
+                    )
+
+                return apply_pallas
+        except ImportError:
+            pass
+
+    def apply_xla(Fs, r):
+        return rpy.mobility_apply_multi(
+            Fs, r, a=cfg.a, eta=cfg.eta, wall=cfg.wall, row_tile=cfg.matvec_row_tile
+        )
+
+    return apply_xla
+
+
 def apply_saddle(lam, U, ops: GeometryOps, cfg: SimulationConfig, mob_apply=None):
     """One saddle matvec: (λ (N,3), U (B,6)) → (Mλ − KU (N,3), Kᵀλ (B,6)).
 

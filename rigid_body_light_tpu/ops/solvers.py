@@ -82,3 +82,47 @@ def solve_saddle(
     lam = result.x[:nb].reshape(-1, 3)
     U = result.x[nb:].reshape(-1, 6)
     return SolveResult(lam=lam, U=U, residual=result.residual)
+
+
+def solve_resistance(
+    ops: saddle_mod.GeometryOps,
+    cfg: SimulationConfig,
+    U,
+    slip=None,
+    mob_apply: Callable = None,
+):
+    """Resistance problem: given body velocities U (B, 6), find the applied
+    force/torque F = Kᵀλ with M·λ = K·U + slip.
+
+    The reference exposes only the operators for this; here it is a full
+    on-device solve: the blob-space system M·λ = rhs is SPD → unpreconditioned
+    GMRES on M alone (M is well-conditioned after damping).  Returns
+    (F (B, 6), λ (N, 3), residual).
+    """
+    if mob_apply is None:
+        mob_apply = saddle_mod.mobility_apply_fn(cfg)
+    from rigid_body_light_tpu.ops import kinematics as kin
+
+    dtype = ops.positions.dtype
+    B, n, _ = ops.offsets.shape
+    U = jnp.asarray(U, dtype).reshape(-1, 6)
+    rhs = kin.K_dot(U, ops.offsets).reshape(-1, 3)
+    if slip is not None:
+        rhs = rhs + jnp.asarray(slip, dtype).reshape(-1, 3)
+
+    pos = ops.flat_positions
+
+    def matvec(x):
+        return mob_apply(x.reshape(-1, 3), pos).reshape(-1)
+
+    max_restarts = max(1, -(-cfg.gmres_maxiter // cfg.gmres_restart))
+    result = gmres_mod.gmres(
+        matvec,
+        rhs.reshape(-1),
+        tol=cfg.gmres_tol,
+        restart=cfg.gmres_restart,
+        max_restarts=max_restarts,
+    )
+    lam = result.x.reshape(B, n, 3)
+    F = kin.KT_dot(lam, ops.offsets)
+    return F, lam.reshape(-1, 3), result.residual

@@ -1,0 +1,188 @@
+"""Production run driver: ``python -m rigid_body_light_tpu.run config.json``.
+
+The reference has no driver at all (SURVEY.md: the Krylov/stepping loop was
+expected to live in an external script).  This CLI turns a JSON config into
+a full simulation: structure loading, body placement, force fields,
+chunked on-device `lax.scan` stepping, native trajectory logging, periodic
+checkpoints, resumable, with per-chunk metrics.
+
+Config schema (JSON):
+{
+  "structure": "shell_N_42",          // shipped name or path
+  "n_bodies": 16,
+  "placement": {"type": "grid", "spacing": 2.5, "z0": 2.0}   // or "random"
+      // or {"type": "file", "path": "init.npz"}  (arrays X (B,3), Q (B,4))
+  "a": null,                          // blob radius; null → sep/2
+  "eta": 1.0, "dt": 0.01, "kBT": 1.0, "wall": true,
+  "dtype": "float32",
+  "n_steps": 1000, "save_every": 10, "checkpoint_every": 200,
+  "forces": [
+     {"type": "gravity", "value": [0,0,-1,0,0,0]},
+     {"type": "wall_repulsion", "strength": 2.0, "debye_length": 0.5}
+  ],
+  "seed": 0,
+  "output_dir": "out",
+  "solver": {"gmres_tol": 1e-4, "gmres_restart": 40, "gmres_maxiter": 80,
+             "lanczos_iters": 30}
+}
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_forces(specs):
+    from rigid_body_light_tpu import forces
+
+    fns = []
+    for s in specs or []:
+        t = s["type"]
+        if t == "gravity":
+            fns.append(forces.gravity(np.asarray(s["value"], np.float64)))
+        elif t == "wall_repulsion":
+            fns.append(forces.wall_repulsion(
+                s["strength"], s["debye_length"], s.get("radius", 1.0)))
+        elif t == "harmonic_trap":
+            fns.append(forces.harmonic_trap(s["k"], np.asarray(s["center"])))
+        elif t == "pair_yukawa":
+            fns.append(forces.pair_yukawa(
+                s["strength"], s["debye_length"], s["diameter"]))
+        else:
+            raise ValueError(f"unknown force type {t!r}")
+    if not fns:
+        return None
+    return forces.sum_forces(*fns)
+
+
+def place_bodies(spec, n_bodies, rng, wall):
+    t = (spec or {"type": "grid"}).get("type", "grid")
+    if t == "grid":
+        spacing = spec.get("spacing", 2.5)
+        z0 = spec.get("z0", 2.0)
+        side = int(np.ceil(np.sqrt(n_bodies)))
+        X = np.array([[spacing * (i % side), spacing * (i // side),
+                       z0 + 0.2 * (i % 3)] for i in range(n_bodies)])
+        Q = np.tile([1.0, 0, 0, 0], (n_bodies, 1))
+    elif t == "random":
+        lo = 1.0 if wall else -10.0
+        X = np.zeros((n_bodies, 3))
+        placed = 0
+        while placed < n_bodies:
+            cand = rng.uniform([lo] * 3, [10.0] * 3)
+            if placed == 0 or np.linalg.norm(X[:placed] - cand, axis=1).min() > 2.0:
+                X[placed] = cand
+                placed += 1
+        Q = rng.standard_normal((n_bodies, 4))
+        Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    elif t == "file":
+        with np.load(spec["path"]) as z:
+            X, Q = z["X"], z["Q"]
+    else:
+        raise ValueError(f"unknown placement type {t!r}")
+    return X, Q
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="rigid_body_light_tpu run driver")
+    parser.add_argument("config", help="JSON config path")
+    parser.add_argument("--resume", default=None, help="checkpoint to resume from")
+    args = parser.parse_args(argv)
+
+    with open(args.config) as f:
+        conf = json.load(f)
+
+    import jax
+    import jax.numpy as jnp
+
+    from rigid_body_light_tpu import SimulationConfig, load_structure
+    from rigid_body_light_tpu.dynamics import run_bd
+    from rigid_body_light_tpu.ops import kinematics as kin
+    from rigid_body_light_tpu.runtime import TrajectoryWriter
+    from rigid_body_light_tpu.state import make_state
+    from rigid_body_light_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    params, blobs = load_structure(conf["structure"])
+    a = conf.get("a") or params["sep"] / 2
+    dtype = jnp.float64 if conf.get("dtype") == "float64" else jnp.float32
+    solver = conf.get("solver", {})
+    cfg = SimulationConfig(
+        a=a, eta=conf.get("eta", 1.0), dt=conf["dt"], kBT=conf.get("kBT", 0.0),
+        wall=bool(conf.get("wall", False)), dtype=dtype,
+        gmres_tol=solver.get("gmres_tol", 1e-4),
+        gmres_restart=solver.get("gmres_restart", 40),
+        gmres_maxiter=solver.get("gmres_maxiter", 80),
+        lanczos_iters=solver.get("lanczos_iters", 30),
+    )
+    geom = kin.make_ref_geometry(blobs, dtype=dtype)
+    rng = np.random.default_rng(conf.get("seed", 0))
+
+    out_dir = conf.get("output_dir", "out")
+    os.makedirs(out_dir, exist_ok=True)
+
+    start_step = 0
+    if args.resume:
+        state, key, start_step, _ = load_checkpoint(args.resume, dtype=dtype)
+        print(f"resumed from {args.resume} at step {start_step}")
+    else:
+        X, Q = place_bodies(conf.get("placement"), conf["n_bodies"], rng, cfg.wall)
+        state = make_state(X, Q, dtype=dtype)
+        key = jax.random.key(conf.get("seed", 0))
+
+    force_fn = build_forces(conf.get("forces"))
+    n_steps = conf["n_steps"]
+    save_every = conf.get("save_every", 10)
+    ckpt_every = conf.get("checkpoint_every", max(1, n_steps // 5))
+    chunk = min(ckpt_every, n_steps)
+
+    B = state.X.shape[0]
+    traj_path = os.path.join(out_dir, "trajectory.rblt")
+    writer = TrajectoryWriter(
+        traj_path, B,
+        dtype=np.dtype(np.float64 if dtype == jnp.float64 else np.float32),
+        append=bool(args.resume),
+    )
+
+    run_chunk = jax.jit(functools.partial(
+        run_bd, geom, cfg, n_steps=chunk, force_fn=force_fn,
+        save_every=save_every,
+    ))
+
+    step = start_step
+    t_start = time.perf_counter()
+    while step < start_step + n_steps:
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        state, traj = run_chunk(state, sub)
+        Xs = np.asarray(traj["X"])  # host sync
+        Qs = np.asarray(traj["Q"])
+        dt_chunk = time.perf_counter() - t0
+        for i in range(Xs.shape[0]):
+            frame_step = step + (i + 1) * save_every
+            writer.append(frame_step, frame_step * cfg.dt, Xs[i], Qs[i])
+        step += chunk
+        save_checkpoint(os.path.join(out_dir, "checkpoint.npz"), state, key,
+                        step=step, metadata={"config": conf})
+        print(json.dumps({
+            "step": step,
+            "steps_per_sec": round(chunk / dt_chunk, 4),
+            "max_residual": float(np.asarray(traj["residual"]).max()),
+        }), flush=True)
+
+    writer.flush()
+    writer.close()
+    total = time.perf_counter() - t_start
+    print(json.dumps({
+        "done": True, "total_steps": n_steps, "wall_time_s": round(total, 2),
+        "trajectory": traj_path, "frames": writer.frames,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -37,23 +37,25 @@ struct Frame {
 class TrajWriter {
  public:
   TrajWriter(const char* path, uint32_t n_bodies, uint32_t dtype,
-             uint32_t queue_capacity)
+             uint32_t queue_capacity, uint32_t append)
       : n_bodies_(n_bodies),
         dtype_(dtype),
         capacity_(queue_capacity ? queue_capacity : 64),
         stop_(false),
         error_(false) {
-    file_ = std::fopen(path, "wb");
+    file_ = std::fopen(path, append ? "ab" : "wb");
     if (!file_) {
       error_ = true;
       return;
     }
-    uint32_t header[8] = {kMagic, kVersion, n_bodies, dtype, 0, 0, 0, 0};
-    if (std::fwrite(header, sizeof(header), 1, file_) != 1) {
-      error_ = true;
-      std::fclose(file_);
-      file_ = nullptr;
-      return;
+    if (!append) {
+      uint32_t header[8] = {kMagic, kVersion, n_bodies, dtype, 0, 0, 0, 0};
+      if (std::fwrite(header, sizeof(header), 1, file_) != 1) {
+        error_ = true;
+        std::fclose(file_);
+        file_ = nullptr;
+        return;
+      }
     }
     worker_ = std::thread([this] { this->Run(); });
   }
@@ -153,8 +155,8 @@ class TrajWriter {
 extern "C" {
 
 void* rblt_tw_open(const char* path, uint32_t n_bodies, uint32_t dtype,
-                   uint32_t queue_capacity) {
-  auto* w = new TrajWriter(path, n_bodies, dtype, queue_capacity);
+                   uint32_t queue_capacity, uint32_t append) {
+  auto* w = new TrajWriter(path, n_bodies, dtype, queue_capacity, append);
   if (!w->ok()) {
     delete w;
     return nullptr;

@@ -51,7 +51,8 @@ def _load_native() -> Optional[ctypes.CDLL]:
             return None
         lib.rblt_tw_open.restype = ctypes.c_void_p
         lib.rblt_tw_open.argtypes = [ctypes.c_char_p, ctypes.c_uint32,
-                                     ctypes.c_uint32, ctypes.c_uint32]
+                                     ctypes.c_uint32, ctypes.c_uint32,
+                                     ctypes.c_uint32]
         lib.rblt_tw_append.restype = ctypes.c_int
         lib.rblt_tw_append.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
                                        ctypes.c_double, ctypes.c_void_p,
@@ -72,7 +73,8 @@ class TrajectoryWriter:
     """Append (step, time, X, Q) frames to a binary trajectory file."""
 
     def __init__(self, path: str, n_bodies: int, dtype=np.float32,
-                 queue_capacity: int = 64, force_python: bool = False):
+                 queue_capacity: int = 64, force_python: bool = False,
+                 append: bool = False):
         self.path = path
         self.n_bodies = int(n_bodies)
         self.dtype = np.dtype(dtype)
@@ -81,19 +83,31 @@ class TrajectoryWriter:
         self._code = _DTYPE_CODES[self.dtype]
         self._handle = None
         self._file = None
+        append = append and os.path.exists(path)
+        if append:
+            # validate the existing header matches before appending
+            with open(path, "rb") as f:
+                magic, _, nb, code = struct.unpack("<4I", f.read(16))
+            if magic != _MAGIC or nb != self.n_bodies or code != self._code:
+                raise RuntimeError(
+                    f"cannot append to {path}: header mismatch "
+                    f"(bodies {nb} vs {self.n_bodies}, dtype code {code} vs {self._code})"
+                )
         lib = None if force_python else _load_native()
         if lib is not None:
             self._lib = lib
             self._handle = lib.rblt_tw_open(
-                path.encode(), self.n_bodies, self._code, queue_capacity
+                path.encode(), self.n_bodies, self._code, queue_capacity,
+                1 if append else 0,
             )
             if not self._handle:
                 raise OSError(f"native trajectory writer failed to open {path}")
         else:
-            self._file = open(path, "wb")
-            self._file.write(struct.pack(
-                "<8I", _MAGIC, _VERSION, self.n_bodies, self._code, 0, 0, 0, 0
-            ))
+            self._file = open(path, "ab" if append else "wb")
+            if not append:
+                self._file.write(struct.pack(
+                    "<8I", _MAGIC, _VERSION, self.n_bodies, self._code, 0, 0, 0, 0
+                ))
         self._frames = 0
 
     def append(self, step: int, sim_time: float, X, Q) -> None:

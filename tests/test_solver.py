@@ -87,3 +87,22 @@ def test_solve_mobility_api():
     assert U.shape == (2, 6)
     # downward force → downward velocity
     assert np.all(U[:, 2] < 0)
+
+
+def test_resistance_problem():
+    """F = 6πηRh·U for a unit sphere, and mobility ∘ resistance = identity."""
+    import numpy as np
+    from rigid_body_light_tpu import load_structure
+
+    params, cfgb = load_structure("shell_N_42")
+    cfg = SimulationConfig(a=params["sep"] / 2, dtype=jnp.float64,
+                           gmres_tol=1e-10, gmres_maxiter=400)
+    geom = kin.make_ref_geometry(cfgb, dtype=jnp.float64)
+    state = make_state([[0.0, 0.0, 0.0]], [[1.0, 0, 0, 0]], dtype=jnp.float64)
+    ops = saddle_mod.geometry_ops(geom, state)
+    U = jnp.zeros((1, 6)).at[0, 2].set(1.0)
+    F, lam, res = solvers.solve_resistance(ops, cfg, U)
+    assert abs(float(F[0, 2]) - 6 * np.pi) / (6 * np.pi) < 1e-3
+    assert float(res) < 1e-8
+    round_trip = solvers.solve_saddle(ops, cfg, jnp.zeros((42, 3)), F)
+    assert np.allclose(np.asarray(round_trip.U), np.asarray(U), atol=1e-8)
