@@ -56,6 +56,7 @@ class SimulationConfig:
     wall: bool = False
     block_diag_pc: bool = False
     split_rand: bool = True
+    drift_mode: str = "midpoint_slip"  # or "em_exact" — see dynamics/stepper.py
     rfd_delta: float = 1.0e-4
     dtype: Any = jnp.float32
     m_scale: float = 1.0

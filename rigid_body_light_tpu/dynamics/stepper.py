@@ -128,24 +128,42 @@ def stochastic_step(
             c1 = jnp.sqrt(jnp.asarray(2.0 * kBT / cfg.dt, dtype))
             c2 = c1
             bi = c2 * mhw1
-        drift = jnp.asarray(kBT, dtype) * rfd.m_rfd(geom, state, ops, cfg, k3, mob_apply)
-        slip_eff = slip - (drift + bi)
+        if cfg.drift_mode == "em_exact":
+            # plain EM: solve at q^n, add the exact body-space RFD divergence
+            # drift kBT·∂·N afterwards — no midpoint kick (the kick itself
+            # generates drift terms and would double count).
+            slip_eff = slip - bi
+            ops_solve = ops
+            drift_U = jnp.asarray(kBT, dtype) * rfd.n_rfd_exact(
+                geom, state, cfg, k3, mob_apply
+            )
+        else:
+            # midpoint slip scheme (reference intent, c_rigid_obj.cpp:917-976)
+            drift = jnp.asarray(kBT, dtype) * rfd.m_rfd(
+                geom, state, ops, cfg, k3, mob_apply
+            )
+            slip_eff = slip - (drift + bi)
+            drift_U = None
 
-        # predictor half-kick of the configuration
-        u_half = kin.Kinv_dot((c1 * mhw1).reshape(B, n, 3), ops.offsets, ops.ktkinv)
-        dU_half = (cfg.dt / 2.0) * u_half
-        X_half, Q_half = kin.update_X_Q(state.X, state.Q, dU_half)
-        ops_solve = saddle_mod.geometry_ops(geom, BodyState(X=X_half, Q=Q_half))
+            # predictor half-kick of the configuration
+            u_half = kin.Kinv_dot(
+                (c1 * mhw1).reshape(B, n, 3), ops.offsets, ops.ktkinv
+            )
+            dU_half = (cfg.dt / 2.0) * u_half
+            X_half, Q_half = kin.update_X_Q(state.X, state.Q, dU_half)
+            ops_solve = saddle_mod.geometry_ops(geom, BodyState(X=X_half, Q=Q_half))
     else:
         slip_eff = slip
         ops_solve = ops
+        drift_U = None
 
     res = solvers.solve_saddle(
         ops_solve, cfg, slip_eff, force, mob_apply=mob_apply, x0=x0
     )
-    dU = res.U * jnp.asarray(cfg.dt, dtype)
+    U_total = res.U if drift_U is None else res.U + drift_U
+    dU = U_total * jnp.asarray(cfg.dt, dtype)
     X, Q = kin.update_X_Q(state.X, state.Q, dU)
-    return BodyState(X=X, Q=Q), StepAux(U=res.U, lam=res.lam, residual=res.residual)
+    return BodyState(X=X, Q=Q), StepAux(U=U_total, lam=res.lam, residual=res.residual)
 
 
 def run_bd(
@@ -155,12 +173,16 @@ def run_bd(
     key,
     n_steps: int,
     force_fn: Callable = None,
+    slip_fn: Callable = None,
     mob_apply: Callable = None,
     save_every: int = 1,
 ):
     """Run a whole BD trajectory as one ``lax.scan`` — zero host round-trips.
 
     force_fn: (BodyState, step) → (B, 6) applied force/torque (default 0).
+    slip_fn: (BodyState, step) → (N, 3) active slip on blobs (default 0) —
+      for squirmers/active suspensions (the reference's saddle RHS carries a
+      Slip argument, ``c_rigid_obj.cpp:917``, but no way to drive it).
     Returns (final_state, trajectory) where trajectory is a pytree of stacked
     (X, Q) snapshots every ``save_every`` steps.
     """
@@ -174,8 +196,9 @@ def run_bd(
         s, k, x_prev = carry
         k, sub = jax.random.split(k)
         force = force_fn(s, i)
+        slip = slip_fn(s, i) if slip_fn is not None else None
         s_new, aux = stochastic_step(
-            geom, cfg, s, sub, force, mob_apply=mob_apply, x0=x_prev
+            geom, cfg, s, sub, force, slip=slip, mob_apply=mob_apply, x0=x_prev
         )
         out = (s_new.X, s_new.Q, aux.residual)
         return (s_new, k, (aux.lam, aux.U)), out

@@ -56,6 +56,44 @@ def m_rfd(
     return (mp - mm) / delta
 
 
+def n_rfd_exact(
+    geom: kin.RefGeometry,
+    state: BodyState,
+    cfg: SimulationConfig,
+    key,
+    mob_apply: Callable = None,
+):
+    """Direct body-space divergence drift kBT·∂·N via centered RFD on the
+    *solved* body mobility N(q) = (KᵀM⁻¹K)⁻¹:
+
+        ∂·N ≈ (1/δ)[N(q + δW/2)·W − N(q − δW/2)·W],   W ~ N(0, I) on (B, 6).
+
+    Costs two extra saddle solves per step but needs no scheme-level
+    cancellation arguments — the textbook-correct Itô drift for the plain
+    Euler–Maruyama stepper (``drift_mode='em_exact'``).  Returns (B, 6)
+    (multiply by kBT at the call site).
+    """
+    from rigid_body_light_tpu.ops import solvers
+
+    if mob_apply is None:
+        mob_apply = saddle_mod.mobility_apply_fn(cfg)
+    B = state.X.shape[0]
+    n = geom.ref_cfg.shape[0]
+    dtype = state.X.dtype
+    w = jax.random.normal(key, (B, 6), dtype=dtype)
+    delta = jnp.asarray(cfg.rfd_delta, dtype)
+    dU = (delta / 2.0) * w
+    zero_slip = jnp.zeros((B * n, 3), dtype)
+
+    def n_dot_w(dU_signed):
+        X, Q = kin.update_X_Q(state.X, state.Q, dU_signed)
+        ops = saddle_mod.geometry_ops(geom, BodyState(X=X, Q=Q))
+        res = solvers.solve_saddle(ops, cfg, zero_slip, w, mob_apply=mob_apply)
+        return res.U
+
+    return (n_dot_w(dU) - n_dot_w(-dU)) / delta
+
+
 def kt_inv_rfd(
     geom: kin.RefGeometry,
     state: BodyState,
