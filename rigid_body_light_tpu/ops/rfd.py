@@ -56,6 +56,55 @@ def m_rfd(
     return (mp - mm) / delta
 
 
+def m_rfd_from_u(
+    geom: kin.RefGeometry,
+    state: BodyState,
+    cfg: SimulationConfig,
+    u,
+    w,
+    mob_apply: Callable = None,
+    delta: float = 1.0e-3,
+):
+    """(1/δ)[M(q+δu/2) − M(q−δu/2)]·w for caller-supplied direction u (B, 6)
+    and blob vector w (N, 3).  Parity: reference ``M_RFD_from_U``
+    (``c_rigid_obj.cpp:818-840``, unexposed)."""
+    if mob_apply is None:
+        mob_apply = saddle_mod.mobility_apply_fn(cfg)
+    dtype = state.X.dtype
+    d = jnp.asarray(delta, dtype)
+    dU = (d / 2.0) * jnp.asarray(u, dtype)
+    r_p = _displaced_positions(geom, state, dU).reshape(-1, 3)
+    r_m = _displaced_positions(geom, state, -dU).reshape(-1, 3)
+    w = jnp.asarray(w, dtype).reshape(-1, 3)
+    return (mob_apply(w, r_p) - mob_apply(w, r_m)) / d
+
+
+def kt_rfd_from_u(
+    geom: kin.RefGeometry,
+    state: BodyState,
+    cfg: SimulationConfig,
+    u,
+    w,
+    delta: float = 1.0e-3,
+):
+    """(1/δ)[Kᵀ(q+δu/2) − Kᵀ(q−δu/2)]·w, directions supplied by the caller.
+
+    Parity: reference ``KT_RFD_from_U`` (``c_rigid_obj.cpp:842-863``,
+    unexposed).  Returns (B, 6).
+    """
+    dtype = state.X.dtype
+    d = jnp.asarray(delta, dtype)
+    dU = (d / 2.0) * jnp.asarray(u, dtype)
+    w = jnp.asarray(w, dtype)
+
+    def kt_at(dU_signed):
+        X, Q = kin.update_X_Q(state.X, state.Q, dU_signed)
+        offsets = kin.blob_offsets(geom, Q)
+        return kin.KT_dot(w.reshape(offsets.shape), offsets)
+
+    return (kt_at(dU) - kt_at(-dU)) / d
+
+
 def n_rfd_exact(
     geom: kin.RefGeometry,
     state: BodyState,

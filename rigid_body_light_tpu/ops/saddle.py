@@ -91,7 +91,7 @@ def mobility_apply_fn(cfg: SimulationConfig):
     XLA streamed matvec.  Signature: (F (N,3), r (N,3)) → (N,3), with the
     damping sandwich applied iff ``cfg.wall``.
     """
-    if cfg.use_pallas:
+    if cfg.use_pallas and cfg.dtype == jnp.float32:
         try:
             from rigid_body_light_tpu.ops import rpy_pallas
 
@@ -119,7 +119,7 @@ def mobility_apply_multi_fn(cfg: SimulationConfig):
     Shares pair coefficient fields across RHS — used to fuse the stochastic
     stepper's two M^{1/2}W Lanczos recurrences into one sweep per iteration.
     """
-    if cfg.use_pallas:
+    if cfg.use_pallas and cfg.dtype == jnp.float32:
         try:
             from rigid_body_light_tpu.ops import rpy_pallas
 

@@ -1,0 +1,77 @@
+"""Multi-species mixtures: consistency with the single-species stack when
+all species are identical, cross-species hydrodynamic coupling, stepping."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import utils
+from rigid_body_light_tpu import SimulationConfig, load_structure, multi
+from rigid_body_light_tpu.ops import kinematics as kin
+from rigid_body_light_tpu.ops import saddle as sad
+from rigid_body_light_tpu.ops import solvers
+from rigid_body_light_tpu.state import make_state
+
+
+def _mixture(dtype=jnp.float64):
+    _, cfg12 = load_structure("shell_N_12")
+    _, cfg42 = load_structure("shell_N_42")
+    mgeom = multi.MultiGeometry.create([cfg12, cfg42], dtype=dtype)
+    s12 = make_state([[0.0, 0, 0], [6.0, 0, 0]], [[1.0, 0, 0, 0]] * 2, dtype=dtype)
+    s42 = make_state([[0.0, 6.0, 0]], [[1.0, 0, 0, 0]], dtype=dtype)
+    return mgeom, (s12, s42)
+
+
+def test_single_species_mixture_matches_plain_stack():
+    """A 1-species mixture must reproduce solve_saddle exactly."""
+    _, cfgb = load_structure("shell_N_12")
+    cfg = SimulationConfig(dtype=jnp.float64, gmres_tol=1e-10, gmres_maxiter=200)
+    X, Q = utils.create_random_positions(3, seed=0)
+    mgeom = multi.MultiGeometry.create([cfgb], dtype=jnp.float64)
+    state = make_state(X, Q, dtype=jnp.float64)
+    rng = np.random.default_rng(1)
+    F = jnp.asarray(rng.standard_normal((3, 6)))
+    res_multi = multi.solve_saddle_multi(mgeom, cfg, (state,), None, (F,))
+    geom = kin.make_ref_geometry(cfgb, dtype=jnp.float64)
+    ops = sad.geometry_ops(geom, state)
+    res_single = solvers.solve_saddle(ops, cfg, jnp.zeros((36, 3)), F)
+    assert np.allclose(np.asarray(res_multi.Us[0]), np.asarray(res_single.U), atol=1e-9)
+    assert np.allclose(np.asarray(res_multi.lam), np.asarray(res_single.lam), atol=1e-8)
+
+
+def test_mixture_solve_and_coupling():
+    """Mixed 12-blob + 42-blob suspension: solve converges, and the large
+    sphere's sedimentation speed is perturbed by the small ones (HI)."""
+    mgeom, states = _mixture()
+    cfg = SimulationConfig(dtype=jnp.float64, gmres_tol=1e-9, gmres_maxiter=300,
+                           a=0.24)
+    F12 = jnp.zeros((2, 6), jnp.float64)
+    F42 = jnp.zeros((1, 6), jnp.float64).at[0, 2].set(-1.0)
+    res = multi.solve_saddle_multi(mgeom, cfg, states, None, (F12, F42))
+    assert float(res.residual) < 1e-7
+    u_mixture = float(res.Us[1][0, 2])
+    # isolated 42-sphere for comparison
+    _, cfg42 = load_structure("shell_N_42")
+    geom42 = kin.make_ref_geometry(cfg42, dtype=jnp.float64)
+    ops42 = sad.geometry_ops(geom42, states[1])
+    res_iso = solvers.solve_saddle(ops42, cfg, jnp.zeros((42, 3)), F42)
+    u_iso = float(res_iso.U[0, 2])
+    assert u_mixture != pytest.approx(u_iso, rel=1e-6)  # neighbors matter
+    # passive small spheres get entrained downward
+    assert np.all(np.asarray(res.Us[0])[:, 2] < 0)
+
+
+def test_mixture_stochastic_step():
+    mgeom, states = _mixture()
+    cfg = SimulationConfig(dtype=jnp.float64, a=0.24, dt=0.01, kBT=0.5,
+                           lanczos_iters=10, gmres_tol=1e-6, gmres_maxiter=120)
+    F = (jnp.zeros((2, 6), jnp.float64), jnp.zeros((1, 6), jnp.float64))
+    step = jax.jit(lambda st, k: multi.stochastic_step_multi(mgeom, cfg, st, k, F))
+    new_states, res = step(states, jax.random.key(0))
+    for s_new, s_old in zip(new_states, states):
+        assert np.isfinite(np.asarray(s_new.X)).all()
+        assert not np.allclose(np.asarray(s_new.X), np.asarray(s_old.X))
+        qn = np.linalg.norm(np.asarray(s_new.Q), axis=-1)
+        assert np.abs(qn - 1).max() < 1e-12
+    assert float(res.residual) < 1e-4
