@@ -57,6 +57,7 @@ class SimulationConfig:
     block_diag_pc: bool = False
     split_rand: bool = True
     drift_mode: str = "midpoint_slip"  # or "em_exact" — see dynamics/stepper.py
+    reject_below_wall: bool = True  # reject per-body moves that sink blobs below z=0 (wall runs only)
     rfd_delta: float = 1.0e-4
     dtype: Any = jnp.float32
     m_scale: float = 1.0

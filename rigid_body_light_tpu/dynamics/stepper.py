@@ -39,6 +39,21 @@ class StepAux(NamedTuple):
     residual: jax.Array   # GMRES relative residual
 
 
+def _commit(geom, cfg, state, dU):
+    """Advance configs by dU, optionally rejecting per-body moves that sink
+    any blob below the wall (the Swan–Brady mobility is undefined there; a
+    body that tunnels through runs away on garbage mobilities.  Rejection of
+    invalid moves is the standard multiblob practice — Balboa Usabiaga,
+    Delmotte & Donev 2017)."""
+    X_new, Q_new = kin.update_X_Q(state.X, state.Q, dU)
+    if cfg.wall and cfg.reject_below_wall:
+        pos_new = kin.blob_positions(geom, X_new, Q_new)
+        valid = jnp.all(pos_new[:, :, 2] > 0.0, axis=1)  # (B,)
+        X_new = jnp.where(valid[:, None], X_new, state.X)
+        Q_new = jnp.where(valid[:, None], Q_new, state.Q)
+    return BodyState(X=X_new, Q=Q_new)
+
+
 def deterministic_step(
     geom: kin.RefGeometry,
     cfg: SimulationConfig,
@@ -61,8 +76,8 @@ def deterministic_step(
         slip = jnp.zeros((B * n, 3), dtype)
     res = solvers.solve_saddle(ops, cfg, slip, force, mob_apply=mob_apply)
     dU = res.U * jnp.asarray(cfg.dt, dtype)
-    X, Q = kin.update_X_Q(state.X, state.Q, dU)
-    return BodyState(X=X, Q=Q), StepAux(U=res.U, lam=res.lam, residual=res.residual)
+    new_state = _commit(geom, cfg, state, dU)
+    return new_state, StepAux(U=res.U, lam=res.lam, residual=res.residual)
 
 
 def stochastic_step(
@@ -150,8 +165,10 @@ def stochastic_step(
                 (c1 * mhw1).reshape(B, n, 3), ops.offsets, ops.ktkinv
             )
             dU_half = (cfg.dt / 2.0) * u_half
-            X_half, Q_half = kin.update_X_Q(state.X, state.Q, dU_half)
-            ops_solve = saddle_mod.geometry_ops(geom, BodyState(X=X_half, Q=Q_half))
+            # the half-kick gets the same below-wall rejection as commits —
+            # otherwise the corrector solve itself runs on an invalid config
+            half_state = _commit(geom, cfg, state, dU_half)
+            ops_solve = saddle_mod.geometry_ops(geom, half_state)
     else:
         slip_eff = slip
         ops_solve = ops
@@ -162,8 +179,8 @@ def stochastic_step(
     )
     U_total = res.U if drift_U is None else res.U + drift_U
     dU = U_total * jnp.asarray(cfg.dt, dtype)
-    X, Q = kin.update_X_Q(state.X, state.Q, dU)
-    return BodyState(X=X, Q=Q), StepAux(U=U_total, lam=res.lam, residual=res.residual)
+    new_state = _commit(geom, cfg, state, dU)
+    return new_state, StepAux(U=U_total, lam=res.lam, residual=res.residual)
 
 
 def run_bd(

@@ -162,12 +162,23 @@ class PCData(NamedTuple):
 
     inv_m_diag: (N, 3, 3) per-blob inverse self mobilities (diag PC) or None.
     inv_m_block: (B, 3n, 3n) per-body inverse mobility blocks (block PC) or None.
-    n_chol: (B, 6, 6) lower Cholesky factors of Ñ⁻¹ = Kᵀ M̃⁻¹ K.
+    n_mat: (B, 6, 6) Ñ⁻¹ = Kᵀ M̃⁻¹ K blocks (solved per application by LU —
+      robust to the indefiniteness the Swan–Brady correction develops for
+      blobs deep below z ≈ 0.56a, where a Cholesky would NaN and poison the
+      whole trajectory; the reference has the identical indefiniteness but
+      Eigen's LLT fails silently instead, ``c_rigid_obj.cpp:554-567``).
     """
 
     inv_m_diag: Optional[jax.Array]
     inv_m_block: Optional[jax.Array]
-    n_chol: jax.Array
+    n_mat: jax.Array
+
+
+# Floor (relative to the free-space 4/3 self mobility) applied to the PC's
+# per-blob self blocks so the approximate M̃⁻¹ stays positive even when a
+# blob sinks below the Swan–Brady validity region.  Affects ONLY the
+# preconditioner (convergence), never the operator (physics).
+_PC_SELF_FLOOR = 0.05
 
 
 def build_pc(ops: GeometryOps, cfg: SimulationConfig) -> PCData:
@@ -183,19 +194,27 @@ def build_pc(ops: GeometryOps, cfg: SimulationConfig) -> PCData:
         inv_m_block = jax.vmap(body_inv)(ops.positions)  # (B, 3n, 3n)
         Kb_flat = Kb.reshape(B, 3 * n, 6)
         ninv = jnp.einsum("bia,bij,bjc->bac", Kb_flat, inv_m_block, Kb_flat)
-        pc = PCData(inv_m_diag=None, inv_m_block=inv_m_block, n_chol=jnp.linalg.cholesky(ninv))
+        pc = PCData(inv_m_diag=None, inv_m_block=inv_m_block, n_mat=ninv)
     else:
         # per-blob 3×3 self mobility (incl. wall self term), inverted —
-        # reference diag_invM (c_rigid_obj.cpp:489-543)
+        # reference diag_invM (c_rigid_obj.cpp:489-543).  Self blocks are
+        # diagonal; floor them at a small positive value so the PC stays SPD
+        # for blobs below the wall-correction validity region.
         self_blocks = rpy.self_mobility_blocks(
             ops.flat_positions, cfg.a, cfg.eta, cfg.wall
-        )  # (N, 3, 3)
-        inv_m_diag = jnp.linalg.inv(self_blocks).reshape(B, n, 3, 3)
+        )  # (N, 3, 3) — diagonal
+        dtype = self_blocks.dtype
+        floor = jnp.asarray(
+            _PC_SELF_FLOOR * (4.0 / 3.0) / (8.0 * jnp.pi * cfg.eta * cfg.a), dtype
+        )
+        eye3 = jnp.eye(3, dtype=dtype)
+        diag = jnp.maximum(jnp.diagonal(self_blocks, axis1=-2, axis2=-1), floor)
+        inv_m_diag = jnp.einsum("ni,ij->nij", 1.0 / diag, eye3).reshape(B, n, 3, 3)
         ninv = jnp.einsum("bkia,bkij,bkjc->bac", Kb, inv_m_diag, Kb)
         pc = PCData(
             inv_m_diag=inv_m_diag.reshape(B * n, 3, 3),
             inv_m_block=None,
-            n_chol=jnp.linalg.cholesky(ninv),
+            n_mat=ninv,
         )
     return pc
 
@@ -209,26 +228,18 @@ def _inv_m_apply(pc: PCData, v, B, n):
     return jnp.einsum("bkij,bkj->bki", blocks, v)
 
 
-def _cho_solve_batched(L, rhs):
-    """Batched 6×6 Cholesky solve: L (B,6,6) lower, rhs (B,6)."""
-    y = jax.scipy.linalg.solve_triangular(L, rhs[..., None], lower=True)
-    x = jax.scipy.linalg.solve_triangular(
-        jnp.swapaxes(L, -1, -2), y, lower=False
-    )
-    return x[..., 0]
-
-
 def apply_pc(pc: PCData, slip, F, ops: GeometryOps, cfg: SimulationConfig):
     """Apply the saddle preconditioner: (slip (N,3), F (B,6)) → (λ, U).
 
     Parity: reference ``apply_PC`` steady-state path
-    (``c_rigid_obj.cpp:598-615``).
+    (``c_rigid_obj.cpp:598-615``); the per-body 6×6 systems are solved by
+    batched LU (see PCData docstring).
     """
     B, n, _ = ops.offsets.shape
     slip_b = slip.reshape(B, n, 3)
     im_slip = _inv_m_apply(pc, slip_b, B, n)
     rhs = -F - kin.KT_dot(im_slip, ops.offsets)
-    U = _cho_solve_batched(pc.n_chol, rhs)
+    U = jnp.linalg.solve(pc.n_mat, rhs[..., None])[..., 0]
     lam = _inv_m_apply(pc, slip_b + kin.K_dot(U, ops.offsets), B, n)
     lam = jnp.asarray(cfg.m_scale, lam.dtype) * lam
     return lam.reshape(-1, 3), U

@@ -25,6 +25,7 @@ class SolveResult(NamedTuple):
     lam: jax.Array       # (N, 3) constraint forces on blobs
     U: jax.Array         # (B, 6) rigid body velocities
     residual: jax.Array  # final relative residual (preconditioned system)
+    iters: jax.Array = None  # inner GMRES iterations executed
 
 
 def solve_saddle(
@@ -81,7 +82,7 @@ def solve_saddle(
     )
     lam = result.x[:nb].reshape(-1, 3)
     U = result.x[nb:].reshape(-1, 6)
-    return SolveResult(lam=lam, U=U, residual=result.residual)
+    return SolveResult(lam=lam, U=U, residual=result.residual, iters=result.iters)
 
 
 def solve_resistance(
