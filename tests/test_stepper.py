@@ -94,3 +94,39 @@ def test_free_diffusion_msd():
     se = msd.std() / np.sqrt(n_ens)
     # MSD of a Gaussian walk has ~sqrt(2/3/n_ens) relative noise; 4 SE window
     assert abs(est - expected) < 4 * se + 0.05 * expected, (est, expected, se)
+
+
+@pytest.mark.slow
+def test_wall_equilibrium_boltzmann():
+    """Height distribution of a wall-confined Brownian sphere must match
+    Gibbs-Boltzmann — the sharpest end-to-end validation of the stochastic
+    drift terms (a high-statistics TPU run shows bias +0.011±0.026; this is
+    a reduced-statistics canary with a proportionally loose tolerance)."""
+    from rigid_body_light_tpu import forces
+
+    params, cfgb = _shell(12)
+    kBT, mg, k_wall, lam_wall = 0.3, 1.0, 4.0, 0.3
+    cfg = SimulationConfig(a=params["sep"] / 2, dt=0.01, kBT=kBT, wall=True,
+                           dtype=jnp.float64, lanczos_iters=15, gmres_tol=1e-7,
+                           gmres_restart=30, gmres_maxiter=90)
+    geom = kin.make_ref_geometry(cfgb, dtype=jnp.float64)
+    force_fn = forces.sum_forces(
+        forces.gravity(np.array([0, 0, -mg, 0, 0, 0])),
+        forces.wall_repulsion(strength=k_wall, debye_length=lam_wall, radius=1.0),
+    )
+    B = 8
+    X0 = np.array([[20.0 * i, 0.0, 1.6] for i in range(B)])
+    state = make_state(X0, np.tile([1.0, 0, 0, 0], (B, 1)), dtype=jnp.float64)
+    final, traj = run_bd(geom, cfg, state, jax.random.key(7), n_steps=2500,
+                         force_fn=force_fn, save_every=10)
+    Xs = np.asarray(traj["X"])
+    assert np.isfinite(Xs).all()
+    z = Xs[Xs.shape[0] // 4:, :, 2]
+    zg = np.linspace(1.0, 4.5, 2000)
+    Uz = mg * zg + k_wall * lam_wall * np.exp(-(zg - 1.0) / lam_wall)
+    p = np.exp(-Uz / kBT)
+    p /= np.trapezoid(p, zg)
+    z_theory = float(np.trapezoid(zg * p, zg))
+    zw = z.mean(axis=0)
+    se = zw.std() / np.sqrt(B)
+    assert abs(z.mean() - z_theory) < 4 * se + 0.03, (z.mean(), z_theory, se)
