@@ -121,6 +121,12 @@ def n_rfd_exact(
     cancellation arguments — the textbook-correct Itô drift for the plain
     Euler–Maruyama stepper (``drift_mode='em_exact'``).  Returns (B, 6)
     (multiply by kBT at the call site).
+
+    Precision note (VALIDATION.md): this differences two GMRES *solutions*;
+    in float32 the difference (~δ·∂N·W) must sit above solver-tolerance
+    noise, so δ is floored at 1e-2 there (measured: δ=1e-4 diverges, δ=1e-2
+    is unbiased).  The default midpoint scheme differences raw matvecs and
+    has no such constraint.
     """
     from rigid_body_light_tpu.ops import solvers
 
@@ -130,7 +136,10 @@ def n_rfd_exact(
     n = geom.ref_cfg.shape[0]
     dtype = state.X.dtype
     w = jax.random.normal(key, (B, 6), dtype=dtype)
-    delta = jnp.asarray(cfg.rfd_delta, dtype)
+    delta_f = cfg.rfd_delta
+    if dtype == jnp.float32:
+        delta_f = max(delta_f, 1.0e-2)
+    delta = jnp.asarray(delta_f, dtype)
     dU = (delta / 2.0) * w
     zero_slip = jnp.zeros((B * n, 3), dtype)
 
