@@ -199,3 +199,11 @@ def test_evolve_matches_update_formula():
         qn = Q_new[b]
         sign = np.sign(np.dot(qn, qref))
         assert np.allclose(qn, sign * qref, atol=1e-5)
+
+
+def test_reference_import_alias():
+    """Reference drivers do `from Rigid import RigidBody` — must work here."""
+    from Rigid import RigidBody as AliasRB
+    from rigid_body_light_tpu import RigidBody as OurRB
+
+    assert AliasRB is OurRB
