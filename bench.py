@@ -30,7 +30,7 @@ def main():
     import jax.numpy as jnp
 
     from rigid_body_light_tpu import SimulationConfig, load_structure
-    from rigid_body_light_tpu.dynamics import stochastic_step
+    from rigid_body_light_tpu.dynamics import run_bd
     from rigid_body_light_tpu.ops import kinematics as kin
     from rigid_body_light_tpu.state import make_state
 
@@ -38,36 +38,43 @@ def main():
     B = 16
     xs = np.array([[2.5 * (i % 4), 2.5 * (i // 4), 2.0 + 0.2 * (i % 3)] for i in range(B)])
     qs = np.tile([1.0, 0, 0, 0], (B, 1))
-    # solver settings tuned on this workload: cold solves converge to 1e-4 in
-    # ~75 iterations and finer restart granularity costs more in extra
-    # cycle-boundary residual matvecs than it saves (measured: restart 25 →
-    # 1.71 steps/s vs restart 40 → 1.9+).  Lanczos at 25 iterations gives
-    # ~2e-3 relative noise error (discretization error dominates at this dt).
+    # solver settings tuned on this workload (BENCH_NOTES.md): the full
+    # per-body block PC (wall-corrected) cuts GMRES from ~75 to ~15
+    # iterations; its dense per-body inverse build is amortized by rebuilding
+    # every pc_refresh steps inside the scan (a preconditioner lagging a few
+    # small steps barely affects the iteration count).  Lanczos at 25
+    # iterations gives ~2e-3 relative noise error.
     cfg = SimulationConfig(
         a=params["sep"] / 2, dt=0.01, kBT=1.0, wall=True,
-        dtype=jnp.float32, lanczos_iters=25, gmres_tol=1e-4,
-        gmres_restart=40, gmres_maxiter=80, matvec_row_tile=512,
+        dtype=jnp.float32, lanczos_iters=20, gmres_tol=1e-4,
+        gmres_restart=20, gmres_maxiter=60, matvec_row_tile=512,
+        block_diag_pc=True, pc_refresh=8,
     )
     geom = kin.make_ref_geometry(cfgb, dtype=jnp.float32)
     state = make_state(xs, qs, dtype=jnp.float32)
     n_blobs = B * params["N"]
 
     F = jnp.zeros((B, 6), jnp.float32).at[:, 2].set(-1.0)
-    step = jax.jit(functools.partial(stochastic_step, geom, cfg))
-    x0 = (jnp.zeros((n_blobs, 3), jnp.float32), jnp.zeros((B, 6), jnp.float32))
 
-    # warmup / compile (Krylov warm start threaded step to step)
-    s, aux = step(state, jax.random.key(0), F, x0=x0)
-    _ = float(jnp.sum(s.X))  # host sync (block_until_ready is unreliable here)
+    def force_fn(s, i):
+        return F
 
     n_rep = 8
+    runner = jax.jit(functools.partial(
+        run_bd, geom, cfg, n_steps=n_rep, force_fn=force_fn, save_every=n_rep
+    ))
+
+    # warmup / compile
+    s, traj = runner(state, jax.random.key(0))
+    _ = float(jnp.sum(s.X))  # host sync (block_until_ready is unreliable here)
+
     t0 = time.perf_counter()
-    for i in range(n_rep):
-        s, aux = step(s, jax.random.key(i + 1), F, x0=(aux.lam, aux.U))
+    s, traj = runner(s, jax.random.key(1))
     _ = float(jnp.sum(s.X))
     dt = (time.perf_counter() - t0) / n_rep
 
     assert bool(jnp.isfinite(s.X).all()), "trajectory diverged"
+    assert float(jnp.max(jnp.asarray(traj["residual"]))) < 10 * cfg.gmres_tol, "solver not converging"
     steps_per_sec = 1.0 / dt
     print(json.dumps({
         "metric": f"fluctuating BD steps/sec @ {n_blobs} blobs (16x shell_N_642, wall)",

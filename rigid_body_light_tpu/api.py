@@ -222,6 +222,57 @@ class RigidBody:
         self.state = BodyState(X=X, Q=Q)
         self._invalidate()
 
+    def deterministic_step(self, forces, slip=None):
+        """Solve the mobility problem and advance this body system by dt.
+
+        Returns the (B, 6) body velocities used (numpy).
+        """
+        from rigid_body_light_tpu.dynamics import deterministic_step as _step
+
+        self._check_above_wall(self._ops.flat_positions)
+        force = jnp.asarray(forces, self.config.dtype).reshape(-1, 6)
+        slip_j = None if slip is None else jnp.asarray(slip, self.config.dtype).reshape(-1, 3)
+        new_state, aux = _jit_det_step(self._geom, self.config, self.state, force, slip_j)
+        self.state = new_state
+        self._invalidate()
+        return np.asarray(aux.U)
+
+    def stochastic_step(self, forces, key=None, slip=None):
+        """One fluctuating BD step (midpoint slip scheme by default).
+
+        key: optional jax PRNG key; omitted → an internal counter-derived key
+        (reproducible per instance).  Returns the (B, 6) body velocities.
+        """
+        from rigid_body_light_tpu.dynamics import stochastic_step as _step
+
+        self._check_above_wall(self._ops.flat_positions)
+        if key is None:
+            self._key_counter = getattr(self, "_key_counter", 0) + 1
+            key = jax.random.key(self._key_counter)
+        force = jnp.asarray(forces, self.config.dtype).reshape(-1, 6)
+        slip_j = None if slip is None else jnp.asarray(slip, self.config.dtype).reshape(-1, 3)
+        new_state, aux = _jit_sto_step(self._geom, self.config, self.state, key, force, slip_j)
+        self.state = new_state
+        self._invalidate()
+        return np.asarray(aux.U)
+
+    def run(self, n_steps, key, force_fn=None, slip_fn=None, save_every=1):
+        """Run a whole on-device trajectory from the current configuration.
+
+        Thin wrapper over :func:`rigid_body_light_tpu.dynamics.run_bd`;
+        updates this instance's state and returns the trajectory dict
+        (numpy arrays).
+        """
+        from rigid_body_light_tpu.dynamics import run_bd
+
+        final, traj = run_bd(
+            self._geom, self.config, self.state, key, n_steps,
+            force_fn=force_fn, slip_fn=slip_fn, save_every=save_every,
+        )
+        self.state = final
+        self._invalidate()
+        return {k: np.asarray(v) for k, v in traj.items()}
+
     # ---------------------------------------------------------------- checks
 
     def _check_above_wall(self, positions):
@@ -306,3 +357,17 @@ def _apply_saddle_jit(lam, U, ops, cfg):
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _solve_saddle_jit(ops, cfg, slip, force, pc):
     return solvers.solve_saddle(ops, cfg, slip, force, pc=pc)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _jit_det_step(geom, cfg, state, force, slip):
+    from rigid_body_light_tpu.dynamics import deterministic_step
+
+    return deterministic_step(geom, cfg, state, force, slip=slip)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _jit_sto_step(geom, cfg, state, key, force, slip):
+    from rigid_body_light_tpu.dynamics import stochastic_step
+
+    return stochastic_step(geom, cfg, state, key, force, slip=slip)

@@ -55,6 +55,8 @@ class SimulationConfig:
     kBT: float = 0.0
     wall: bool = False
     block_diag_pc: bool = False
+    pc_mode: str = ""  # "", "diag", "block", "block_free" — "" derives from block_diag_pc
+    pc_refresh: int = 1  # rebuild the preconditioner every k steps in run_bd (k>1 = lagged PC)
     split_rand: bool = True
     drift_mode: str = "midpoint_slip"  # or "em_exact" — see dynamics/stepper.py
     reject_below_wall: bool = True  # reject per-body moves that sink blobs below z=0 (wall runs only)

@@ -89,6 +89,7 @@ def stochastic_step(
     slip=None,
     mob_apply: Callable = None,
     x0=None,
+    pc=None,
 ):
     """One fluctuating BD step (EM–midpoint with RFD drift).
 
@@ -175,7 +176,7 @@ def stochastic_step(
         drift_U = None
 
     res = solvers.solve_saddle(
-        ops_solve, cfg, slip_eff, force, mob_apply=mob_apply, x0=x0
+        ops_solve, cfg, slip_eff, force, mob_apply=mob_apply, x0=x0, pc=pc
     )
     U_total = res.U if drift_U is None else res.U + drift_U
     dU = U_total * jnp.asarray(cfg.dt, dtype)
@@ -209,24 +210,40 @@ def run_bd(
         def force_fn(s, i):
             return jnp.zeros((B, 6), dtype)
 
+    lagged_pc = cfg.pc_refresh > 1
+
     def body(carry, i):
-        s, k, x_prev = carry
+        s, k, x_prev, pc_prev = carry
         k, sub = jax.random.split(k)
         force = force_fn(s, i)
         slip = slip_fn(s, i) if slip_fn is not None else None
+        if lagged_pc:
+            # rebuild the (expensive) PC only every pc_refresh steps; a
+            # preconditioner lagging a few small steps barely affects the
+            # Krylov iteration count but amortizes the per-body factor cost
+            pc = lax.cond(
+                i % cfg.pc_refresh == 0,
+                lambda _: saddle_mod.build_pc(saddle_mod.geometry_ops(geom, s), cfg),
+                lambda _: pc_prev,
+                None,
+            )
+        else:
+            pc = None
         s_new, aux = stochastic_step(
-            geom, cfg, s, sub, force, slip=slip, mob_apply=mob_apply, x0=x_prev
+            geom, cfg, s, sub, force, slip=slip, mob_apply=mob_apply,
+            x0=x_prev, pc=pc,
         )
         out = (s_new.X, s_new.Q, aux.residual)
-        return (s_new, k, (aux.lam, aux.U)), out
+        return (s_new, k, (aux.lam, aux.U), pc if lagged_pc else pc_prev), out
 
     n_blb = geom.ref_cfg.shape[0]
     x_init = (
         jnp.zeros((B * n_blb, 3), dtype),
         jnp.zeros((B, 6), dtype),
     )
-    (final, _, _), (Xs, Qs, residuals) = lax.scan(
-        body, (state, key, x_init), jnp.arange(n_steps)
+    pc_init = saddle_mod.build_pc(saddle_mod.geometry_ops(geom, state), cfg)
+    (final, _, _, _), (Xs, Qs, residuals) = lax.scan(
+        body, (state, key, x_init, pc_init), jnp.arange(n_steps)
     )
     keep = slice(save_every - 1, None, save_every)
     return final, {"X": Xs[keep], "Q": Qs[keep], "residual": residuals[keep]}

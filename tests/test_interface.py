@@ -207,3 +207,24 @@ def test_reference_import_alias():
     from rigid_body_light_tpu import RigidBody as OurRB
 
     assert AliasRB is OurRB
+
+
+def test_api_stepping_methods():
+    """The class-level stepping surface: deterministic, stochastic, run."""
+    import jax
+
+    _, config = utils.load_config(utils.struct_shell_12)
+    X = np.array([[0.0, 0.0, 0.0]])
+    Q = np.array([[1.0, 0.0, 0.0, 0.0]])
+    cb = utils.create_solver(rigid_config=config, X=X, Q=Q, kBT=0.5)
+    cb.config = cb.config.replace(dt=0.05, lanczos_iters=10)
+    F = np.zeros((1, 6)); F[0, 2] = -1.0
+    U = cb.deterministic_step(F)
+    assert U.shape == (1, 6) and U[0, 2] < 0
+    X1, _ = cb.get_config()
+    assert X1[0, 2] < 0
+    U2 = cb.stochastic_step(F, key=jax.random.key(3))
+    assert np.isfinite(U2).all()
+    traj = cb.run(5, jax.random.key(4))
+    assert traj["X"].shape == (5, 1, 3)
+    assert np.isfinite(traj["X"]).all()

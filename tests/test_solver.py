@@ -26,10 +26,12 @@ def _setup(N_rigid, wall, block, seed=0):
 
 
 @pytest.mark.parametrize("wall", [False, True])
-@pytest.mark.parametrize("block", [False, True])
+@pytest.mark.parametrize("block", [False, True, "block_free"])
 def test_pc_is_exact_inverse_of_approximate_saddle(wall, block):
     """PC([M̃Λ − KU; −KᵀΛ]) must return exactly (Λ, U)."""
-    cfg, geom, state, ops = _setup(3, wall, block, seed=2)
+    cfg, geom, state, ops = _setup(3, wall, block is True, seed=2)
+    if block == "block_free":
+        cfg = cfg.replace(pc_mode="block_free")
     pc = saddle_mod.build_pc(ops, cfg)
     B, n, _ = ops.offsets.shape
     rng = np.random.default_rng(7)
@@ -37,7 +39,12 @@ def test_pc_is_exact_inverse_of_approximate_saddle(wall, block):
     U = jnp.asarray(rng.standard_normal((B, 6)))
 
     # M̃Λ: invert the PC's own approximate inverse mobility
-    if block:
+    if block == "block_free":
+        m_ref = jnp.linalg.inv(pc.minv_ref)
+        lam_body = jnp.einsum("bji,bnj->bni", ops.rot, lam).reshape(B, 3 * n)
+        m_lam = jnp.einsum("pq,bq->bp", m_ref, lam_body).reshape(B, n, 3)
+        m_lam = jnp.einsum("bij,bnj->bni", ops.rot, m_lam)
+    elif block:
         m_lam = jnp.linalg.solve(pc.inv_m_block, lam.reshape(B, 3 * n, 1))[..., 0].reshape(B, n, 3)
     else:
         m_lam = jnp.linalg.solve(pc.inv_m_diag.reshape(B, n, 3, 3), lam[..., None])[..., 0]

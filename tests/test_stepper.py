@@ -130,3 +130,19 @@ def test_wall_equilibrium_boltzmann():
     zw = z.mean(axis=0)
     se = zw.std() / np.sqrt(B)
     assert abs(z.mean() - z_theory) < 4 * se + 0.03, (z.mean(), z_theory, se)
+
+
+def test_lagged_block_pc_converges():
+    """run_bd with pc_refresh>1 (stale block PC) must keep the solver
+    converged and match the statistics contract (finite, unit quats)."""
+    params, cfgb = _shell(12)
+    cfg = SimulationConfig(a=params["sep"] / 2, dt=0.02, kBT=0.5,
+                           dtype=jnp.float64, lanczos_iters=10,
+                           block_diag_pc=True, pc_refresh=3,
+                           gmres_tol=1e-7, gmres_maxiter=120)
+    geom = kin.make_ref_geometry(cfgb, dtype=jnp.float64)
+    state = make_state([[0.0, 0.0, 0.0], [4.0, 0, 0]],
+                       [[1.0, 0, 0, 0]] * 2, dtype=jnp.float64)
+    final, traj = run_bd(geom, cfg, state, jax.random.key(2), n_steps=9)
+    assert np.isfinite(np.asarray(traj["X"])).all()
+    assert float(np.asarray(traj["residual"]).max()) < 1e-5
