@@ -24,7 +24,6 @@ import numpy as np
 
 from rigid_body_light_tpu.config import SimulationConfig
 from rigid_body_light_tpu.ops import kinematics as kin
-from rigid_body_light_tpu.ops import rpy
 from rigid_body_light_tpu.ops import saddle as saddle_mod
 from rigid_body_light_tpu.ops import solvers
 from rigid_body_light_tpu.state import BodyState, make_state

@@ -28,8 +28,6 @@ scaled by 1/(8πηa) exactly as the reference does (``c_rigid_obj.cpp:415,456``)
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -19,7 +19,6 @@ Usage:
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax
