@@ -18,6 +18,7 @@ Public surface:
     ``tests/utils.py:9-19``).
 """
 
+from rigid_body_light_tpu import analysis, flows, forces, multi
 from rigid_body_light_tpu.api import RigidBody
 from rigid_body_light_tpu.config import SimulationConfig
 from rigid_body_light_tpu.state import BodyState
@@ -29,6 +30,10 @@ __all__ = [
     "BodyState",
     "load_structure",
     "structure_path",
+    "analysis",
+    "flows",
+    "forces",
+    "multi",
 ]
 
 __version__ = "0.1.0"
