@@ -97,6 +97,58 @@ def sharded_pair_sum(
     return U_p[:n]
 
 
+def make_mesh_2d(shape, axis_names=("rows", "cols")) -> Mesh:
+    """2-D device mesh, e.g. (2, 4) over 8 chips, for the SUMMA-style sweep."""
+    devices = np.asarray(jax.devices()[: shape[0] * shape[1]]).reshape(shape)
+    return Mesh(devices, axis_names)
+
+
+def sharded_pair_sum_2d(
+    r, F, mesh: Mesh, a=1.0, wall=False, row_tile=512,
+    axis_names=("rows", "cols"),
+):
+    """2-D (SUMMA-style) sharded Σ_j M_ij F_j over a (Dr, Dc) mesh.
+
+    Rows of the pair matrix are sharded over ``rows``, columns over ``cols``;
+    each device computes its (N/Dr × N/Dc) slab against purely local data and
+    the row sums close with one ``psum`` over the column axis — no
+    ``all_gather`` of positions/forces at all.  Communication is O(N/Dr)
+    per device instead of O(N), the right layout once N is large enough
+    that gathering everything per matvec dominates.
+    """
+    ax_r, ax_c = axis_names
+    n = r.shape[0]
+    dr, dc = mesh.shape[ax_r], mesh.shape[ax_c]
+    lcm = dr * dc // np.gcd(dr, dc)
+    n_pad = -(-n // lcm) * lcm
+    pad = n_pad - n
+    r_p = jnp.pad(r, ((0, pad), (0, 0)))
+    F_p = jnp.pad(F, ((0, pad), (0, 0)))
+
+    n_loc_r = n_pad // dr
+    n_loc_c = n_pad // dc
+
+    def local(r_rows, r_cols, F_cols):
+        i = lax.axis_index(ax_r)
+        j = lax.axis_index(ax_c)
+        row_ids = i * n_loc_r + jnp.arange(n_loc_r, dtype=jnp.int32)
+        col_ids = j * n_loc_c + jnp.arange(n_loc_c, dtype=jnp.int32)
+        # padded columns have F=0 → no contribution; valid-masking via ids
+        part = rpy.pair_sum(
+            r_rows, row_ids, r_cols, col_ids, F_cols,
+            a=a, wall=wall, row_tile=row_tile,
+        )
+        return lax.psum(part, ax_c)
+
+    U_p = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(ax_r), P(ax_c), P(ax_c)),
+        out_specs=P(ax_r),
+    )(r_p, r_p, F_p)
+    return U_p[:n]
+
+
 def sharded_mobility_apply_fn(
     cfg: SimulationConfig, mesh: Mesh, axis_name: str = AXIS
 ) -> Callable:
@@ -107,6 +159,8 @@ def sharded_mobility_apply_fn(
     :func:`rigid_body_light_tpu.ops.rpy.mobility_apply`.
     """
 
+    two_d = len(mesh.axis_names) == 2
+
     def apply(F, r):
         r = r.reshape(-1, 3)
         F = F.reshape(-1, 3)
@@ -115,11 +169,17 @@ def sharded_mobility_apply_fn(
         if cfg.wall:
             b = rpy.damping_factors(r, cfg.a)
             Fd = F * b[:, None]
-        U = sharded_pair_sum(
-            r, Fd, mesh, a=cfg.a, wall=cfg.wall,
-            row_tile=cfg.matvec_row_tile, axis_name=axis_name,
-            use_pallas=cfg.use_pallas,
-        )
+        if two_d:
+            U = sharded_pair_sum_2d(
+                r, Fd, mesh, a=cfg.a, wall=cfg.wall,
+                row_tile=cfg.matvec_row_tile, axis_names=mesh.axis_names,
+            )
+        else:
+            U = sharded_pair_sum(
+                r, Fd, mesh, a=cfg.a, wall=cfg.wall,
+                row_tile=cfg.matvec_row_tile, axis_name=axis_name,
+                use_pallas=cfg.use_pallas,
+            )
         self_diag = jnp.full(r.shape, 4.0 / 3.0, dtype=dtype)
         if cfg.wall:
             self_diag = self_diag + rpy.wall_self_diag(r[:, 2], cfg.a, dtype)

@@ -62,3 +62,38 @@ def test_sharded_bd_step_matches_replicated():
 def test_mesh_subset():
     mesh = make_mesh(4)
     assert mesh.devices.size == 4
+
+
+@pytest.mark.parametrize("wall", [False, True])
+@pytest.mark.parametrize("n", [64, 101])
+def test_2d_sharded_matvec_parity(wall, n):
+    """SUMMA-style (2, 4) mesh: rows x cols slab sweep + psum must match the
+    single-device matvec."""
+    from rigid_body_light_tpu.parallel import make_mesh_2d
+
+    mesh = make_mesh_2d((2, 4))
+    cfg = SimulationConfig(a=0.5, eta=1.3, wall=wall, dtype=jnp.float64)
+    rng = np.random.default_rng(1)
+    r = jnp.asarray(rng.uniform([-5, -5, 0.5], [5, 5, 6], (n, 3)))
+    F = jnp.asarray(rng.standard_normal((n, 3)))
+    U_sharded = jax.jit(sharded_mobility_apply_fn(cfg, mesh))(F, r)
+    U_single = rpy.mobility_apply(F, r, a=0.5, eta=1.3, wall=wall)
+    assert np.abs(np.asarray(U_sharded - U_single)).max() < 1e-13
+
+
+def test_2d_sharded_bd_step():
+    from rigid_body_light_tpu.parallel import make_mesh_2d
+
+    mesh = make_mesh_2d((2, 4))
+    params, cfgb = load_structure("shell_N_12")
+    cfg = SimulationConfig(a=params["sep"] / 2, dt=0.02, kBT=1.0,
+                           dtype=jnp.float64, lanczos_iters=10)
+    geom = kin.make_ref_geometry(cfgb, dtype=jnp.float64)
+    state = make_state([[0.0, 0.0, 0.0], [3.0, 0, 0], [0, 3.0, 0]],
+                       [[1.0, 0, 0, 0]] * 3, dtype=jnp.float64)
+    F = jnp.zeros((3, 6)).at[:, 2].set(-1.0)
+    mob = sharded_mobility_apply_fn(cfg, mesh)
+    step = jax.jit(functools.partial(stochastic_step, geom, cfg, mob_apply=mob))
+    s2, aux = step(state, jax.random.key(4), F)
+    assert np.isfinite(np.asarray(s2.X)).all()
+    assert float(aux.residual) < 1e-5
