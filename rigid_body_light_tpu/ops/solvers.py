@@ -85,6 +85,59 @@ def solve_saddle(
     return SolveResult(lam=lam, U=U, residual=result.residual, iters=result.iters)
 
 
+def make_differentiable_solver(cfg: SimulationConfig) -> Callable:
+    """Build a *differentiable* mobility solve (ops, slip, force) → (λ, U).
+
+    The forward pass is the regular preconditioned GMRES (whose ``while_loop``
+    is not reverse-differentiable); gradients come from the implicit-function
+    theorem instead: with A x = b,
+
+        x̄ ⊦ solve Aᵀ y = x̄,   b̄ = y,   θ̄ = vjp_θ[A(θ)·x](−y).
+
+    The saddle operator satisfies Aᵀ = S·A·S with S = diag(I, −I) on
+    (λ, U), so the adjoint solve is the SAME solver on sign-flipped blocks —
+    no transposed machinery needed.  The operator-vjp uses the XLA mobility
+    path (the Pallas kernel has no autodiff rule), costing one extra matvec
+    per parameter-gradient evaluation.
+
+    Differentiable inputs: ``ops`` (positions/orientations via GeometryOps —
+    chain through ``geometry_ops`` for ∂/∂X, ∂/∂Q), ``slip`` and ``force``.
+    Nothing like this exists in the reference (finite differences over the
+    whole C++ solve would be the only option).
+    """
+    cfg_xla = cfg.replace(use_pallas=False)
+
+    @jax.custom_vjp
+    def solve(ops, slip, force):
+        res = solve_saddle(ops, cfg, slip, force)
+        return res.lam, res.U
+
+    def fwd(ops, slip, force):
+        lam, U = solve(ops, slip, force)
+        return (lam, U), (ops, lam, U)
+
+    def bwd(residuals, cotangents):
+        ops, lam, U = residuals
+        lam_bar, U_bar = cotangents
+        # adjoint solve via the S·A·S identity
+        adj = solve_saddle(ops, cfg, lam_bar, -U_bar)
+        y = (adj.lam, -adj.U)
+        slip_bar, force_bar = y
+
+        def operator(o):
+            s, f = saddle_mod.apply_saddle(
+                lam, U, o, cfg_xla, saddle_mod.mobility_apply_fn(cfg_xla)
+            )
+            return s, f
+
+        _, op_vjp = jax.vjp(operator, ops)
+        (ops_bar,) = op_vjp((-y[0], -y[1]))
+        return ops_bar, slip_bar, force_bar
+
+    solve.defvjp(fwd, bwd)
+    return solve
+
+
 def solve_resistance(
     ops: saddle_mod.GeometryOps,
     cfg: SimulationConfig,
