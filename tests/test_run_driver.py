@@ -1,0 +1,86 @@
+"""End-to-end CLI driver: config → trajectory + checkpoint → resume."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from rigid_body_light_tpu.run import main
+from rigid_body_light_tpu.runtime import read_trajectory
+from rigid_body_light_tpu.utils.checkpoint import load_checkpoint
+
+
+def _config(tmp_path, **overrides):
+    conf = {
+        "structure": "shell_N_12",
+        "n_bodies": 2,
+        "placement": {"type": "grid", "spacing": 4.0, "z0": 2.0},
+        "a": None,
+        "eta": 1.0,
+        "dt": 0.02,
+        "kBT": 0.5,
+        "wall": True,
+        "dtype": "float64",
+        "n_steps": 8,
+        "save_every": 2,
+        "checkpoint_every": 4,
+        "forces": [
+            {"type": "gravity", "value": [0, 0, -0.5, 0, 0, 0]},
+            {"type": "wall_repulsion", "strength": 2.0, "debye_length": 0.5},
+        ],
+        "seed": 3,
+        "output_dir": str(tmp_path / "out"),
+        "solver": {"gmres_tol": 1e-7, "gmres_restart": 30, "gmres_maxiter": 90,
+                   "lanczos_iters": 10},
+    }
+    conf.update(overrides)
+    p = str(tmp_path / "config.json")
+    with open(p, "w") as f:
+        json.dump(conf, f)
+    return p, conf
+
+
+def test_run_and_resume(tmp_path, capsys):
+    cfg_path, conf = _config(tmp_path)
+    main([cfg_path])
+    out_dir = conf["output_dir"]
+    steps, times, X, Q = read_trajectory(os.path.join(out_dir, "trajectory.rblt"))
+    assert steps.tolist() == [2, 4, 6, 8]
+    assert np.isfinite(X).all()
+    assert np.allclose(times, np.asarray(steps, float) * conf["dt"])
+    state, key, step, meta = load_checkpoint(os.path.join(out_dir, "checkpoint.npz"))
+    assert step == 8 and key is not None
+    assert meta["config"]["n_steps"] == 8
+
+    # resume: trajectory must append, not truncate
+    main([cfg_path, "--resume", os.path.join(out_dir, "checkpoint.npz")])
+    steps2, _, X2, _ = read_trajectory(os.path.join(out_dir, "trajectory.rblt"))
+    assert steps2.tolist() == [2, 4, 6, 8, 10, 12, 14, 16]
+    assert np.array_equal(X2[:4], X)
+
+
+def test_invalid_chunking_rejected(tmp_path):
+    cfg_path, _ = _config(tmp_path, save_every=3)  # 4 % 3 != 0
+    with pytest.raises(ValueError, match="multiple of save_every"):
+        main([cfg_path])
+    cfg_path, _ = _config(tmp_path, n_steps=10)  # 10 % 4 != 0
+    with pytest.raises(ValueError, match="multiple of checkpoint_every"):
+        main([cfg_path])
+
+
+def test_random_and_file_placement(tmp_path):
+    init = str(tmp_path / "init.npz")
+    X = np.array([[0.0, 0, 2.0], [5.0, 0, 2.0]])
+    Q = np.tile([1.0, 0, 0, 0], (2, 1))
+    np.savez(init, X=X, Q=Q)
+    cfg_path, conf = _config(
+        tmp_path, placement={"type": "file", "path": init}, kBT=0.0,
+        forces=[{"type": "gravity", "value": [0, 0, -1.0, 0, 0, 0]}],
+    )
+    main([cfg_path])
+    _, _, Xs, _ = read_trajectory(os.path.join(conf["output_dir"], "trajectory.rblt"))
+    # deterministic sedimentation from the file-supplied positions (xy only
+    # drifts weakly through pair-wall hydrodynamics)
+    assert Xs[0, 0, 2] < 2.0
+    assert np.allclose(Xs[0, :, :2], X[:, :2], atol=1e-2)
