@@ -151,7 +151,7 @@ def stochastic_step(
             slip_eff = slip - bi
             ops_solve = ops
             drift_U = jnp.asarray(kBT, dtype) * rfd.n_rfd_exact(
-                geom, state, cfg, k3, mob_apply
+                geom, state, cfg, k3, mob_apply, pc=pc
             )
         else:
             # midpoint slip scheme (reference intent, c_rigid_obj.cpp:917-976)

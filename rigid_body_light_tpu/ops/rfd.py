@@ -111,6 +111,7 @@ def n_rfd_exact(
     cfg: SimulationConfig,
     key,
     mob_apply: Callable = None,
+    pc=None,
 ):
     """Direct body-space divergence drift kBT·∂·N via centered RFD on the
     *solved* body mobility N(q) = (KᵀM⁻¹K)⁻¹:
@@ -146,7 +147,8 @@ def n_rfd_exact(
     def n_dot_w(dU_signed):
         X, Q = kin.update_X_Q(state.X, state.Q, dU_signed)
         ops = saddle_mod.geometry_ops(geom, BodyState(X=X, Q=Q))
-        res = solvers.solve_saddle(ops, cfg, zero_slip, w, mob_apply=mob_apply)
+        # a PC built at q^n is a perfectly good preconditioner at q ± δW/2
+        res = solvers.solve_saddle(ops, cfg, zero_slip, w, mob_apply=mob_apply, pc=pc)
         return res.U
 
     return (n_dot_w(dU) - n_dot_w(-dU)) / delta
