@@ -71,13 +71,15 @@ class RigidBody:
                 dtype=dtype,
             )
         else:
-            # the required positional physics arguments always win — an
-            # explicit config supplies only the knobs the constructor does
-            # not take (solver settings, drift mode, ...)
-            config = config.replace(
-                a=float(a), eta=float(eta), dt=float(dt),
-                wall=bool(wall_PC), block_diag_pc=bool(block_PC),
-            )
+            # explicit config: the required positional scalars a/eta/dt win;
+            # everything else must live in the config — mixing the two would
+            # silently produce wrong physics, so it is rejected outright
+            if wall_PC or block_PC or kBT != 1.0 or dtype is not jnp.float32:
+                raise ValueError(
+                    "when config= is given, pass wall/block_diag_pc/kBT/dtype "
+                    "inside the SimulationConfig, not as constructor kwargs"
+                )
+            config = config.replace(a=float(a), eta=float(eta), dt=float(dt))
         self.config = config
         self.precision = "double" if config.dtype == jnp.float64 else "single"
         self._geom = kin.make_ref_geometry(rigid_config, dtype=config.dtype)

@@ -123,7 +123,12 @@ def stochastic_step(
     if kBT > 0.0:
         k1, k2, k3 = jax.random.split(key, 3)
         pos = ops.flat_positions
-        if cfg.split_rand and default_mob:
+        # the split two-draw increment exists only to decorrelate the
+        # midpoint corrector; em_exact has no corrector, and a single draw
+        # of sqrt(2kBT/dt)·M^{1/2}W has the identical distribution at half
+        # the Lanczos cost
+        use_split = cfg.split_rand and cfg.drift_mode != "em_exact"
+        if use_split and default_mob:
             # fused two-draw Lanczos: both recurrences share one pair-field
             # sweep per iteration (2-RHS mobility product)
             mob_multi = saddle_mod.mobility_apply_multi_fn(cfg)
@@ -133,7 +138,7 @@ def stochastic_step(
             c1 = 2.0 * jnp.sqrt(jnp.asarray(kBT / cfg.dt, dtype))
             c2 = jnp.sqrt(jnp.asarray(kBT / cfg.dt, dtype))
             bi = c2 * (mhw1 - mhw2)
-        elif cfg.split_rand:
+        elif use_split:
             mhw1 = lanczos.m_half_w(mob_apply, pos, k1, iters=cfg.lanczos_iters)
             mhw2 = lanczos.m_half_w(mob_apply, pos, k2, iters=cfg.lanczos_iters)
             c1 = 2.0 * jnp.sqrt(jnp.asarray(kBT / cfg.dt, dtype))
@@ -241,7 +246,12 @@ def run_bd(
         jnp.zeros((B * n_blb, 3), dtype),
         jnp.zeros((B, 6), dtype),
     )
-    pc_init = saddle_mod.build_pc(saddle_mod.geometry_ops(geom, state), cfg)
+    # in lagged mode the carry needs a PCData pytree of the right structure
+    # (the cond at i=0 always rebuilds it); otherwise carry nothing
+    pc_init = (
+        saddle_mod.build_pc(saddle_mod.geometry_ops(geom, state), cfg)
+        if lagged_pc else None
+    )
     (final, _, _, _), (Xs, Qs, residuals) = lax.scan(
         body, (state, key, x_init, pc_init), jnp.arange(n_steps)
     )

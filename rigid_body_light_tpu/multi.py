@@ -185,7 +185,17 @@ def stochastic_step_multi(
     mob_apply=None,
 ):
     """One fluctuating BD step of the mixture (midpoint slip scheme —
-    mirrors :func:`rigid_body_light_tpu.dynamics.stochastic_step`)."""
+    mirrors :func:`rigid_body_light_tpu.dynamics.stochastic_step`).
+
+    Limitations vs the single-species stepper (round-1): only the midpoint
+    slip scheme is implemented (``drift_mode='em_exact'`` raises), and the
+    fused 2-RHS Lanczos / Krylov warm starts / lagged PC are not wired in.
+    """
+    if cfg.drift_mode not in ("", "midpoint_slip"):
+        raise NotImplementedError(
+            "stochastic_step_multi implements only the midpoint slip scheme; "
+            f"drift_mode={cfg.drift_mode!r} is unsupported for mixtures"
+        )
     if mob_apply is None:
         mob_apply = saddle_mod.mobility_apply_fn(cfg)
     opses = geometry_ops_multi(mgeom, states)

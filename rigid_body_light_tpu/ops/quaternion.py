@@ -63,12 +63,14 @@ def from_rotation_vector(om):
     test tolerance, and differentiable).
     """
     norm2 = jnp.sum(om * om, axis=-1, keepdims=True)
-    norm = jnp.sqrt(norm2)
+    small = norm2 < 1e-12
+    # double-where so the sqrt's gradient is never evaluated at 0 (a plain
+    # where still propagates NaN through the unselected branch's cotangent)
+    norm = jnp.sqrt(jnp.where(small, 1.0, norm2))
     half = 0.5 * norm
-    w = jnp.cos(half)
+    w = jnp.where(small, 1.0 - norm2 / 8.0, jnp.cos(half))
     # sin(n/2)/n with series fallback: 1/2 - n^2/48 + O(n^4)
-    small = norm < 1e-6
-    factor = jnp.where(small, 0.5 - norm2 / 48.0, jnp.sin(half) / jnp.where(small, 1.0, norm))
+    factor = jnp.where(small, 0.5 - norm2 / 48.0, jnp.sin(half) / norm)
     return normalize(jnp.concatenate([w, factor * om], axis=-1))
 
 

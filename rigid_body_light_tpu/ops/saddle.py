@@ -201,6 +201,8 @@ _PC_SELF_FLOOR = 0.05
 def build_pc(ops: GeometryOps, cfg: SimulationConfig) -> PCData:
     B, n, _ = ops.offsets.shape
     mode = cfg.pc_mode or ("block" if cfg.block_diag_pc else "diag")
+    if mode not in ("diag", "block", "block_free"):
+        raise ValueError(f"unknown pc_mode {mode!r}; use diag, block or block_free")
     if mode == "block_free":
         # body-frame constants: loop-invariant under scan/jit (XLA hoists),
         # recovered from body 0's rotation so no geometry handle is needed

@@ -177,6 +177,10 @@ def main(argv=None):
             frame_step = step + (i + 1) * save_every
             writer.append(frame_step, frame_step * cfg.dt, Xs[i], Qs[i])
         step += chunk
+        # make the trajectory durable BEFORE the checkpoint references it —
+        # otherwise a crash leaves checkpoint.npz ahead of trajectory.rblt
+        # and a resume creates a silent frame gap
+        writer.flush()
         save_checkpoint(os.path.join(out_dir, "checkpoint.npz"), state, key,
                         step=step, metadata={"config": conf})
         print(json.dumps({

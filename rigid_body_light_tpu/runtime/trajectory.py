@@ -84,6 +84,7 @@ class TrajectoryWriter:
         self._handle = None
         self._file = None
         append = append and os.path.exists(path)
+        existing_frames = 0
         if append:
             # validate the existing header matches before appending
             with open(path, "rb") as f:
@@ -93,6 +94,8 @@ class TrajectoryWriter:
                     f"cannot append to {path}: header mismatch "
                     f"(bodies {nb} vs {self.n_bodies}, dtype code {code} vs {self._code})"
                 )
+            frame_size = 16 + self.n_bodies * 7 * self.dtype.itemsize
+            existing_frames = (os.path.getsize(path) - _HEADER_BYTES) // frame_size
         lib = None if force_python else _load_native()
         if lib is not None:
             self._lib = lib
@@ -108,7 +111,7 @@ class TrajectoryWriter:
                 self._file.write(struct.pack(
                     "<8I", _MAGIC, _VERSION, self.n_bodies, self._code, 0, 0, 0, 0
                 ))
-        self._frames = 0
+        self._frames = existing_frames
 
     def append(self, step: int, sim_time: float, X, Q) -> None:
         X = np.ascontiguousarray(np.asarray(X, self.dtype).reshape(self.n_bodies, 3))

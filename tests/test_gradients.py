@@ -81,3 +81,17 @@ def test_slip_gradient_flows():
     g = float(jax.grad(swim_speed)(0.1))
     fd = float((swim_speed(0.1 + 1e-6) - swim_speed(0.1 - 1e-6)) / 2e-6)
     assert abs(g - fd) < 1e-6
+
+
+def test_rotation_gradient_at_zero():
+    """∂q/∂ω at ω=0 must be finite (0.5 per component) — the sqrt at the
+    origin needs the double-where guard."""
+    Q = jnp.asarray([[1.0, 0, 0, 0]])
+
+    def f(dU):
+        _, Qn = kin.update_X_Q(jnp.zeros((1, 3)), Q, dU)
+        return jnp.sum(Qn)
+
+    g = jax.grad(f)(jnp.zeros((1, 6)))
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.allclose(np.asarray(g)[0, 3:], 0.5)
