@@ -132,9 +132,20 @@ def stochastic_step(
             # fused two-draw Lanczos: both recurrences share one pair-field
             # sweep per iteration (2-RHS mobility product)
             mob_multi = saddle_mod.mobility_apply_multi_fn(cfg)
-            mhw1, mhw2 = lanczos.m_half_w_pair(
-                mob_multi, pos, k1, k2, iters=cfg.lanczos_iters
-            )
+            if cfg.lanczos_precond:
+                # body-frame factor preconditioning: same distribution, ~3x
+                # fewer iterations (trace-time-constant factors, hoisted)
+                L, L_inv = lanczos.make_noise_preconditioner(
+                    geom.ref_cfg, cfg.a, cfg.eta, dtype
+                )
+                mhw1, mhw2 = lanczos.m_half_w_precond(
+                    mob_multi, pos, ops.rot, L, L_inv, (k1, k2),
+                    iters=cfg.lanczos_iters, multi=True,
+                )
+            else:
+                mhw1, mhw2 = lanczos.m_half_w_pair(
+                    mob_multi, pos, k1, k2, iters=cfg.lanczos_iters
+                )
             c1 = 2.0 * jnp.sqrt(jnp.asarray(kBT / cfg.dt, dtype))
             c2 = jnp.sqrt(jnp.asarray(kBT / cfg.dt, dtype))
             bi = c2 * (mhw1 - mhw2)

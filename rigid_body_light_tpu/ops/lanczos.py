@@ -127,6 +127,104 @@ def m_half_w(
     return sqrt_matvec(mv, w, iters=iters).reshape(-1, 3)
 
 
+def make_noise_preconditioner(geom_ref_cfg, a, eta, dtype=jnp.float32):
+    """Body-frame factor constants for preconditioned noise sampling.
+
+    C = blkdiag over bodies of the FREE-SPACE per-body mobility — rotation-
+    equivariant (same trick as the block_free PC), so the world factor is
+    C^{1/2} = R̃·L with L = chol(M_ref) computed ONCE per geometry.  Sampling
+    via M^{1/2}W = C^{1/2}·G^{1/2}·W with G = C^{-1/2} M C^{-ᵀ/2} drops the
+    spectral range Lanczos must capture from cond(M) (~300 for dense wall
+    suspensions) to cond(G) (~9 measured): 8 preconditioned iterations beat
+    25 plain ones.  L⁻¹ is precomputed so every application is a dense
+    (3n × 3n) matmul on the MXU, not a triangular solve.
+
+    Returns (L, L_inv), each (3n, 3n).
+    """
+    from rigid_body_light_tpu.ops import rpy
+
+    m_ref = rpy.mobility_matrix(jnp.asarray(geom_ref_cfg, dtype), a, eta, wall=False)
+    L = jnp.linalg.cholesky(m_ref)
+    L_inv = jax.scipy.linalg.solve_triangular(
+        L, jnp.eye(L.shape[0], dtype=dtype), lower=True
+    )
+    return L, L_inv
+
+
+def _rot_apply(rot, v, transpose=False):
+    """Apply blkdiag(R, ..., R) per body: v (B, n, 3) → (B, n, 3)."""
+    eq = "bji,bnj->bni" if transpose else "bij,bnj->bni"
+    return jnp.einsum(eq, rot, v)
+
+
+def m_half_w_precond(
+    mob_apply_or_multi: Callable,
+    positions,
+    rot,
+    L,
+    L_inv,
+    keys,
+    iters: int = 10,
+    multi: bool = False,
+):
+    """Preconditioned M^{1/2}W draws; ``keys`` is one key (multi=False) or a
+    pair of keys (multi=True, fused 2-RHS sweep).  Returns (N, 3) or a tuple
+    of two (N, 3) arrays.
+
+    G·v = L⁻¹ R̃ᵀ · M · R̃ L⁻ᵀ v, noise = R̃ L · G^{1/2} W.
+    """
+    positions = positions.reshape(-1, 3)
+    dtype = positions.dtype
+    three_n = L.shape[0]
+    B = positions.shape[0] * 3 // three_n
+    n = three_n // 3
+    k = 2 if multi else 1
+
+    def to_world(vk):  # (k, sz) -> (k, N, 3): R̃ L^{-T} v
+        vb = vk.reshape(k, B, three_n)
+        u = jnp.einsum("qp,kbq->kbp", L_inv, vb)  # L^{-T} v
+        return _rot_apply(
+            jnp.broadcast_to(rot, (k,) + rot.shape).reshape(k * B, 3, 3),
+            u.reshape(k * B, n, 3),
+        ).reshape(k, B * n, 3)
+
+    def from_world(xk):  # (k, N, 3) -> (k, sz): L^{-1} R̃ᵀ x
+        xb = _rot_apply(
+            jnp.broadcast_to(rot, (k,) + rot.shape).reshape(k * B, 3, 3),
+            xk.reshape(k * B, n, 3),
+            transpose=True,
+        ).reshape(k, B, three_n)
+        return jnp.einsum("pq,kbq->kbp", L_inv, xb).reshape(k, -1)
+
+    def mv(vk):  # (k, sz) -> (k, sz): G v
+        x = to_world(vk)
+        if multi:
+            mx = mob_apply_or_multi(x, positions)
+        else:
+            mx = mob_apply_or_multi(x[0], positions)[None]
+        return from_world(mx)
+
+    if multi:
+        w = jnp.stack([
+            jax.random.normal(keys[0], (B * three_n,), dtype=dtype),
+            jax.random.normal(keys[1], (B * three_n,), dtype=dtype),
+        ])
+    else:
+        w = jax.random.normal(keys, (B * three_n,), dtype=dtype)[None]
+
+    g = sqrt_matvec_batched(mv, w, iters=iters)  # (k, sz) = G^{1/2} W
+    # noise = R̃ L g
+    gb = g.reshape(k, B, three_n)
+    lg = jnp.einsum("pq,kbq->kbp", L, gb)
+    out = _rot_apply(
+        jnp.broadcast_to(rot, (k,) + rot.shape).reshape(k * B, 3, 3),
+        lg.reshape(k * B, n, 3),
+    ).reshape(k, B * n, 3)
+    if multi:
+        return out[0], out[1]
+    return out[0]
+
+
 def m_half_w_pair(
     mob_apply_multi: Callable,
     positions,

@@ -120,3 +120,45 @@ def test_m_half_w_covariance_statistical():
     est = traces.mean()
     se = traces.std() / np.sqrt(n_samp)
     assert abs(est - np.trace(M)) < 5 * se + 1e-9
+
+
+def test_preconditioned_noise_exact_factor():
+    """Preconditioned sampling M^{1/2}W = C^{1/2}·G^{1/2}·W must (a) use a
+    valid factor (X·Xᵀ = M) and (b) reproduce the dense truth at full
+    iteration count; the fused 2-RHS path must equal two singles."""
+    import scipy.linalg as sla
+    from rigid_body_light_tpu import SimulationConfig, load_structure
+
+    params, cfgb = load_structure("shell_N_12")
+    a = params["sep"] / 2
+    geom = kin.make_ref_geometry(cfgb, dtype=jnp.float64)
+    X, Q = utils.create_random_positions(3, wall_PC=True, seed=5)
+    state = make_state(X, Q, dtype=jnp.float64)
+    cfg = SimulationConfig(a=a, eta=1.3, wall=True, dtype=jnp.float64)
+    ops = sad.geometry_ops(geom, state)
+    pos = ops.flat_positions
+    mob = sad.mobility_apply_fn(cfg)
+    L, L_inv = lanczos.make_noise_preconditioner(geom.ref_cfg, a, 1.3, jnp.float64)
+
+    M = oracle.rpy_matrix(np.asarray(pos), a, 1.3, True)
+    b = oracle.damping(np.asarray(pos), a)
+    M = np.diag(b) @ M @ np.diag(b)
+    R = np.asarray(ops.rot)
+    C12 = sla.block_diag(*[np.kron(np.eye(12), R[i]) @ np.asarray(L) for i in range(3)])
+    G = np.linalg.solve(C12, np.linalg.solve(C12, M.T).T)
+    Xf = C12 @ sla.sqrtm(G).real
+    assert np.abs(Xf @ Xf.T - M).max() < 1e-12  # valid factor of M
+
+    key = jax.random.key(42)
+    w = np.asarray(jax.random.normal(key, (108,), dtype=jnp.float64))
+    truth = C12 @ (sla.sqrtm(G).real @ w)
+    y = np.asarray(lanczos.m_half_w_precond(mob, pos, ops.rot, L, L_inv, key, iters=108)).ravel()
+    assert np.abs(y - truth).max() < 1e-10
+
+    mob2 = sad.mobility_apply_multi_fn(cfg)
+    k1, k2 = jax.random.key(1), jax.random.key(2)
+    p1, p2 = lanczos.m_half_w_precond(mob2, pos, ops.rot, L, L_inv, (k1, k2), iters=20, multi=True)
+    s1 = lanczos.m_half_w_precond(mob, pos, ops.rot, L, L_inv, k1, iters=20)
+    s2 = lanczos.m_half_w_precond(mob, pos, ops.rot, L, L_inv, k2, iters=20)
+    assert float(jnp.abs(p1 - s1).max()) < 1e-12
+    assert float(jnp.abs(p2 - s2).max()) < 1e-12
