@@ -60,6 +60,8 @@ class SimulationConfig:
     split_rand: bool = True
     drift_mode: str = "midpoint_slip"  # or "em_exact" — see dynamics/stepper.py
     reject_below_wall: bool = True  # reject per-body moves that sink blobs below z=0 (wall runs only)
+    max_step_residual: float = 1e-2  # steps whose solve residual exceeds this are rejected (no move)
+    max_move: float = 5.0  # reject per-body moves whose translation exceeds max_move*a per step (<=0 disables)
     rfd_delta: float = 1.0e-4
     dtype: Any = jnp.float32
     m_scale: float = 1.0

@@ -40,17 +40,30 @@ class StepAux(NamedTuple):
 
 
 def _commit(geom, cfg, state, dU):
-    """Advance configs by dU, optionally rejecting per-body moves that sink
-    any blob below the wall (the Swan–Brady mobility is undefined there; a
-    body that tunnels through runs away on garbage mobilities.  Rejection of
-    invalid moves is the standard multiblob practice — Balboa Usabiaga,
-    Delmotte & Donev 2017)."""
+    """Advance configs by dU, rejecting per-body moves that are invalid:
+
+    - blobs sinking below the wall (the Swan–Brady mobility is undefined
+      there; a body that tunnels through runs away on garbage mobilities —
+      rejection is the standard multiblob practice, Balboa Usabiaga,
+      Delmotte & Donev 2017), and
+    - translations larger than ``max_move·a`` in one step.  A body wedged
+      ~0.01a above the wall makes the damped mobility near-singular; even a
+      *converged* solve then returns physically huge velocities (observed:
+      Δz ≈ 10 in one dt).  Any explicit BD step moving a body many blob
+      radii per dt is outside the scheme's validity no matter how it arose.
+    """
     X_new, Q_new = kin.update_X_Q(state.X, state.Q, dU)
+    B = state.X.shape[0]
+    valid = jnp.ones((B,), bool)
+    if cfg.max_move > 0:
+        valid = valid & (
+            jnp.linalg.norm(dU[:, 0:3], axis=-1) < cfg.max_move * cfg.a
+        )
     if cfg.wall and cfg.reject_below_wall:
         pos_new = kin.blob_positions(geom, X_new, Q_new)
-        valid = jnp.all(pos_new[:, :, 2] > 0.0, axis=1)  # (B,)
-        X_new = jnp.where(valid[:, None], X_new, state.X)
-        Q_new = jnp.where(valid[:, None], Q_new, state.Q)
+        valid = valid & jnp.all(pos_new[:, :, 2] > 0.0, axis=1)
+    X_new = jnp.where(valid[:, None], X_new, state.X)
+    Q_new = jnp.where(valid[:, None], Q_new, state.Q)
     return BodyState(X=X_new, Q=Q_new)
 
 
@@ -75,7 +88,8 @@ def deterministic_step(
         B, n, _ = ops.offsets.shape
         slip = jnp.zeros((B * n, 3), dtype)
     res = solvers.solve_saddle(ops, cfg, slip, force, mob_apply=mob_apply)
-    dU = res.U * jnp.asarray(cfg.dt, dtype)
+    ok = res.residual < jnp.asarray(cfg.max_step_residual, dtype)
+    dU = jnp.where(ok, res.U, 0.0) * jnp.asarray(cfg.dt, dtype)
     new_state = _commit(geom, cfg, state, dU)
     return new_state, StepAux(U=res.U, lam=res.lam, residual=res.residual)
 
@@ -195,7 +209,14 @@ def stochastic_step(
         ops_solve, cfg, slip_eff, force, mob_apply=mob_apply, x0=x0, pc=pc
     )
     U_total = res.U if drift_U is None else res.U + drift_U
-    dU = U_total * jnp.asarray(cfg.dt, dtype)
+    # reject the whole step if the Krylov solve failed — committing a
+    # garbage U launches bodies across the box (observed: a body wedged
+    # ~0.01a above the wall makes the damped mobility near-singular, the
+    # residual jumps from 1e-5 to 0.3 for one step, and the "velocity" is
+    # O(10^6)).  A no-move step at an already-pathological configuration is
+    # strictly better than the alternative; aux.residual surfaces the event.
+    ok = res.residual < jnp.asarray(cfg.max_step_residual, dtype)
+    dU = jnp.where(ok, U_total, 0.0) * jnp.asarray(cfg.dt, dtype)
     new_state = _commit(geom, cfg, state, dU)
     return new_state, StepAux(U=U_total, lam=res.lam, residual=res.residual)
 

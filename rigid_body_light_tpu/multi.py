@@ -247,21 +247,28 @@ def stochastic_step_multi(
     res = solve_saddle_multi(
         mgeom, cfg, states, slip_eff, forces, mob_apply=mob_apply, opses=opses_solve
     )
+    ok = res.residual < jnp.asarray(cfg.max_step_residual, dtype)
     new_states = []
     for g, st, U in zip(mgeom.geoms, states, res.Us):
-        new_states.append(_commit_species(g, cfg, st, U * jnp.asarray(cfg.dt, dtype)))
+        dU = jnp.where(ok, U, 0.0) * jnp.asarray(cfg.dt, dtype)
+        new_states.append(_commit_species(g, cfg, st, dU))
     return tuple(new_states), res
 
 
 def _commit_species(geom, cfg: SimulationConfig, state: BodyState, dU):
-    """Advance one species, rejecting per-body moves that sink blobs below
-    the wall (mirrors ``dynamics.stepper._commit``)."""
+    """Advance one species, rejecting invalid per-body moves (below-wall
+    blobs, oversized translations) — mirrors ``dynamics.stepper._commit``."""
     X_new, Q_new = kin.update_X_Q(state.X, state.Q, dU)
+    valid = jnp.ones((state.X.shape[0],), bool)
+    if cfg.max_move > 0:
+        valid = valid & (
+            jnp.linalg.norm(dU[:, 0:3], axis=-1) < cfg.max_move * cfg.a
+        )
     if cfg.wall and cfg.reject_below_wall:
         pos_new = kin.blob_positions(geom, X_new, Q_new)
-        valid = jnp.all(pos_new[:, :, 2] > 0.0, axis=1)
-        X_new = jnp.where(valid[:, None], X_new, state.X)
-        Q_new = jnp.where(valid[:, None], Q_new, state.Q)
+        valid = valid & jnp.all(pos_new[:, :, 2] > 0.0, axis=1)
+    X_new = jnp.where(valid[:, None], X_new, state.X)
+    Q_new = jnp.where(valid[:, None], Q_new, state.Q)
     return BodyState(X=X_new, Q=Q_new)
 
 

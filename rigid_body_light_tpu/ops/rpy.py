@@ -73,7 +73,9 @@ def _wall_coeffs(d_img, hj):
     (``c_rigid_obj.cpp:105-141``).
     """
     rz = d_img[..., 2]
-    h_hat = hj / rz
+    # rz = z_i + z_j > 0 for any valid pair; the floor only guards transient
+    # below-wall configurations (RFD displacements) against division blowup
+    h_hat = hj / jnp.maximum(rz, 1e-12)
     r2 = jnp.sum(d_img * d_img, axis=-1)
     invR = lax.rsqrt(jnp.maximum(r2, _R2_FLOOR))
     ez = rz * invR
@@ -131,10 +133,15 @@ def damping_factors(r, a=1.0):
     """Wall-overlap damping d_i = min(z_i/a, 1), shape (N,).
 
     Reference ``make_damp_mat`` (``c_rigid_obj.cpp:618-639``), citing Balboa
-    Usabiaga, Delmotte & Donev (2017) appendix A.
+    Usabiaga, Delmotte & Donev (2017) appendix A.  Unlike the reference's
+    min(z/a, 1) (which goes NEGATIVE below the wall and un-damps the
+    garbage-valued mobility there), the factor is clipped at 0: a below-wall
+    blob — reachable transiently through RFD displacement of a wall-wedged
+    configuration — gets zero mobility rows instead of unbounded ones.
+    Identical for all valid (z ≥ 0) configurations.
     """
     r = jnp.asarray(r).reshape(-1, 3)
-    return jnp.minimum(r[:, 2] / a, 1.0).astype(r.dtype)
+    return jnp.clip(r[:, 2] / a, 0.0, 1.0).astype(r.dtype)
 
 
 def _pair_tile(ri, zi_img_unused, rj, row_ids, col_ids, F, inv_a, wall, dtype):
