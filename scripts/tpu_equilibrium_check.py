@@ -1,0 +1,62 @@
+"""High-statistics Gibbs-Boltzmann equilibrium validation on TPU.
+
+Wall-confined spheres under gravity + exponential repulsion at kBT — the
+sharpest end-to-end test of the stochastic drift terms (VALIDATION.md).
+Runs ~25 min on one chip (compile included). Usage:
+
+    python scripts/tpu_equilibrium_check.py [midpoint_slip|em_exact]
+"""
+import sys, time, functools
+import numpy as np
+import jax, jax.numpy as jnp
+
+sys.path.insert(0, ".")
+from rigid_body_light_tpu import SimulationConfig, load_structure, forces
+from rigid_body_light_tpu.dynamics import run_bd
+from rigid_body_light_tpu.ops import kinematics as kin
+from rigid_body_light_tpu.state import make_state
+
+
+def main(mode="midpoint_slip", n_chunks=20):
+    params, cfgb = load_structure("shell_N_12")
+    kBT, mg, k_wall, lam_wall = 0.3, 1.0, 4.0, 0.3
+    geom = kin.make_ref_geometry(cfgb, dtype=jnp.float32)
+    force_fn = forces.sum_forces(
+        forces.gravity(np.array([0, 0, -mg, 0, 0, 0])),
+        forces.wall_repulsion(strength=k_wall, debye_length=lam_wall, radius=1.0),
+    )
+    B = 64
+    state = make_state(
+        np.array([[20.0 * (i % 8), 20.0 * (i // 8), 1.6] for i in range(B)]),
+        np.tile([1.0, 0, 0, 0], (B, 1)), dtype=jnp.float32,
+    )
+    cfg = SimulationConfig(
+        a=params["sep"] / 2, dt=0.01, kBT=kBT, wall=True, dtype=jnp.float32,
+        lanczos_iters=10, lanczos_precond=True, drift_mode=mode,
+        gmres_tol=1e-5, gmres_restart=25, gmres_maxiter=75,
+    )
+    zg = np.linspace(1.0, 4.5, 2000)
+    Uz = mg * zg + k_wall * lam_wall * np.exp(-(zg - 1.0) / lam_wall)
+    p = np.exp(-Uz / kBT)
+    p /= np.trapezoid(p, zg)
+    z_theory = float(np.trapezoid(zg * p, zg))
+
+    runner = jax.jit(functools.partial(
+        run_bd, geom, cfg, n_steps=1000, force_fn=force_fn, save_every=20))
+    key = jax.random.key(99)
+    zs = []
+    t0 = time.perf_counter()
+    for c in range(n_chunks):
+        key, sub = jax.random.split(key)
+        state, traj = runner(state, sub)
+        zs.append(np.asarray(traj["X"])[:, :, 2])
+    z = np.concatenate(zs[n_chunks // 4:], axis=0)
+    se = z.mean(axis=0).std() / np.sqrt(B)
+    print(f"{mode}: mean z = {z.mean():.4f} ± {se:.4f} "
+          f"(theory {z_theory:.4f}, bias {z.mean() - z_theory:+.4f}); "
+          f"zmax {np.concatenate(zs).max():.2f}, "
+          f"wall {time.perf_counter() - t0:.0f}s")
+
+
+if __name__ == "__main__":
+    main(*(sys.argv[1:2] or ["midpoint_slip"]))
