@@ -31,8 +31,13 @@ def msd(X, max_lag=None):
 
 
 def orientation_correlation(Q, max_lag=None):
-    """⟨cos θ(t)⟩ where θ is the rotation angle between orientations lag
+    """⟨cos θ(τ)⟩ where θ is the FULL rotation angle between orientations τ
     apart: C(τ) = ⟨2·(q(t)·q(t+τ))² − 1⟩ (quaternion double-cover safe).
+
+    Note: for free rotational diffusion this decays as (3·e^{−2·D_r·τ} − 1)/2
+    (trace of the l=1 Wigner matrix), limiting to −1/2 at uniform
+    orientations — NOT a pure exponential.  For the textbook
+    ⟨u(τ)·u(0)⟩ = e^{−2·D_r·τ} observable use :func:`axis_correlation`.
 
     Q: (T, B, 4).  Returns (lags, C (L,)).
     """
@@ -46,6 +51,30 @@ def orientation_correlation(Q, max_lag=None):
     for i, lag in enumerate(lags):
         dot = np.sum(Q[lag:] * Q[:-lag], axis=-1)
         out[i] = np.mean(2.0 * dot * dot - 1.0)
+    return lags, out
+
+
+def axis_correlation(Q, axis=(0.0, 0.0, 1.0), max_lag=None):
+    """Body-axis autocorrelation ⟨u(t+τ)·u(t)⟩ with u = R(q)·axis.
+
+    Decays as exp(−2·D_r·τ) for free rotational diffusion — the standard
+    rotational-diffusion observable.  Q: (T, B, 4).  Returns (lags, C).
+    """
+    from rigid_body_light_tpu.ops import quaternion as quat
+    import jax.numpy as jnp
+
+    Q = np.asarray(Q)
+    axis = np.asarray(axis, dtype=np.float64)
+    T, B, _ = Q.shape
+    R = np.asarray(quat.to_rotation_matrix(jnp.asarray(Q.reshape(-1, 4))))
+    u = (R @ axis).reshape(T, B, 3)
+    if max_lag is None:
+        max_lag = T // 2
+    max_lag = min(max_lag, T - 1)
+    lags = np.arange(1, max_lag + 1)
+    out = np.empty(max_lag)
+    for i, lag in enumerate(lags):
+        out[i] = np.mean(np.sum(u[lag:] * u[:-lag], axis=-1))
     return lags, out
 
 

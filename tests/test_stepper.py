@@ -146,3 +146,37 @@ def test_lagged_block_pc_converges():
     final, traj = run_bd(geom, cfg, state, jax.random.key(2), n_steps=9)
     assert np.isfinite(np.asarray(traj["X"])).all()
     assert float(np.asarray(traj["residual"]).max()) < 1e-5
+
+
+@pytest.mark.slow
+def test_rotational_diffusion():
+    """Body-axis correlation must decay as exp(−2·D_r·τ) with
+    D_r = kBT·μ_r from the torque solve — validates the rotational noise
+    channel statistically (measured 2.5% at these statistics)."""
+    from rigid_body_light_tpu import analysis
+
+    params, cfgb = _shell(12)
+    a = params["sep"] / 2
+    kBT, dt = 0.5, 0.02
+    geom = kin.make_ref_geometry(cfgb, dtype=jnp.float64)
+    cfgd = SimulationConfig(a=a, dtype=jnp.float64, gmres_tol=1e-10,
+                            gmres_maxiter=300)
+    st1 = make_state([[0.0, 0, 0]], [[1.0, 0, 0, 0]], dtype=jnp.float64)
+    ops = sad.geometry_ops(geom, st1)
+    T6 = jnp.zeros((1, 6)).at[0, 5].set(1.0)
+    mu_r = float(solvers.solve_saddle(ops, cfgd, jnp.zeros((12, 3)), T6).U[0, 5])
+    d_r = kBT * mu_r
+
+    B = 12
+    state = make_state(np.array([[25.0 * i, 0, 0] for i in range(B)]),
+                       np.tile([1.0, 0, 0, 0], (B, 1)), dtype=jnp.float64)
+    cfg = SimulationConfig(a=a, dt=dt, kBT=kBT, dtype=jnp.float64,
+                           lanczos_iters=12, gmres_tol=1e-8)
+    final, traj = run_bd(geom, cfg, state, jax.random.key(1),
+                         n_steps=3000, save_every=5)
+    lags, C = analysis.axis_correlation(np.asarray(traj["Q"]), max_lag=200)
+    tau = lags * 5 * dt
+    mask = C > 0.3
+    fit = np.polyfit(tau[mask], np.log(C[mask]), 1)
+    d_r_fit = -fit[0] / 2
+    assert abs(d_r_fit - d_r) / d_r < 0.15, (d_r_fit, d_r)
