@@ -62,6 +62,7 @@ class SimulationConfig:
     reject_below_wall: bool = True  # reject per-body moves that sink blobs below z=0 (wall runs only)
     max_step_residual: float = 1e-2  # steps whose solve residual exceeds this are rejected (no move)
     max_move: float = 5.0  # reject per-body moves whose translation exceeds max_move*a per step (<=0 disables)
+    max_rotation: float = 0.5  # reject per-body moves rotating more than this many radians per step
     rfd_delta: float = 1.0e-4
     dtype: Any = jnp.float32
     m_scale: float = 1.0
@@ -72,6 +73,14 @@ class SimulationConfig:
     gmres_restart: int = 40
     matvec_row_tile: int = 512
     use_pallas: bool = True
+
+    def __post_init__(self):
+        if self.max_step_residual > 0 and self.gmres_tol >= self.max_step_residual:
+            raise ValueError(
+                f"gmres_tol ({self.gmres_tol}) must be below max_step_residual "
+                f"({self.max_step_residual}) — otherwise every 'converged' solve "
+                "is rejected and the trajectory silently freezes"
+            )
 
     def replace(self, **kw) -> "SimulationConfig":
         return dataclasses.replace(self, **kw)

@@ -59,6 +59,10 @@ def _commit(geom, cfg, state, dU):
         valid = valid & (
             jnp.linalg.norm(dU[:, 0:3], axis=-1) < cfg.max_move * cfg.a
         )
+        # a huge angular velocity from a near-singular solve can pass the
+        # translation and below-wall checks (a spherical shell rotates in
+        # place) — bound the per-step rotation angle as well
+        valid = valid & (jnp.linalg.norm(dU[:, 3:6], axis=-1) < cfg.max_rotation)
     if cfg.wall and cfg.reject_below_wall:
         pos_new = kin.blob_positions(geom, X_new, Q_new)
         valid = valid & jnp.all(pos_new[:, :, 2] > 0.0, axis=1)
@@ -104,6 +108,7 @@ def stochastic_step(
     mob_apply: Callable = None,
     x0=None,
     pc=None,
+    noise_pc=None,
 ):
     """One fluctuating BD step (EM–midpoint with RFD drift).
 
@@ -142,18 +147,20 @@ def stochastic_step(
         # of sqrt(2kBT/dt)·M^{1/2}W has the identical distribution at half
         # the Lanczos cost
         use_split = cfg.split_rand and cfg.drift_mode != "em_exact"
+        if cfg.lanczos_precond and noise_pc is None:
+            # body-frame factor preconditioning: same distribution, ~3x fewer
+            # iterations.  run_bd precomputes and threads these through; for
+            # standalone calls build them here (trace-time constants).
+            noise_pc = lanczos.make_noise_preconditioner(
+                geom.ref_cfg, cfg.a, cfg.eta, dtype
+            )
         if use_split and default_mob:
             # fused two-draw Lanczos: both recurrences share one pair-field
             # sweep per iteration (2-RHS mobility product)
             mob_multi = saddle_mod.mobility_apply_multi_fn(cfg)
             if cfg.lanczos_precond:
-                # body-frame factor preconditioning: same distribution, ~3x
-                # fewer iterations (trace-time-constant factors, hoisted)
-                L, L_inv = lanczos.make_noise_preconditioner(
-                    geom.ref_cfg, cfg.a, cfg.eta, dtype
-                )
                 mhw1, mhw2 = lanczos.m_half_w_precond(
-                    mob_multi, pos, ops.rot, L, L_inv, (k1, k2),
+                    mob_multi, pos, ops.rot, noise_pc[0], noise_pc[1], (k1, k2),
                     iters=cfg.lanczos_iters, multi=True,
                 )
             else:
@@ -164,13 +171,26 @@ def stochastic_step(
             c2 = jnp.sqrt(jnp.asarray(kBT / cfg.dt, dtype))
             bi = c2 * (mhw1 - mhw2)
         elif use_split:
-            mhw1 = lanczos.m_half_w(mob_apply, pos, k1, iters=cfg.lanczos_iters)
-            mhw2 = lanczos.m_half_w(mob_apply, pos, k2, iters=cfg.lanczos_iters)
+            if cfg.lanczos_precond:
+                mhw1 = lanczos.m_half_w_precond(
+                    mob_apply, pos, ops.rot, noise_pc[0], noise_pc[1], k1,
+                    iters=cfg.lanczos_iters)
+                mhw2 = lanczos.m_half_w_precond(
+                    mob_apply, pos, ops.rot, noise_pc[0], noise_pc[1], k2,
+                    iters=cfg.lanczos_iters)
+            else:
+                mhw1 = lanczos.m_half_w(mob_apply, pos, k1, iters=cfg.lanczos_iters)
+                mhw2 = lanczos.m_half_w(mob_apply, pos, k2, iters=cfg.lanczos_iters)
             c1 = 2.0 * jnp.sqrt(jnp.asarray(kBT / cfg.dt, dtype))
             c2 = jnp.sqrt(jnp.asarray(kBT / cfg.dt, dtype))
             bi = c2 * (mhw1 - mhw2)
         else:
-            mhw1 = lanczos.m_half_w(mob_apply, pos, k1, iters=cfg.lanczos_iters)
+            if cfg.lanczos_precond:
+                mhw1 = lanczos.m_half_w_precond(
+                    mob_apply, pos, ops.rot, noise_pc[0], noise_pc[1], k1,
+                    iters=cfg.lanczos_iters)
+            else:
+                mhw1 = lanczos.m_half_w(mob_apply, pos, k1, iters=cfg.lanczos_iters)
             c1 = jnp.sqrt(jnp.asarray(2.0 * kBT / cfg.dt, dtype))
             c2 = c1
             bi = c2 * mhw1
@@ -248,6 +268,10 @@ def run_bd(
             return jnp.zeros((B, 6), dtype)
 
     lagged_pc = cfg.pc_refresh > 1
+    noise_pc = (
+        lanczos.make_noise_preconditioner(geom.ref_cfg, cfg.a, cfg.eta, dtype)
+        if (cfg.lanczos_precond and cfg.kBT > 0.0) else None
+    )
 
     def body(carry, i):
         s, k, x_prev, pc_prev = carry
@@ -268,10 +292,18 @@ def run_bd(
             pc = None
         s_new, aux = stochastic_step(
             geom, cfg, s, sub, force, slip=slip, mob_apply=mob_apply,
-            x0=x_prev, pc=pc,
+            x0=x_prev, pc=pc, noise_pc=noise_pc,
         )
         out = (s_new.X, s_new.Q, aux.residual)
-        return (s_new, k, (aux.lam, aux.U), pc if lagged_pc else pc_prev), out
+        # a failed solve's (λ, U) would poison the next step's warm start
+        # (its residual is measured relative to ‖b‖, so a garbage x0 can
+        # take more iterations than the budget to un-learn) — carry zeros
+        solve_ok = aux.residual < cfg.max_step_residual
+        x_carry = (
+            jnp.where(solve_ok, aux.lam, 0.0),
+            jnp.where(solve_ok, aux.U, 0.0),
+        )
+        return (s_new, k, x_carry, pc if lagged_pc else pc_prev), out
 
     n_blb = geom.ref_cfg.shape[0]
     x_init = (

@@ -256,20 +256,10 @@ def stochastic_step_multi(
 
 
 def _commit_species(geom, cfg: SimulationConfig, state: BodyState, dU):
-    """Advance one species, rejecting invalid per-body moves (below-wall
-    blobs, oversized translations) — mirrors ``dynamics.stepper._commit``."""
-    X_new, Q_new = kin.update_X_Q(state.X, state.Q, dU)
-    valid = jnp.ones((state.X.shape[0],), bool)
-    if cfg.max_move > 0:
-        valid = valid & (
-            jnp.linalg.norm(dU[:, 0:3], axis=-1) < cfg.max_move * cfg.a
-        )
-    if cfg.wall and cfg.reject_below_wall:
-        pos_new = kin.blob_positions(geom, X_new, Q_new)
-        valid = valid & jnp.all(pos_new[:, :, 2] > 0.0, axis=1)
-    X_new = jnp.where(valid[:, None], X_new, state.X)
-    Q_new = jnp.where(valid[:, None], Q_new, state.Q)
-    return BodyState(X=X_new, Q=Q_new)
+    """Advance one species with the shared move-rejection guards."""
+    from rigid_body_light_tpu.dynamics.stepper import _commit
+
+    return _commit(geom, cfg, state, dU)
 
 
 def _displaced_concat(mgeom, states, us, scale):

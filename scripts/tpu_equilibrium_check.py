@@ -35,7 +35,10 @@ def main(mode="midpoint_slip", n_chunks=20):
         lanczos_iters=10, lanczos_precond=True, drift_mode=mode,
         gmres_tol=1e-5, gmres_restart=25, gmres_maxiter=75,
     )
-    zg = np.linspace(1.0, 4.5, 2000)
+    # domain starts at the lowest accessible body-center height (blob shell
+    # radius ~0.79 for shell_N_12, below-wall moves rejected), not at z=1 —
+    # the Boltzmann weight at z=1 is still ~20% of peak
+    zg = np.linspace(0.75, 4.5, 2000)
     Uz = mg * zg + k_wall * lam_wall * np.exp(-(zg - 1.0) / lam_wall)
     p = np.exp(-Uz / kBT)
     p /= np.trapezoid(p, zg)

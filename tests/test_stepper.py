@@ -122,7 +122,8 @@ def test_wall_equilibrium_boltzmann():
     Xs = np.asarray(traj["X"])
     assert np.isfinite(Xs).all()
     z = Xs[Xs.shape[0] // 4:, :, 2]
-    zg = np.linspace(1.0, 4.5, 2000)
+    # integrate from the lowest accessible center height (shell radius ~0.79)
+    zg = np.linspace(0.75, 4.5, 2000)
     Uz = mg * zg + k_wall * lam_wall * np.exp(-(zg - 1.0) / lam_wall)
     p = np.exp(-Uz / kBT)
     p /= np.trapezoid(p, zg)
