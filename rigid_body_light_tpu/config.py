@@ -67,7 +67,7 @@ class SimulationConfig:
     dtype: Any = jnp.float32
     m_scale: float = 1.0
     lanczos_iters: int = 30
-    lanczos_precond: bool = False  # body-frame factor preconditioning of M^{1/2}W (see ops/lanczos.py)
+    lanczos_precond: bool = False  # EXPERIMENTAL: factor-preconditioned M^{1/2}W — exact factor and ~3x fewer iterations, but a 64-walker f32 wall-equilibrium run showed unexplained upward bias (VALIDATION.md); validated at small ensembles only
     gmres_tol: float = 1.0e-6
     gmres_maxiter: int = 200
     gmres_restart: int = 40
