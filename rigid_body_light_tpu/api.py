@@ -83,6 +83,23 @@ class RigidBody:
         self.config = config
         self.precision = "double" if config.dtype == jnp.float64 else "single"
         self._geom = kin.make_ref_geometry(rigid_config, dtype=config.dtype)
+        # the closed-form (KᵀK)⁻¹ needs a nonsingular rotational moment block
+        # D = Σ|ref|²·I − MOI; its spectrum is rotation-invariant, so check
+        # once at construction (the reference kills the process instead —
+        # ``block_KTKinv``, ``c_rigid_obj.cpp:313-316``)
+        D = np.asarray(
+            self._geom.sum_r2 * jnp.eye(3, dtype=config.dtype) - self._geom.moi
+        )
+        # "singular" = no digits left at working precision
+        cond_limit = 0.01 / np.finfo(D.dtype).eps
+        if self.blobs_per_body >= 2 and (
+            not np.isfinite(np.linalg.cond(D)) or np.linalg.cond(D) > cond_limit
+        ):
+            raise RuntimeError(
+                "The rotational block of K^T K is singular — the blobs are "
+                "collinear (is your rigid body a dimer?). Rotation about the "
+                "blob axis is unconstrained; add off-axis blobs."
+            )
         self._pc_cache = None
         self._ops_cache = None
         self.set_config(X, Q)
@@ -95,6 +112,7 @@ class RigidBody:
         self.state = make_state(X, Q, dtype=self.config.dtype)
         self.total_blobs = self.N_bodies * self.blobs_per_body
         self._invalidate()
+        self._check_overlap(self._ops.flat_positions)
 
     def get_config(self):
         X = np.asarray(self.state.X).reshape(self.X_shape)
@@ -162,6 +180,7 @@ class RigidBody:
             )
         r = jnp.asarray(positions, self.config.dtype).reshape(-1, 3)
         self._check_above_wall(r)
+        self._check_overlap(r)
         F = jnp.asarray(forces, self.config.dtype).reshape(-1, 3)
         out = _apply_m_jit(F, r, self.config)
         return np.asarray(out).ravel()
@@ -297,6 +316,21 @@ class RigidBody:
                     "mobility- check your configuration."
                 )
 
+    def _check_overlap(self, positions):
+        """Raise on exactly-coincident blobs (the RPY pair mobility is
+        undefined at r=0; the reference exits the process there,
+        ``mobilityUFRPY``, ``c_rigid_obj.cpp:53-58``).  Gated on
+        ``config.validate_config`` — this is an O(N²) sweep + host sync and
+        only guards the user-facing numpy entry points."""
+        if not self.config.validate_config or positions.shape[0] < 2:
+            return
+        diag = _min_separation_jit(positions, self.config.a)
+        if float(diag) < 1e-8:
+            raise RuntimeError(
+                f"TWO BLOBS ARE OVERLAPPING OR TOO CLOSELY POSITIONED "
+                f"(min separation {float(diag):.3e} a)"
+            )
+
     def __check_and_set_configs(self, X, Q):
         x_size = int(np.prod(np.shape(X)))
         q_size = int(np.prod(np.shape(Q)))
@@ -341,6 +375,14 @@ _geometry_ops_jit = jax.jit(saddle_mod.geometry_ops)
 _K_dot_jit = jax.jit(kin.K_dot)
 _KT_dot_jit = jax.jit(kin.KT_dot)
 _update_jit = jax.jit(kin.update_X_Q)
+
+
+@jax.jit
+def _min_separation_jit(positions, a):
+    from rigid_body_light_tpu.utils import validation
+
+    Q_unit = jnp.array([[1.0, 0.0, 0.0, 0.0]], positions.dtype)
+    return validation.diagnose(positions, Q_unit, a=a).min_separation
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -73,6 +73,7 @@ class SimulationConfig:
     gmres_restart: int = 40
     matvec_row_tile: int = 512
     use_pallas: bool = True
+    validate_config: bool = True  # RigidBody API: check blob overlap on set_config/apply_M (O(N²) pairwise sweep + host sync — disable for very large N or latency-critical callers; the jitted device paths never run it)
 
     def __post_init__(self):
         if self.max_step_residual > 0 and self.gmres_tol >= self.max_step_residual:

@@ -59,9 +59,11 @@ def _commit(geom, cfg, state, dU):
         valid = valid & (
             jnp.linalg.norm(dU[:, 0:3], axis=-1) < cfg.max_move * cfg.a
         )
-        # a huge angular velocity from a near-singular solve can pass the
-        # translation and below-wall checks (a spherical shell rotates in
-        # place) — bound the per-step rotation angle as well
+    # a huge angular velocity from a near-singular solve can pass the
+    # translation and below-wall checks (a spherical shell rotates in
+    # place) — bound the per-step rotation angle as well.  Gated on its own
+    # config knob so disabling the translation cap keeps this guard live.
+    if cfg.max_rotation > 0:
         valid = valid & (jnp.linalg.norm(dU[:, 3:6], axis=-1) < cfg.max_rotation)
     if cfg.wall and cfg.reject_below_wall:
         pos_new = kin.blob_positions(geom, X_new, Q_new)

@@ -69,6 +69,7 @@ def _kernel(off_ref, rows_ref, cols_ref, out_ref, *, n_cols_valid: int,
     i = pl.program_id(0)
     row_start = i * TR
     row_offset = off_ref[0]
+    col_offset = off_ref[1]
 
     xR = rows_ref[0, pl.ds(row_start, TR)].reshape(TR, 1)
     yR = rows_ref[1, pl.ds(row_start, TR)].reshape(TR, 1)
@@ -84,9 +85,12 @@ def _kernel(off_ref, rows_ref, cols_ref, out_ref, *, n_cols_valid: int,
         xC = cols_ref[0, pl.ds(c0, TC)].reshape(1, TC)
         yC = cols_ref[1, pl.ds(c0, TC)].reshape(1, TC)
         zC = cols_ref[2, pl.ds(c0, TC)].reshape(1, TC)
-        col_ids = c0 + jax.lax.broadcasted_iota(jnp.int32, (1, TC), 1)
-        # pair validity: not self, column is a real blob
-        live = jnp.logical_and(row_ids != col_ids, col_ids < n_cols_valid)
+        col_local = c0 + jax.lax.broadcasted_iota(jnp.int32, (1, TC), 1)
+        col_ids = col_offset + col_local
+        # pair validity: not self (compared on GLOBAL ids — row_offset /
+        # col_offset place this slab in the full pair matrix), and the
+        # column is a real blob (n_cols_valid bounds the LOCAL index).
+        live = jnp.logical_and(row_ids != col_ids, col_local < n_cols_valid)
 
         dx = xR - xC
         dy = yR - yC
@@ -244,17 +248,22 @@ def pair_sum(r_over_a, F, wall: bool, interpret: bool = False):
     n = r_over_a.shape[0]
     n_pad = -(-n // TC) * TC
     P = _pack(r_over_a, Fk, n_pad)
-    off = jnp.zeros((1,), jnp.int32)
+    off = jnp.zeros((2,), jnp.int32)
     out = _pair_sweep_packed(P, P, off, n, n_pad, n_pad, wall, k, interpret)
     U = jnp.stack([out[3 * i : 3 * i + 3, :n].T for i in range(k)])
     return U if multi else U[0]
 
 
 def pair_sum_slab(r_rows_over_a, row_offset, r_cols_over_a, F_cols, wall: bool,
-                  n_cols_valid: int = None, interpret: bool = False):
-    """Rectangular slab sweep for the sharded path: local rows × all columns.
+                  n_cols_valid: int = None, col_offset=0,
+                  interpret: bool = False):
+    """Rectangular slab sweep for the sharded paths: local rows × columns.
 
-    row_offset: global index of the first row blob (for self-pair masking).
+    row_offset / col_offset: global index of the first row / column blob —
+    they place this slab inside the full pair matrix so self-pair masking
+    stays correct.  The 1-D row-sharded sweep passes all columns
+    (col_offset=0); the 2-D SUMMA sweep passes its local column block with
+    col_offset = j·n_loc_c.  n_cols_valid bounds the LOCAL column index.
     """
     n_rows = r_rows_over_a.shape[0]
     n_cols = r_cols_over_a.shape[0]
@@ -264,7 +273,10 @@ def pair_sum_slab(r_rows_over_a, row_offset, r_cols_over_a, F_cols, wall: bool,
     n_cols_pad = -(-n_cols // TC) * TC
     P_rows = _pack(r_rows_over_a, jnp.zeros_like(r_rows_over_a)[None], n_rows_pad)
     P_cols = _pack(r_cols_over_a, F_cols[None], n_cols_pad)
-    off = jnp.asarray(row_offset, jnp.int32).reshape(1)
+    off = jnp.stack([
+        jnp.asarray(row_offset, jnp.int32).reshape(()),
+        jnp.asarray(col_offset, jnp.int32).reshape(()),
+    ])
     out = _pair_sweep_packed(
         P_rows, P_cols, off, n_cols_valid, n_cols_pad, n_rows_pad, wall, 1, interpret
     )

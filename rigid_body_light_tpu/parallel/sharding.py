@@ -105,7 +105,7 @@ def make_mesh_2d(shape, axis_names=("rows", "cols")) -> Mesh:
 
 def sharded_pair_sum_2d(
     r, F, mesh: Mesh, a=1.0, wall=False, row_tile=512,
-    axis_names=("rows", "cols"),
+    axis_names=("rows", "cols"), use_pallas=False,
 ):
     """2-D (SUMMA-style) sharded Σ_j M_ij F_j over a (Dr, Dc) mesh.
 
@@ -128,16 +128,30 @@ def sharded_pair_sum_2d(
     n_loc_r = n_pad // dr
     n_loc_c = n_pad // dc
 
+    if use_pallas:
+        from rigid_body_light_tpu.ops import rpy_pallas
+
+        use_pallas = rpy_pallas.available() and r.dtype == jnp.float32
+
     def local(r_rows, r_cols, F_cols):
         i = lax.axis_index(ax_r)
         j = lax.axis_index(ax_c)
-        row_ids = i * n_loc_r + jnp.arange(n_loc_r, dtype=jnp.int32)
-        col_ids = j * n_loc_c + jnp.arange(n_loc_c, dtype=jnp.int32)
-        # padded columns have F=0 → no contribution; valid-masking via ids
-        part = rpy.pair_sum(
-            r_rows, row_ids, r_cols, col_ids, F_cols,
-            a=a, wall=wall, row_tile=row_tile,
-        )
+        if use_pallas:
+            from rigid_body_light_tpu.ops import rpy_pallas
+
+            inv_a = jnp.float32(1.0 / a)
+            part = rpy_pallas.pair_sum_slab(
+                r_rows * inv_a, i * n_loc_r, r_cols * inv_a, F_cols, wall,
+                col_offset=j * n_loc_c,
+            )
+        else:
+            row_ids = i * n_loc_r + jnp.arange(n_loc_r, dtype=jnp.int32)
+            col_ids = j * n_loc_c + jnp.arange(n_loc_c, dtype=jnp.int32)
+            # padded columns have F=0 → no contribution; masking via ids
+            part = rpy.pair_sum(
+                r_rows, row_ids, r_cols, col_ids, F_cols,
+                a=a, wall=wall, row_tile=row_tile,
+            )
         return lax.psum(part, ax_c)
 
     U_p = shard_map(
@@ -173,6 +187,7 @@ def sharded_mobility_apply_fn(
             U = sharded_pair_sum_2d(
                 r, Fd, mesh, a=cfg.a, wall=cfg.wall,
                 row_tile=cfg.matvec_row_tile, axis_names=mesh.axis_names,
+                use_pallas=cfg.use_pallas,
             )
         else:
             U = sharded_pair_sum(

@@ -47,6 +47,35 @@ def test_slab_matches_square(cloud, wall):
     assert np.allclose(np.asarray(slab), np.asarray(full)[lo:hi], atol=1e-5)
 
 
+@pytest.mark.parametrize("wall", [False, True])
+def test_slab_2d_decomposition(cloud, wall):
+    """Tiling the pair matrix into row×column blocks with row/col offsets
+    must reproduce the square sweep — the 2-D SUMMA sharded-path contract
+    (each device computes one block, psum over the column axis)."""
+    r, F = cloud
+    r_n = jnp.asarray(r) / 0.9
+    F_j = jnp.asarray(F)
+    full = np.asarray(rpy_pallas.pair_sum(r_n, F_j, wall, interpret=True))
+    n = r.shape[0]
+    n_pad = 160  # 2 divides; padded tail inert (zero force)
+    r_p = jnp.pad(r_n, ((0, n_pad - n), (0, 0)))
+    F_p = jnp.pad(F_j, ((0, n_pad - n), (0, 0)))
+    h = n_pad // 2
+    acc = np.zeros((n_pad, 3), np.float32)
+    for bi in range(2):
+        for bj in range(2):
+            part = rpy_pallas.pair_sum_slab(
+                r_p[bi * h : (bi + 1) * h], bi * h,
+                r_p[bj * h : (bj + 1) * h], F_p[bj * h : (bj + 1) * h],
+                wall, col_offset=bj * h, interpret=True,
+            )
+            acc[bi * h : (bi + 1) * h] += np.asarray(part)
+    # padded rows are dropped by the sharded caller (U_p[:n]) and may carry
+    # wall-branch garbage (z=0 image at distance 0) — only valid rows count
+    assert np.isfinite(acc[:n]).all()
+    assert np.abs(acc[:n] - full).max() / np.abs(full).max() < 1e-5
+
+
 def test_padded_columns_are_inert(cloud):
     """Ragged N (not a multiple of the column tile) must not perturb results:
     compare against the XLA reference path at the same precision."""

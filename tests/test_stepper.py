@@ -181,3 +181,26 @@ def test_rotational_diffusion():
     fit = np.polyfit(tau[mask], np.log(C[mask]), 1)
     d_r_fit = -fit[0] / 2
     assert abs(d_r_fit - d_r) / d_r < 0.15, (d_r_fit, d_r)
+
+
+def test_rotation_guard_independent_of_max_move():
+    """The per-step rotation cap must stay live when the translation cap is
+    disabled (max_move<=0) — a near-singular solve can spin a body in place
+    without any translation."""
+    from rigid_body_light_tpu.dynamics import stepper
+
+    params, cfgb = _shell()
+    geom = kin.make_ref_geometry(cfgb, dtype=jnp.float64)
+    state = make_state([[0.0, 0.0, 3.0]], [[1.0, 0, 0, 0]], dtype=jnp.float64)
+    cfg = SimulationConfig(
+        a=params["sep"] / 2, dt=0.1, dtype=jnp.float64,
+        max_move=0.0, max_rotation=0.5,
+    )
+    # pure oversized rotation, zero translation
+    dU = jnp.zeros((1, 6), jnp.float64).at[0, 5].set(3.0)
+    out = stepper._commit(geom, cfg, state, dU)
+    assert np.allclose(np.asarray(out.Q), np.asarray(state.Q))  # rejected
+    # small rotation passes
+    dU_ok = jnp.zeros((1, 6), jnp.float64).at[0, 5].set(0.1)
+    out2 = stepper._commit(geom, cfg, state, dU_ok)
+    assert not np.allclose(np.asarray(out2.Q), np.asarray(state.Q))
