@@ -81,6 +81,18 @@ def main():
         "value": round(steps_per_sec, 4),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / CPU_REFERENCE_STEPS_PER_SEC, 1),
+        # exact solver config measured — the artifact is self-describing
+        "config": {
+            "dtype": "float32",
+            "lanczos_iters": cfg.lanczos_iters,
+            "lanczos_precond": cfg.lanczos_precond,
+            "split_rand": cfg.split_rand,
+            "drift_mode": cfg.drift_mode,
+            "pc": cfg.pc_mode or ("block" if cfg.block_diag_pc else "diag"),
+            "pc_refresh": cfg.pc_refresh,
+            "gmres_tol": cfg.gmres_tol,
+            "use_pallas": cfg.use_pallas,
+        },
     }))
 
 

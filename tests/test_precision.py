@@ -1,6 +1,11 @@
-"""Port of reference ``tests/test_precision.py``: both input dtypes must be
-accepted regardless of the configured compute precision — plus our runtime-
-precision extension (dtype is a constructor arg, not a build flag)."""
+"""Precision contract (behavioral spec: reference ``tests/test_precision.py``).
+
+Whatever compute precision the solver runs at, both float32 and float64
+*inputs* must be accepted by the kinematic matvecs and the preconditioner —
+plus the runtime-dtype extension: precision here is a constructor argument,
+not the reference's compile-time ``DOUBLE_PRECISION`` build flag
+(``eigen_defines.h:17-37``).
+"""
 
 import jax.numpy as jnp
 import numpy as np
@@ -8,48 +13,49 @@ import pytest
 
 import utils
 
-
-@pytest.mark.parametrize("precision", [np.float32, np.float64])
-def test_precision(precision):
-    N_rigid = 5
-    X, Q = utils.create_random_positions(N_rigid)
-    X = np.array(X, dtype=precision)
-    Q = np.array(Q, dtype=precision)
-    cb = utils.create_solver(X, Q)
-    cb.set_config(X, Q)
-
-    N_per = cb.blobs_per_body
-    N_blobs = N_rigid * N_per
-
-    U = np.random.randn(6 * N_rigid).astype(precision)
-    lambda_vec = np.random.randn(3 * N_blobs).astype(precision)
-    assert np.linalg.norm(cb.K_dot(U)) > 0.0
-    assert np.linalg.norm(cb.KT_dot(lambda_vec)) > 0.0
+INPUT_DTYPES = [np.float32, np.float64]
+FLAG_GRID = [(b, w) for b in (False, True) for w in (False, True)]
 
 
-@pytest.mark.parametrize(
-    ("block_PC", "wall_PC"),
-    ((False, False), (True, False), (False, True), (True, True)),
-)
-@pytest.mark.parametrize("precision", [np.float32, np.float64])
-def test_pc_precision(precision, block_PC, wall_PC):
-    N_rigid = 3
-    X, Q = utils.create_random_positions(N_rigid, wall_PC=wall_PC)
-    X = np.array(X, dtype=precision)
-    Q = np.array(Q, dtype=precision)
-    cb = utils.create_solver(X, Q, block_PC=block_PC, wall_PC=wall_PC)
-    size = 3 * cb.blobs_per_body * N_rigid + 6 * N_rigid
-    x = np.random.randn(size).astype(precision)
-    PC = cb.apply_PC(x)
-    assert np.linalg.norm(PC) > 0.0
+@pytest.fixture(params=INPUT_DTYPES, ids=["f32-in", "f64-in"])
+def in_dtype(request):
+    return request.param
 
 
-@pytest.mark.parametrize("dtype", [jnp.float32, jnp.float64])
-def test_runtime_compute_precision(dtype):
-    N_rigid = 2
-    X, Q = utils.create_random_positions(N_rigid, seed=1)
-    cb = utils.create_solver(X, Q, dtype=dtype)
-    assert cb.precision == ("double" if dtype == jnp.float64 else "single")
-    pos = cb.get_blob_positions()
-    out = cb.apply_M(np.random.randn(pos.size), pos)
-    assert out.dtype == np.dtype(np.float64 if dtype == jnp.float64 else np.float32)
+def test_kinematic_matvecs_accept_either_input_dtype(in_dtype):
+    n_bodies = 5
+    X, Q = utils.create_random_positions(n_bodies, seed=5)
+    solver = utils.create_solver(X.astype(in_dtype), Q.astype(in_dtype))
+    solver.set_config(X.astype(in_dtype), Q.astype(in_dtype))
+
+    rng = np.random.default_rng(6)
+    body_vec = rng.standard_normal(6 * n_bodies).astype(in_dtype)
+    blob_vec = rng.standard_normal(3 * solver.total_blobs).astype(in_dtype)
+    assert np.linalg.norm(solver.K_dot(body_vec)) > 0.0
+    assert np.linalg.norm(solver.KT_dot(blob_vec)) > 0.0
+
+
+@pytest.mark.parametrize(("block_PC", "wall_PC"), FLAG_GRID)
+def test_preconditioner_accepts_either_input_dtype(in_dtype, block_PC, wall_PC):
+    n_bodies = 3
+    X, Q = utils.create_random_positions(n_bodies, wall_PC=wall_PC, seed=7)
+    solver = utils.create_solver(
+        X.astype(in_dtype), Q.astype(in_dtype),
+        block_PC=block_PC, wall_PC=wall_PC,
+    )
+    b = np.random.default_rng(8).standard_normal(
+        3 * solver.total_blobs + 6 * n_bodies
+    ).astype(in_dtype)
+    assert np.linalg.norm(solver.apply_PC(b)) > 0.0
+
+
+@pytest.mark.parametrize("compute_dtype", [jnp.float32, jnp.float64])
+def test_runtime_compute_precision(compute_dtype):
+    """dtype= selects the on-device precision at runtime; outputs follow it."""
+    X, Q = utils.create_random_positions(2, seed=1)
+    solver = utils.create_solver(X, Q, dtype=compute_dtype)
+    expect = "double" if compute_dtype == jnp.float64 else "single"
+    assert solver.precision == expect
+    pos = solver.get_blob_positions()
+    out = solver.apply_M(np.random.default_rng(2).standard_normal(pos.size), pos)
+    assert out.dtype == (np.float64 if compute_dtype == jnp.float64 else np.float32)

@@ -1,44 +1,49 @@
-"""Port of reference ``tests/test_wall.py``: finite results above the wall,
-RuntimeError when any blob center is below z=0."""
+"""Wall error contract (behavioral spec: reference ``tests/test_wall.py``).
+
+Every mobility-touching operator must return finite, nonzero output for a
+body hovering above the wall, and raise ``RuntimeError`` the moment any blob
+center sits below z = 0 — the Swan–Brady correction is undefined there (the
+reference throws from ``mobilityUFSingleWallCorrection``,
+``c_rigid_obj.cpp:95-97``).
+"""
 
 import numpy as np
 import pytest
 
 import utils
 
-
-def test_above_wall():
-    N = 1
-    X = np.array([[0.0, 0.0, 1.0]])
-    Q = np.array([[1.0, 0.0, 0.0, 0.0]])
-    _, config = utils.load_config(utils.struct_shell_12)
-    cb = utils.create_solver(rigid_config=config, X=X, Q=Q, wall_PC=True)
-
-    size = 3 * cb.blobs_per_body * N + 6 * N
-    vec = np.random.randn(size)
-    PC = cb.apply_PC(vec)
-    saddle = cb.apply_saddle(vec)
-    M_applied = cb.apply_M(vec[: 3 * cb.blobs_per_body * N], cb.get_blob_positions())
-    assert np.linalg.norm(PC) > 0.0
-    assert np.linalg.norm(saddle) > 0.0
-    assert np.linalg.norm(M_applied) > 0.0
-    assert np.isfinite(PC).all()
-    assert np.isfinite(saddle).all()
-    assert np.isfinite(M_applied).all()
+OPERATORS = ["apply_PC", "apply_saddle", "apply_M"]
 
 
-def test_under_wall():
-    N = 1
-    X = np.array([[0.0, 0.0, 0.0]])
-    Q = np.array([[1.0, 0.0, 0.0, 0.0]])
-    _, config = utils.load_config(utils.struct_shell_12)
-    cb = utils.create_solver(rigid_config=config, X=X, Q=Q, wall_PC=True)
+def _solver_at_height(z):
+    solver = utils.create_solver(
+        X=np.array([[0.0, 0.0, z]]),
+        Q=np.array([[1.0, 0.0, 0.0, 0.0]]),
+        wall_PC=True,
+    )
+    rng = np.random.default_rng(42)
+    sys_vec = rng.standard_normal(3 * solver.total_blobs + 6 * solver.N_bodies)
+    return solver, sys_vec
 
-    size = 3 * cb.blobs_per_body * N + 6 * N
-    vec = np.random.randn(size)
-    with pytest.raises(RuntimeError):
-        cb.apply_saddle(vec)
-    with pytest.raises(RuntimeError):
-        cb.apply_PC(vec)
-    with pytest.raises(RuntimeError):
-        cb.apply_M(vec[: 3 * cb.blobs_per_body * N], cb.get_blob_positions())
+
+def _invoke(solver, op, sys_vec):
+    if op == "apply_M":
+        lam = sys_vec[: 3 * solver.total_blobs]
+        return solver.apply_M(lam, solver.get_blob_positions())
+    return getattr(solver, op)(sys_vec)
+
+
+@pytest.mark.parametrize("op", OPERATORS)
+def test_operator_finite_above_wall(op):
+    solver, vec = _solver_at_height(z=1.0)
+    out = _invoke(solver, op, vec)
+    assert np.isfinite(out).all()
+    assert np.linalg.norm(out) > 0.0
+
+
+@pytest.mark.parametrize("op", OPERATORS)
+def test_operator_raises_below_wall(op):
+    # center at z = 0 → the lower hemisphere's blobs are below the wall
+    solver, vec = _solver_at_height(z=0.0)
+    with pytest.raises(RuntimeError, match="below the wall"):
+        _invoke(solver, op, vec)
