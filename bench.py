@@ -46,9 +46,9 @@ def main():
     # iterations gives ~2e-3 relative noise error.
     cfg = SimulationConfig(
         a=params["sep"] / 2, dt=0.01, kBT=1.0, wall=True,
-        dtype=jnp.float32, lanczos_iters=25, gmres_tol=1e-4,
-        gmres_restart=20, gmres_maxiter=60, matvec_row_tile=512,
-        block_diag_pc=True, pc_refresh=4,
+        dtype=jnp.float32, lanczos_iters=10, lanczos_precond=True,
+        gmres_tol=1e-4, gmres_restart=20, gmres_maxiter=60,
+        matvec_row_tile=512, block_diag_pc=True, pc_refresh=4,
     )
     geom = kin.make_ref_geometry(cfgb, dtype=jnp.float32)
     state = make_state(xs, qs, dtype=jnp.float32)

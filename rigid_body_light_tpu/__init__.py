@@ -18,6 +18,19 @@ Public surface:
     ``tests/utils.py:9-19``).
 """
 
+import jax as _jax
+
+# TPU matmuls default to bfloat16 inputs (measured here: 2.3e-3 relative
+# error vs 1.4e-7 at float32 precision).  This framework's numerical
+# contracts — GMRES tolerances, Lanczos noise factors, kinematic
+# projections — assume true float32 arithmetic, and the ~2e-3 matmul noise
+# measurably breaks them (it biased the preconditioned-noise sampler's
+# equilibrium statistics and floored Krylov convergence).  The hot-path
+# flops live in the O(N²) pair sweeps, not in these small matmuls, so the
+# multi-pass float32 mode costs nothing measurable.  Users can override
+# after import with jax.config.update or a default_matmul_precision scope.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from rigid_body_light_tpu import analysis, flows, forces, multi
 from rigid_body_light_tpu.api import RigidBody
 from rigid_body_light_tpu.config import SimulationConfig

@@ -67,12 +67,13 @@ class SimulationConfig:
     dtype: Any = jnp.float32
     m_scale: float = 1.0
     lanczos_iters: int = 30
-    lanczos_precond: bool = False  # EXPERIMENTAL: factor-preconditioned M^{1/2}W — exact factor and ~3x fewer iterations, but a 64-walker f32 wall-equilibrium run showed unexplained upward bias (VALIDATION.md); validated at small ensembles only
+    lanczos_precond: bool = True  # factor-preconditioned M^{1/2}W: body-frame free-space factor drops cond(G) ~30x, so ~10 iterations replace ~30.  Round-1's equilibrium bias at large ensembles is root-caused and fixed (wall_h_floor indefiniteness + TPU bf16 matmuls — VALIDATION.md); the failing 64-walker workload now passes (bias -0.013 ± 0.023).
     gmres_tol: float = 1.0e-6
     gmres_maxiter: int = 200
     gmres_restart: int = 40
     matvec_row_tile: int = 512
     use_pallas: bool = True
+    wall_h_floor: float = 0.75  # evaluate the Swan–Brady wall correction at blob heights floored to this many radii.  The raw correction's image terms diverge as h⁻⁵ — faster than the B² damping decays — so the reference's formulas give an INDEFINITE mobility for blobs below ~0.6a (measured min-eig −2.3e3 at h=0.02a), which breaks M^{1/2} noise sampling and BD well-posedness near the wall.  0.75 restores positive-definiteness on every tested configuration; exact physics is unchanged for all blobs above 0.75a.  Set 0 for the reference's exact (ill-posed) formulas.
     validate_config: bool = True  # RigidBody API: check blob overlap on set_config/apply_M (O(N²) pairwise sweep + host sync — disable for very large N or latency-critical callers; the jitted device paths never run it)
 
     def __post_init__(self):

@@ -114,6 +114,7 @@ class MultiSolveResult(NamedTuple):
     lam: jax.Array            # (N_total, 3)
     Us: Tuple[jax.Array, ...] # per-species (B_s, 6)
     residual: jax.Array
+    iters: jax.Array = None   # inner GMRES iterations executed
 
 
 def _flatten(lam, Us):
@@ -141,10 +142,14 @@ def solve_saddle_multi(
     forces,
     mob_apply=None,
     opses=None,
+    x0=None,
+    pcs=None,
 ) -> MultiSolveResult:
     """Preconditioned GMRES solve of the mixed saddle system.
 
     slip: (N_total, 3) or None; forces: tuple of (B_s, 6).
+    x0: optional (λ, Us) Krylov warm start (a previous MultiSolveResult's
+    fields); pcs: optional prebuilt per-species PC tuple (lagged-PC reuse).
     """
     if opses is None:
         opses = geometry_ops_multi(mgeom, states)
@@ -154,7 +159,8 @@ def solve_saddle_multi(
     n_total = sum(_blob_counts(opses))
     if slip is None:
         slip = jnp.zeros((n_total, 3), dtype)
-    pcs = build_pc_multi(opses, cfg)
+    if pcs is None:
+        pcs = build_pc_multi(opses, cfg)
 
     def pc_flat(s, fs):
         lam, Us = apply_pc_multi(pcs, s, fs, opses, cfg)
@@ -166,13 +172,59 @@ def solve_saddle_multi(
         return pc_flat(s, fs)
 
     b = pc_flat(jnp.asarray(slip, dtype).reshape(-1, 3), tuple(jnp.asarray(f, dtype) for f in forces))
+    if x0 is not None:
+        x0 = _flatten(x0[0], x0[1])
     max_restarts = max(1, -(-cfg.gmres_maxiter // cfg.gmres_restart))
     result = gmres_mod.gmres(
-        matvec, b, tol=cfg.gmres_tol, restart=cfg.gmres_restart,
+        matvec, b, x0=x0, tol=cfg.gmres_tol, restart=cfg.gmres_restart,
         max_restarts=max_restarts,
     )
     lam, Us = _unflatten(result.x, opses)
-    return MultiSolveResult(lam=lam, Us=Us, residual=result.residual)
+    return MultiSolveResult(
+        lam=lam, Us=Us, residual=result.residual, iters=result.iters
+    )
+
+
+def n_rfd_exact_multi(
+    mgeom: MultiGeometry,
+    cfg: SimulationConfig,
+    states: Sequence[BodyState],
+    key,
+    mob_apply=None,
+    pcs=None,
+):
+    """Mixture analogue of :func:`rigid_body_light_tpu.ops.rfd.n_rfd_exact`:
+    body-space divergence drift ∂·N per species via centered RFD on the
+    solved mixture body mobility (two extra mixture saddle solves).
+
+    Returns a tuple of per-species (B_s, 6) arrays (multiply by kBT at the
+    call site).  δ is floored at 1e-2 in float32 (the difference of two
+    GMRES solutions must sit above solver-tolerance noise — VALIDATION.md).
+    """
+    dtype = states[0].X.dtype
+    keys = jax.random.split(key, len(states))
+    ws = tuple(
+        jax.random.normal(k, (s.X.shape[0], 6), dtype=dtype)
+        for k, s in zip(keys, states)
+    )
+    delta_f = cfg.rfd_delta
+    if dtype == jnp.float32:
+        delta_f = max(delta_f, 1.0e-2)
+    delta = jnp.asarray(delta_f, dtype)
+
+    def n_dot_w(sign):
+        displaced = tuple(
+            BodyState(*kin.update_X_Q(s.X, s.Q, sign * (delta / 2.0) * w))
+            for s, w in zip(states, ws)
+        )
+        res = solve_saddle_multi(
+            mgeom, cfg, displaced, None, ws, mob_apply=mob_apply, pcs=pcs
+        )
+        return res.Us
+
+    up = n_dot_w(1.0)
+    um = n_dot_w(-1.0)
+    return tuple((p - m) / delta for p, m in zip(up, um))
 
 
 def stochastic_step_multi(
@@ -183,20 +235,22 @@ def stochastic_step_multi(
     forces,
     slip=None,
     mob_apply=None,
+    x0=None,
+    pcs=None,
 ):
-    """One fluctuating BD step of the mixture (midpoint slip scheme —
-    mirrors :func:`rigid_body_light_tpu.dynamics.stochastic_step`).
+    """One fluctuating BD step of the mixture — full parity with the
+    single-species :func:`rigid_body_light_tpu.dynamics.stochastic_step`:
+    midpoint slip (default) and ``em_exact`` drift modes, fused 2-RHS
+    Lanczos noise when ``split_rand``, Krylov warm starts (``x0``) and
+    prebuilt/lagged preconditioners (``pcs``).
 
-    Limitations vs the single-species stepper (round-1): only the midpoint
-    slip scheme is implemented (``drift_mode='em_exact'`` raises), and the
-    fused 2-RHS Lanczos / Krylov warm starts / lagged PC are not wired in.
+    Note: ``cfg.lanczos_precond`` is not applied to mixtures — the noise
+    runs plain (unpreconditioned) Lanczos, which is correct at any
+    ``lanczos_iters`` budget; the body-frame factor trick needs per-species
+    blocks here and is future work.
     """
-    if cfg.drift_mode not in ("", "midpoint_slip"):
-        raise NotImplementedError(
-            "stochastic_step_multi implements only the midpoint slip scheme; "
-            f"drift_mode={cfg.drift_mode!r} is unsupported for mixtures"
-        )
-    if mob_apply is None:
+    default_mob = mob_apply is None
+    if default_mob:
         mob_apply = saddle_mod.mobility_apply_fn(cfg)
     opses = geometry_ops_multi(mgeom, states)
     dtype = opses[0].positions.dtype
@@ -205,54 +259,86 @@ def stochastic_step_multi(
         slip = jnp.zeros((n_total, 3), dtype)
 
     kBT = cfg.kBT
+    drift_Us = None
     if kBT > 0.0:
         k1, k2, k3 = jax.random.split(key, 3)
         pos = concat_positions(opses)
-        mhw1 = lanczos.m_half_w(mob_apply, pos, k1, iters=cfg.lanczos_iters)
-        if cfg.split_rand:
+        # em_exact has no corrector — a single sqrt(2kBT/dt) draw has the
+        # same distribution at half the Lanczos cost (see stepper.py)
+        use_split = cfg.split_rand and cfg.drift_mode != "em_exact"
+        if use_split and default_mob:
+            # fused 2-RHS Lanczos: both recurrences share one pair-field sweep
+            mob_multi = saddle_mod.mobility_apply_multi_fn(cfg)
+            mhw1, mhw2 = lanczos.m_half_w_pair(
+                mob_multi, pos, k1, k2, iters=cfg.lanczos_iters
+            )
+            c1 = 2.0 * jnp.sqrt(jnp.asarray(kBT / cfg.dt, dtype))
+            c2 = jnp.sqrt(jnp.asarray(kBT / cfg.dt, dtype))
+            bi = c2 * (mhw1 - mhw2)
+        elif use_split:
+            mhw1 = lanczos.m_half_w(mob_apply, pos, k1, iters=cfg.lanczos_iters)
             mhw2 = lanczos.m_half_w(mob_apply, pos, k2, iters=cfg.lanczos_iters)
             c1 = 2.0 * jnp.sqrt(jnp.asarray(kBT / cfg.dt, dtype))
             c2 = jnp.sqrt(jnp.asarray(kBT / cfg.dt, dtype))
             bi = c2 * (mhw1 - mhw2)
         else:
+            mhw1 = lanczos.m_half_w(mob_apply, pos, k1, iters=cfg.lanczos_iters)
             c1 = jnp.sqrt(jnp.asarray(2.0 * kBT / cfg.dt, dtype))
-            c2 = c1
-            bi = c2 * mhw1
+            bi = c1 * mhw1
 
-        # drift: centered RFD of M along the rigid direction u = K⁺W
-        w = jax.random.normal(k3, (n_total, 3), dtype=dtype)
-        w_parts = split_blobs(w, opses)
-        us = tuple(
-            kin.Kinv_dot(p.reshape(o.offsets.shape), o.offsets, o.ktkinv)
-            for p, o in zip(w_parts, opses)
-        )
-        delta = jnp.asarray(cfg.rfd_delta, dtype)
-        r_p = _displaced_concat(mgeom, states, us, delta / 2.0)
-        r_m = _displaced_concat(mgeom, states, us, -delta / 2.0)
-        drift = jnp.asarray(kBT, dtype) * (mob_apply(w, r_p) - mob_apply(w, r_m)) / delta
-        slip_eff = slip - (drift + bi)
+        if cfg.drift_mode == "em_exact":
+            # plain EM: solve at q^n, add the exact body-space divergence
+            # drift kBT·∂·N afterwards — no midpoint kick
+            slip_eff = slip - bi
+            opses_solve = opses
+            drift_Us = tuple(
+                jnp.asarray(kBT, dtype) * d
+                for d in n_rfd_exact_multi(
+                    mgeom, cfg, states, k3, mob_apply=mob_apply, pcs=pcs
+                )
+            )
+        else:
+            # drift: centered RFD of M along the rigid direction u = K⁺W
+            w = jax.random.normal(k3, (n_total, 3), dtype=dtype)
+            w_parts = split_blobs(w, opses)
+            us = tuple(
+                kin.Kinv_dot(p.reshape(o.offsets.shape), o.offsets, o.ktkinv)
+                for p, o in zip(w_parts, opses)
+            )
+            delta = jnp.asarray(cfg.rfd_delta, dtype)
+            r_p = _displaced_concat(mgeom, states, us, delta / 2.0)
+            r_m = _displaced_concat(mgeom, states, us, -delta / 2.0)
+            drift = jnp.asarray(kBT, dtype) * (
+                mob_apply(w, r_p) - mob_apply(w, r_m)
+            ) / delta
+            slip_eff = slip - (drift + bi)
 
-        # predictor half-kick per species (same below-wall rejection as
-        # commits — see _commit_species)
-        mh_parts = split_blobs(c1 * mhw1, opses)
-        half_states = []
-        for g, st, p, o in zip(mgeom.geoms, states, mh_parts, opses):
-            u_half = kin.Kinv_dot(p.reshape(o.offsets.shape), o.offsets, o.ktkinv)
-            half_states.append(_commit_species(g, cfg, st, (cfg.dt / 2.0) * u_half))
-        opses_solve = geometry_ops_multi(mgeom, half_states)
+            # predictor half-kick per species (same below-wall rejection as
+            # commits — see _commit_species)
+            mh_parts = split_blobs(c1 * mhw1, opses)
+            half_states = []
+            for g, st, p, o in zip(mgeom.geoms, states, mh_parts, opses):
+                u_half = kin.Kinv_dot(p.reshape(o.offsets.shape), o.offsets, o.ktkinv)
+                half_states.append(_commit_species(g, cfg, st, (cfg.dt / 2.0) * u_half))
+            opses_solve = geometry_ops_multi(mgeom, half_states)
     else:
         slip_eff = slip
         opses_solve = opses
 
     res = solve_saddle_multi(
-        mgeom, cfg, states, slip_eff, forces, mob_apply=mob_apply, opses=opses_solve
+        mgeom, cfg, states, slip_eff, forces, mob_apply=mob_apply,
+        opses=opses_solve, x0=x0, pcs=pcs,
+    )
+    Us_total = (
+        res.Us if drift_Us is None
+        else tuple(U + d for U, d in zip(res.Us, drift_Us))
     )
     ok = res.residual < jnp.asarray(cfg.max_step_residual, dtype)
     new_states = []
-    for g, st, U in zip(mgeom.geoms, states, res.Us):
+    for g, st, U in zip(mgeom.geoms, states, Us_total):
         dU = jnp.where(ok, U, 0.0) * jnp.asarray(cfg.dt, dtype)
         new_states.append(_commit_species(g, cfg, st, dU))
-    return tuple(new_states), res
+    return tuple(new_states), res._replace(Us=Us_total)
 
 
 def _commit_species(geom, cfg: SimulationConfig, state: BodyState, dU):
@@ -260,6 +346,90 @@ def _commit_species(geom, cfg: SimulationConfig, state: BodyState, dU):
     from rigid_body_light_tpu.dynamics.stepper import _commit
 
     return _commit(geom, cfg, state, dU)
+
+
+def run_bd_multi(
+    mgeom: MultiGeometry,
+    cfg: SimulationConfig,
+    states: Sequence[BodyState],
+    key,
+    n_steps: int,
+    force_fn=None,
+    slip_fn=None,
+    mob_apply=None,
+    save_every: int = 1,
+):
+    """Whole mixture BD trajectory as one ``lax.scan`` — the multi-species
+    analogue of :func:`rigid_body_light_tpu.dynamics.run_bd`, with the same
+    Krylov warm-start threading and lagged-PC amortization (``pc_refresh``).
+
+    force_fn: (states, step) → tuple of per-species (B_s, 6) (default 0).
+    slip_fn: (states, step) → (N_total, 3) active slip (default 0).
+    Returns (final_states, trajectory) with per-species stacked snapshots:
+    trajectory["X"][s] has shape (n_saved, B_s, 3).
+    """
+    from jax import lax
+
+    states = tuple(states)
+    dtype = states[0].X.dtype
+    sizes = tuple(s.X.shape[0] for s in states)
+    blob_counts = tuple(
+        g.ref_cfg.shape[0] * b for g, b in zip(mgeom.geoms, sizes)
+    )
+    if force_fn is None:
+        def force_fn(ss, i):
+            return tuple(jnp.zeros((b, 6), dtype) for b in sizes)
+
+    lagged_pc = cfg.pc_refresh > 1
+
+    def body(carry, i):
+        ss, k, x_prev, pcs_prev = carry
+        k, sub = jax.random.split(k)
+        forces = force_fn(ss, i)
+        slip = slip_fn(ss, i) if slip_fn is not None else None
+        if lagged_pc:
+            pcs = lax.cond(
+                i % cfg.pc_refresh == 0,
+                lambda _: build_pc_multi(geometry_ops_multi(mgeom, ss), cfg),
+                lambda _: pcs_prev,
+                None,
+            )
+        else:
+            pcs = None
+        ss_new, res = stochastic_step_multi(
+            mgeom, cfg, ss, sub, forces, slip=slip, mob_apply=mob_apply,
+            x0=x_prev, pcs=pcs,
+        )
+        out = (
+            tuple(s.X for s in ss_new),
+            tuple(s.Q for s in ss_new),
+            res.residual,
+        )
+        # a failed solve's (λ, Us) would poison the next warm start
+        solve_ok = res.residual < cfg.max_step_residual
+        x_carry = (
+            jnp.where(solve_ok, res.lam, 0.0),
+            tuple(jnp.where(solve_ok, U, 0.0) for U in res.Us),
+        )
+        return (ss_new, k, x_carry, pcs if lagged_pc else pcs_prev), out
+
+    x_init = (
+        jnp.zeros((sum(blob_counts), 3), dtype),
+        tuple(jnp.zeros((b, 6), dtype) for b in sizes),
+    )
+    pcs_init = (
+        build_pc_multi(geometry_ops_multi(mgeom, states), cfg)
+        if lagged_pc else None
+    )
+    (final, _, _, _), (Xs, Qs, residuals) = lax.scan(
+        body, (states, key, x_init, pcs_init), jnp.arange(n_steps)
+    )
+    keep = slice(save_every - 1, None, save_every)
+    return final, {
+        "X": tuple(x[keep] for x in Xs),
+        "Q": tuple(q[keep] for q in Qs),
+        "residual": residuals[keep],
+    }
 
 
 def _displaced_concat(mgeom, states, us, scale):

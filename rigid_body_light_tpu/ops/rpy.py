@@ -33,6 +33,15 @@ import jax.numpy as jnp
 from jax import lax
 
 _SELF_COEF = 4.0 / 3.0
+# Default blob-height floor (units of a) for evaluating the wall correction.
+# The Swan-Brady image terms diverge as h^-5 while the B(r) damping only
+# decays as h^2, so the raw (reference) formulas give an INDEFINITE damped
+# mobility for blobs below ~0.6a (measured min-eig -2.3e3 at h=0.02a) -
+# unphysical, and fatal for M^{1/2} noise sampling.  Flooring the heights
+# used in the correction at 0.75a restores positive-definiteness on every
+# tested configuration and changes nothing for blobs at valid heights.
+# See SimulationConfig.wall_h_floor; 0 disables (exact reference formulas).
+WALL_H_FLOOR = 0.75
 # r² floor used to make overlapping distinct blobs produce finite garbage
 # instead of NaN inside jit (the reference kills the process instead,
 # ``c_rigid_obj.cpp:53-58``; our API layer validates and raises).
@@ -99,13 +108,17 @@ def _wall_coeffs(d_img, hj):
     return f1, f2, f3, f4, f5, invR
 
 
-def wall_self_diag(z, a, dtype):
+def wall_self_diag(z, a, dtype, h_floor=WALL_H_FLOOR):
     """Per-blob wall self-correction diagonal, shape (N, 3).
 
     Added to the 4/3 free self term; reference i==j branch of
-    ``mobilityUFSingleWallCorrection`` (``c_rigid_obj.cpp:98-104``).
+    ``mobilityUFSingleWallCorrection`` (``c_rigid_obj.cpp:98-104``),
+    evaluated at heights floored to ``h_floor``·a (see ``WALL_H_FLOOR``).
     """
-    invZ = a / jnp.asarray(z, dtype)
+    zn = jnp.asarray(z, dtype) / a
+    if h_floor > 0:
+        zn = jnp.maximum(zn, h_floor)
+    invZ = 1.0 / zn
     invZ3 = invZ * invZ * invZ
     invZ5 = invZ3 * invZ * invZ
     cxx = -(9.0 * invZ - 2.0 * invZ3 + invZ5) / 12.0
@@ -113,7 +126,7 @@ def wall_self_diag(z, a, dtype):
     return jnp.stack([cxx, cxx, czz], axis=-1)
 
 
-def self_mobility_blocks(r, a=1.0, eta=1.0, wall=False):
+def self_mobility_blocks(r, a=1.0, eta=1.0, wall=False, h_floor=WALL_H_FLOOR):
     """Per-blob 3×3 self mobility (N, 3, 3), scaled by 1/(8πηa).
 
     Used by the diagonal preconditioner (reference ``diag_invM``,
@@ -124,7 +137,7 @@ def self_mobility_blocks(r, a=1.0, eta=1.0, wall=False):
     n = r.shape[0]
     diag = jnp.full((n, 3), _SELF_COEF, dtype=dtype)
     if wall:
-        diag = diag + wall_self_diag(r[:, 2], a, dtype)
+        diag = diag + wall_self_diag(r[:, 2], a, dtype, h_floor=h_floor)
     norm = 1.0 / (8.0 * jnp.pi * eta * a)
     return jnp.einsum("ni,ij->nij", diag * norm, jnp.eye(3, dtype=dtype))
 
@@ -144,7 +157,8 @@ def damping_factors(r, a=1.0):
     return jnp.clip(r[:, 2] / a, 0.0, 1.0).astype(r.dtype)
 
 
-def _pair_tile(ri, zi_img_unused, rj, row_ids, col_ids, F, inv_a, wall, dtype):
+def _pair_tile(ri, zi_img_unused, rj, row_ids, col_ids, F, inv_a, wall, dtype,
+               h_floor=WALL_H_FLOOR):
     """Mobility contribution of all column blobs onto a tile of row blobs.
 
     ri: (T, 3) row positions;  rj: (N, 3) all positions;
@@ -167,7 +181,11 @@ def _pair_tile(ri, zi_img_unused, rj, row_ids, col_ids, F, inv_a, wall, dtype):
     )
     if wall:
         zj = rj[:, 2] * inv_a
-        d_img = d.at[:, :, 2].add(2.0 * zj[None, :])
+        zi = ri[:, 2] * inv_a
+        if h_floor > 0:
+            zj = jnp.maximum(zj, h_floor)
+            zi = jnp.maximum(zi, h_floor)
+        d_img = d.at[:, :, 2].set(zi[:, None] + zj[None, :])
         f1, f2, f3, f4, f5, invR = _wall_coeffs(d_img, zj[None, :])
         e = d_img * invR[:, :, None]
         keep = jnp.logical_not(self_mask)
@@ -195,6 +213,7 @@ def pair_sum(
     a=1.0,
     wall=False,
     row_tile=512,
+    h_floor=WALL_H_FLOOR,
 ):
     """Σ_j M_ij·F_j over all column blobs, for a set of row blobs.
 
@@ -217,7 +236,8 @@ def pair_sum(
     def tile_fn(start):
         ri = lax.dynamic_slice(r_pad, (start, jnp.int32(0)), (tile, 3))
         rid = lax.dynamic_slice(ids_pad, (start,), (tile,))
-        return _pair_tile(ri, None, r_cols, rid, col_ids.astype(jnp.int32), F_cols, inv_a, wall, dtype)
+        return _pair_tile(ri, None, r_cols, rid, col_ids.astype(jnp.int32),
+                          F_cols, inv_a, wall, dtype, h_floor=h_floor)
 
     multi = F_cols.ndim == 3
     if n_tiles == 1:
@@ -240,6 +260,7 @@ def mobility_apply(
     wall=False,
     damp=None,
     row_tile=512,
+    h_floor=WALL_H_FLOOR,
 ):
     """Matrix-free U = M(r)·F (optionally B·M·B·F), shapes (N, 3)→(N, 3).
 
@@ -262,12 +283,13 @@ def mobility_apply(
         Fd = F * b[:, None]
 
     ids = jnp.arange(n, dtype=jnp.int32)
-    U = pair_sum(r, ids, r, ids, Fd, a=a, wall=wall, row_tile=row_tile)
+    U = pair_sum(r, ids, r, ids, Fd, a=a, wall=wall, row_tile=row_tile,
+                 h_floor=h_floor)
 
     # self term (4/3 + wall self) — diagonal, added outside the pair sweep
     self_diag = jnp.full((n, 3), _SELF_COEF, dtype=dtype)
     if wall:
-        self_diag = self_diag + wall_self_diag(r[:, 2], a, dtype)
+        self_diag = self_diag + wall_self_diag(r[:, 2], a, dtype, h_floor=h_floor)
     U = U + self_diag * Fd
 
     norm = jnp.asarray(1.0 / (8.0 * jnp.pi * eta * a), dtype)
@@ -285,6 +307,7 @@ def mobility_apply_multi(
     wall=False,
     damp=None,
     row_tile=512,
+    h_floor=WALL_H_FLOOR,
 ):
     """Multi-RHS U_k = M(r)·F_k (damped iff wall), (k, N, 3)×(N, 3)→(k, N, 3).
 
@@ -307,11 +330,12 @@ def mobility_apply_multi(
         Fd = Fs * b[None, :, None]
 
     ids = jnp.arange(n, dtype=jnp.int32)
-    U = pair_sum(r, ids, r, ids, Fd, a=a, wall=wall, row_tile=row_tile)
+    U = pair_sum(r, ids, r, ids, Fd, a=a, wall=wall, row_tile=row_tile,
+                 h_floor=h_floor)
 
     self_diag = jnp.full((n, 3), _SELF_COEF, dtype=dtype)
     if wall:
-        self_diag = self_diag + wall_self_diag(r[:, 2], a, dtype)
+        self_diag = self_diag + wall_self_diag(r[:, 2], a, dtype, h_floor=h_floor)
     U = U + self_diag[None] * Fd
     U = U * jnp.asarray(1.0 / (8.0 * jnp.pi * eta * a), dtype)
     if use_damp:
@@ -319,7 +343,7 @@ def mobility_apply_multi(
     return U
 
 
-def mobility_matrix(r, a=1.0, eta=1.0, wall=False):
+def mobility_matrix(r, a=1.0, eta=1.0, wall=False, h_floor=WALL_H_FLOOR):
     """Dense (3N, 3N) RPY mobility — small-N reference path and PC blocks.
 
     Parity: ``rotne_prager_tensor`` (``c_rigid_obj.cpp:413-459``), evaluated
@@ -340,7 +364,9 @@ def mobility_matrix(r, a=1.0, eta=1.0, wall=False):
     M = alpha[:, :, None, None] * eye3 + beta[:, :, None, None] * d[:, :, :, None] * d[:, :, None, :]
     if wall:
         zj = r[:, 2] * inv_a
-        d_img = d.at[:, :, 2].add(2.0 * zj[None, :])
+        if h_floor > 0:
+            zj = jnp.maximum(zj, h_floor)
+        d_img = d.at[:, :, 2].set(zj[:, None] + zj[None, :])
         f1, f2, f3, f4, f5, invR = _wall_coeffs(d_img, zj[None, :])
         e = d_img * invR[:, :, None]
         zhat = jnp.zeros((3,), dtype).at[2].set(1.0)
@@ -350,7 +376,7 @@ def mobility_matrix(r, a=1.0, eta=1.0, wall=False):
              + f4[:, :, None, None] * zhat[None, None, :, None] * e[:, :, None, :]
              + f5[:, :, None, None] * zhat[None, None, :, None] * zhat[None, None, None, :])
         # self: diagonal wall correction
-        self_c = wall_self_diag(r[:, 2], a, dtype)  # (N, 3)
+        self_c = wall_self_diag(r[:, 2], a, dtype, h_floor=h_floor)  # (N, 3)
         C_self = jnp.einsum("ni,ij->nij", self_c, eye3)
         C = jnp.where(eye_n[:, :, None, None], 0.0, C)
         C = C + eye_n[:, :, None, None] * C_self[:, None, :, :]
@@ -360,11 +386,11 @@ def mobility_matrix(r, a=1.0, eta=1.0, wall=False):
     return M.transpose(0, 2, 1, 3).reshape(3 * n, 3 * n)
 
 
-def apply_M_dense(F, r, a=1.0, eta=1.0, wall=False):
+def apply_M_dense(F, r, a=1.0, eta=1.0, wall=False, h_floor=WALL_H_FLOOR):
     """Dense-path U = B·M·B·F (damping iff wall), for small N / validation."""
     r = jnp.asarray(r).reshape(-1, 3)
     F = jnp.asarray(F, dtype=r.dtype).reshape(-1)
-    M = mobility_matrix(r, a, eta, wall)
+    M = mobility_matrix(r, a, eta, wall, h_floor=h_floor)
     if wall:
         b = jnp.repeat(damping_factors(r, a), 3)
         return (b * (M @ (b * F))).reshape(-1, 3)

@@ -65,7 +65,7 @@ def available() -> bool:
 
 
 def _kernel(off_ref, rows_ref, cols_ref, out_ref, *, n_cols_valid: int,
-            n_cols_pad: int, wall: bool, nrhs: int):
+            n_cols_pad: int, wall: bool, nrhs: int, h_floor: float):
     i = pl.program_id(0)
     row_start = i * TR
     row_offset = off_ref[0]
@@ -114,10 +114,18 @@ def _kernel(off_ref, rows_ref, cols_ref, out_ref, *, n_cols_valid: int,
         beta = jnp.where(live, beta, 0.0)
 
         if wall:
-            # image displacement: (dx, dy, zR + zC); source height hj = zC.
-            # All five coefficient fields are RHS-independent — computed once,
+            # image displacement: (dx, dy, zR' + zC'); source height hj = zC'.
+            # Heights are floored at h_floor (units of a) — the raw image
+            # terms diverge as h^-5 and make the damped mobility indefinite
+            # for deep wall overlap (see rpy.WALL_H_FLOOR).  All five
+            # coefficient fields are RHS-independent — computed once,
             # applied to every RHS below.
-            dzi = zR + zC
+            if h_floor > 0:
+                zRw = jnp.maximum(zR, h_floor)
+                zCw = jnp.maximum(zC, h_floor)
+            else:
+                zRw, zCw = zR, zC
+            dzi = zRw + zCw
             R2 = jnp.maximum(dx * dx + dy * dy + dzi * dzi, _R2_FLOOR)
             invR = jax.lax.rsqrt(R2)
             ex = dx * invR
@@ -126,7 +134,7 @@ def _kernel(off_ref, rows_ref, cols_ref, out_ref, *, n_cols_valid: int,
             ez2 = ez * ez
             invR3 = invR * invR * invR
             invR5 = invR3 * invR * invR
-            h_hat = zC / jnp.maximum(dzi, 1e-12)
+            h_hat = zCw / jnp.maximum(dzi, 1e-12)
             hh = h_hat * (1.0 - h_hat)
             f1 = -(3.0 * (1.0 + 2.0 * hh * ez2) * invR
                    + 2.0 * (1.0 - 3.0 * ez2) * invR3
@@ -187,19 +195,20 @@ def _kernel(off_ref, rows_ref, cols_ref, out_ref, *, n_cols_valid: int,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_cols_valid", "n_cols_pad", "n_rows_pad", "wall", "nrhs", "interpret",
+        "n_cols_valid", "n_cols_pad", "n_rows_pad", "wall", "nrhs",
+        "h_floor", "interpret",
     ),
 )
 def _pair_sweep_packed(
     P_rows, P_cols, row_offset,
     n_cols_valid: int, n_cols_pad: int, n_rows_pad: int,
-    wall: bool, nrhs: int = 1, interpret: bool = False,
+    wall: bool, nrhs: int = 1, h_floor: float = 0.0, interpret: bool = False,
 ):
     n_row_tiles = n_rows_pad // TR
     flops_per_pair = (60 if wall else 25) + nrhs * (30 if wall else 15)
     kernel = functools.partial(
         _kernel, n_cols_valid=n_cols_valid, n_cols_pad=n_cols_pad, wall=wall,
-        nrhs=nrhs,
+        nrhs=nrhs, h_floor=h_floor,
     )
     return pl.pallas_call(
         kernel,
@@ -235,13 +244,16 @@ def _pack(r_over_a, Fs, n_pad):
     return P
 
 
-def pair_sum(r_over_a, F, wall: bool, interpret: bool = False):
+def pair_sum(r_over_a, F, wall: bool, h_floor: float = None,
+             interpret: bool = False):
     """Σ_{j≠i} M_ij F_j (unscaled, undamped pair terms).
 
     F: (N, 3) single RHS, or (k, N, 3) multi-RHS (k ≤ 2 on the compiled
     path) — pair coefficient fields are shared across RHS.
     r_over_a: positions already normalized by the blob radius.
     """
+    if h_floor is None:
+        h_floor = rpy_xla.WALL_H_FLOOR
     multi = F.ndim == 3
     Fk = F if multi else F[None]
     k = Fk.shape[0]
@@ -249,14 +261,16 @@ def pair_sum(r_over_a, F, wall: bool, interpret: bool = False):
     n_pad = -(-n // TC) * TC
     P = _pack(r_over_a, Fk, n_pad)
     off = jnp.zeros((2,), jnp.int32)
-    out = _pair_sweep_packed(P, P, off, n, n_pad, n_pad, wall, k, interpret)
+    out = _pair_sweep_packed(
+        P, P, off, n, n_pad, n_pad, wall, k, h_floor, interpret
+    )
     U = jnp.stack([out[3 * i : 3 * i + 3, :n].T for i in range(k)])
     return U if multi else U[0]
 
 
 def pair_sum_slab(r_rows_over_a, row_offset, r_cols_over_a, F_cols, wall: bool,
                   n_cols_valid: int = None, col_offset=0,
-                  interpret: bool = False):
+                  h_floor: float = None, interpret: bool = False):
     """Rectangular slab sweep for the sharded paths: local rows × columns.
 
     row_offset / col_offset: global index of the first row / column blob —
@@ -277,13 +291,17 @@ def pair_sum_slab(r_rows_over_a, row_offset, r_cols_over_a, F_cols, wall: bool,
         jnp.asarray(row_offset, jnp.int32).reshape(()),
         jnp.asarray(col_offset, jnp.int32).reshape(()),
     ])
+    if h_floor is None:
+        h_floor = rpy_xla.WALL_H_FLOOR
     out = _pair_sweep_packed(
-        P_rows, P_cols, off, n_cols_valid, n_cols_pad, n_rows_pad, wall, 1, interpret
+        P_rows, P_cols, off, n_cols_valid, n_cols_pad, n_rows_pad, wall, 1,
+        h_floor, interpret
     )
     return out[0:3, :n_rows].T
 
 
-def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, damp=None, interpret=False):
+def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, damp=None,
+                   h_floor=None, interpret=False):
     """Drop-in for :func:`rigid_body_light_tpu.ops.rpy.mobility_apply` on TPU
     (float32): U = M·F, or B·M·B·F when ``wall``."""
     r = jnp.asarray(r, jnp.float32).reshape(-1, 3)
@@ -296,11 +314,15 @@ def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, damp=None, interpret=False)
         b = rpy_xla.damping_factors(r, a)
         Fd = F * b[:, None]
 
-    U = pair_sum(r * inv_a, Fd, wall, interpret=interpret)
+    if h_floor is None:
+        h_floor = rpy_xla.WALL_H_FLOOR
+    U = pair_sum(r * inv_a, Fd, wall, h_floor=h_floor, interpret=interpret)
 
     self_diag = jnp.full(r.shape, _SELF_COEF, jnp.float32)
     if wall:
-        self_diag = self_diag + rpy_xla.wall_self_diag(r[:, 2], a, jnp.float32)
+        self_diag = self_diag + rpy_xla.wall_self_diag(
+            r[:, 2], a, jnp.float32, h_floor=h_floor
+        )
     U = U + self_diag * Fd
     U = U * jnp.float32(1.0 / (8.0 * jnp.pi * eta * a))
     if use_damp:
@@ -309,7 +331,7 @@ def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, damp=None, interpret=False)
 
 
 def mobility_apply_multi(Fs, r, a=1.0, eta=1.0, wall=False, damp=None,
-                         interpret=False):
+                         h_floor=None, interpret=False):
     """Multi-RHS variant: (k, N, 3) forces → (k, N, 3) velocities, sharing
     the pair coefficient fields across RHS (k ≤ 2 on the compiled path)."""
     r = jnp.asarray(r, jnp.float32).reshape(-1, 3)
@@ -324,11 +346,15 @@ def mobility_apply_multi(Fs, r, a=1.0, eta=1.0, wall=False, damp=None,
         b = rpy_xla.damping_factors(r, a)
         Fd = Fs * b[None, :, None]
 
-    U = pair_sum(r * inv_a, Fd, wall, interpret=interpret)
+    if h_floor is None:
+        h_floor = rpy_xla.WALL_H_FLOOR
+    U = pair_sum(r * inv_a, Fd, wall, h_floor=h_floor, interpret=interpret)
 
     self_diag = jnp.full(r.shape, _SELF_COEF, jnp.float32)
     if wall:
-        self_diag = self_diag + rpy_xla.wall_self_diag(r[:, 2], a, jnp.float32)
+        self_diag = self_diag + rpy_xla.wall_self_diag(
+            r[:, 2], a, jnp.float32, h_floor=h_floor
+        )
     U = U + self_diag[None] * Fd
     U = U * jnp.float32(1.0 / (8.0 * jnp.pi * eta * a))
     if use_damp:

@@ -104,7 +104,8 @@ def mobility_apply_fn(cfg: SimulationConfig):
             if rpy_pallas.available():
                 def apply_pallas(F, r):
                     return rpy_pallas.mobility_apply(
-                        F, r, a=cfg.a, eta=cfg.eta, wall=cfg.wall
+                        F, r, a=cfg.a, eta=cfg.eta, wall=cfg.wall,
+                        h_floor=cfg.wall_h_floor,
                     )
 
                 return apply_pallas
@@ -113,7 +114,8 @@ def mobility_apply_fn(cfg: SimulationConfig):
 
     def apply_xla(F, r):
         return rpy.mobility_apply(
-            F, r, a=cfg.a, eta=cfg.eta, wall=cfg.wall, row_tile=cfg.matvec_row_tile
+            F, r, a=cfg.a, eta=cfg.eta, wall=cfg.wall,
+            row_tile=cfg.matvec_row_tile, h_floor=cfg.wall_h_floor,
         )
 
     return apply_xla
@@ -132,7 +134,8 @@ def mobility_apply_multi_fn(cfg: SimulationConfig):
             if rpy_pallas.available():
                 def apply_pallas(Fs, r):
                     return rpy_pallas.mobility_apply_multi(
-                        Fs, r, a=cfg.a, eta=cfg.eta, wall=cfg.wall
+                        Fs, r, a=cfg.a, eta=cfg.eta, wall=cfg.wall,
+                        h_floor=cfg.wall_h_floor,
                     )
 
                 return apply_pallas
@@ -141,7 +144,8 @@ def mobility_apply_multi_fn(cfg: SimulationConfig):
 
     def apply_xla(Fs, r):
         return rpy.mobility_apply_multi(
-            Fs, r, a=cfg.a, eta=cfg.eta, wall=cfg.wall, row_tile=cfg.matvec_row_tile
+            Fs, r, a=cfg.a, eta=cfg.eta, wall=cfg.wall,
+            row_tile=cfg.matvec_row_tile, h_floor=cfg.wall_h_floor,
         )
 
     return apply_xla
@@ -219,7 +223,9 @@ def build_pc(ops: GeometryOps, cfg: SimulationConfig) -> PCData:
         # per-body dense RPY of the body's own blobs (wall-corrected iff wall),
         # inverted — reference Block_diag_invM (c_rigid_obj.cpp:461-487)
         def body_inv(pos_b):
-            M = rpy.mobility_matrix(pos_b, cfg.a, cfg.eta, cfg.wall)
+            M = rpy.mobility_matrix(
+                pos_b, cfg.a, cfg.eta, cfg.wall, h_floor=cfg.wall_h_floor
+            )
             return jnp.linalg.inv(M)
 
         inv_m_block = jax.vmap(body_inv)(ops.positions)  # (B, 3n, 3n)
@@ -232,7 +238,8 @@ def build_pc(ops: GeometryOps, cfg: SimulationConfig) -> PCData:
         # diagonal; floor them at a small positive value so the PC stays SPD
         # for blobs below the wall-correction validity region.
         self_blocks = rpy.self_mobility_blocks(
-            ops.flat_positions, cfg.a, cfg.eta, cfg.wall
+            ops.flat_positions, cfg.a, cfg.eta, cfg.wall,
+            h_floor=cfg.wall_h_floor,
         )  # (N, 3, 3) — diagonal
         dtype = self_blocks.dtype
         floor = jnp.asarray(

@@ -49,7 +49,7 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = AXIS) -> Mesh:
 
 def sharded_pair_sum(
     r, F, mesh: Mesh, a=1.0, wall=False, row_tile=512, axis_name=AXIS,
-    use_pallas=False,
+    use_pallas=False, h_floor=None,
 ):
     """Row-sharded Σ_j M_ij F_j (pair terms only) over the mesh.
 
@@ -81,11 +81,14 @@ def sharded_pair_sum(
 
             inv_a = jnp.float32(1.0 / a)
             return rpy_pallas.pair_sum_slab(
-                r_l * inv_a, idx * n_loc, r_all * inv_a, F_all, wall
+                r_l * inv_a, idx * n_loc, r_all * inv_a, F_all, wall,
+                h_floor=h_floor,
             )
         row_ids = idx * n_loc + jnp.arange(n_loc, dtype=jnp.int32)
         return rpy.pair_sum(
-            r_l, row_ids, r_all, col_ids, F_all, a=a, wall=wall, row_tile=row_tile
+            r_l, row_ids, r_all, col_ids, F_all, a=a, wall=wall,
+            row_tile=row_tile,
+            **({} if h_floor is None else {"h_floor": h_floor}),
         )
 
     U_p = shard_map(
@@ -105,7 +108,7 @@ def make_mesh_2d(shape, axis_names=("rows", "cols")) -> Mesh:
 
 def sharded_pair_sum_2d(
     r, F, mesh: Mesh, a=1.0, wall=False, row_tile=512,
-    axis_names=("rows", "cols"), use_pallas=False,
+    axis_names=("rows", "cols"), use_pallas=False, h_floor=None,
 ):
     """2-D (SUMMA-style) sharded Σ_j M_ij F_j over a (Dr, Dc) mesh.
 
@@ -142,7 +145,7 @@ def sharded_pair_sum_2d(
             inv_a = jnp.float32(1.0 / a)
             part = rpy_pallas.pair_sum_slab(
                 r_rows * inv_a, i * n_loc_r, r_cols * inv_a, F_cols, wall,
-                col_offset=j * n_loc_c,
+                col_offset=j * n_loc_c, h_floor=h_floor,
             )
         else:
             row_ids = i * n_loc_r + jnp.arange(n_loc_r, dtype=jnp.int32)
@@ -151,6 +154,7 @@ def sharded_pair_sum_2d(
             part = rpy.pair_sum(
                 r_rows, row_ids, r_cols, col_ids, F_cols,
                 a=a, wall=wall, row_tile=row_tile,
+                **({} if h_floor is None else {"h_floor": h_floor}),
             )
         return lax.psum(part, ax_c)
 
@@ -187,17 +191,19 @@ def sharded_mobility_apply_fn(
             U = sharded_pair_sum_2d(
                 r, Fd, mesh, a=cfg.a, wall=cfg.wall,
                 row_tile=cfg.matvec_row_tile, axis_names=mesh.axis_names,
-                use_pallas=cfg.use_pallas,
+                use_pallas=cfg.use_pallas, h_floor=cfg.wall_h_floor,
             )
         else:
             U = sharded_pair_sum(
                 r, Fd, mesh, a=cfg.a, wall=cfg.wall,
                 row_tile=cfg.matvec_row_tile, axis_name=axis_name,
-                use_pallas=cfg.use_pallas,
+                use_pallas=cfg.use_pallas, h_floor=cfg.wall_h_floor,
             )
         self_diag = jnp.full(r.shape, 4.0 / 3.0, dtype=dtype)
         if cfg.wall:
-            self_diag = self_diag + rpy.wall_self_diag(r[:, 2], cfg.a, dtype)
+            self_diag = self_diag + rpy.wall_self_diag(
+                r[:, 2], cfg.a, dtype, h_floor=cfg.wall_h_floor
+            )
         U = U + self_diag * Fd
         U = U * jnp.asarray(1.0 / (8.0 * jnp.pi * cfg.eta * cfg.a), dtype)
         if cfg.wall:

@@ -10,9 +10,14 @@ with the vectorized JAX implementation under test.
 import numpy as np
 
 
-def rpy_matrix(r, a=1.0, eta=1.0, wall=False):
+def rpy_matrix(r, a=1.0, eta=1.0, wall=False, h_floor=0.75):
     """Dense 3N×3N RPY mobility, upper triangle + mirror (reference
-    ``rotne_prager_tensor``, ``c_rigid_obj.cpp:413-459``)."""
+    ``rotne_prager_tensor``, ``c_rigid_obj.cpp:413-459``).
+
+    h_floor: blob-height floor (units of a) for the wall-correction
+    evaluation — mirrors rpy.WALL_H_FLOOR (the raw image terms give an
+    indefinite mobility at deep wall overlap); 0 = exact reference formulas.
+    """
     r = np.asarray(r, dtype=np.float64).reshape(-1, 3)
     n = len(r)
     M = np.zeros((3 * n, 3 * n))
@@ -33,18 +38,25 @@ def rpy_matrix(r, a=1.0, eta=1.0, wall=False):
                     c2 = (4 / 3) * 0.09375 / rr
                     B = c1 * np.eye(3) + c2 * np.outer(d, d)
             if wall:
-                B = B + wall_correction(d, r[j, 2] * inv_a, self_pair=(i == j))
+                B = B + wall_correction(
+                    d, r[i, 2] * inv_a, r[j, 2] * inv_a,
+                    self_pair=(i == j), h_floor=h_floor,
+                )
             M[3 * i : 3 * i + 3, 3 * j : 3 * j + 3] = B
             if i != j:
                 M[3 * j : 3 * j + 3, 3 * i : 3 * i + 3] = B.T
     return M / (8 * np.pi * eta * a)
 
 
-def wall_correction(d, hj, self_pair):
+def wall_correction(d, hi, hj, self_pair, h_floor=0.75):
     """Swan–Brady finite-size wall correction block (normalized by a);
-    reference ``mobilityUFSingleWallCorrection`` (``c_rigid_obj.cpp:85-142``)."""
-    if hj < 0:
+    reference ``mobilityUFSingleWallCorrection`` (``c_rigid_obj.cpp:85-142``),
+    evaluated at heights floored to h_floor (both source and receiver, so
+    C_ji = C_ijᵀ is preserved)."""
+    if hj < 0 or hi < 0:
         raise RuntimeError("blob below wall")
+    hi = max(hi, h_floor)
+    hj = max(hj, h_floor)
     if self_pair:
         iz = 1 / hj
         iz3, iz5 = iz**3, iz**5
@@ -56,7 +68,7 @@ def wall_correction(d, hj, self_pair):
             ]
         )
     rim = d.copy()
-    rim[2] += 2 * hj
+    rim[2] = hi + hj
     h_hat = hj / rim[2]
     invR = 1 / np.linalg.norm(rim)
     e = rim * invR
@@ -81,9 +93,9 @@ def damping(r, a=1.0):
     return np.repeat(np.minimum(r[:, 2] / a, 1.0), 3)
 
 
-def apply_M(F, r, a=1.0, eta=1.0, wall=False):
+def apply_M(F, r, a=1.0, eta=1.0, wall=False, h_floor=0.75):
     """Reference ``apply_M`` semantics: B·M·B·F iff wall else M·F."""
-    M = rpy_matrix(r, a, eta, wall)
+    M = rpy_matrix(r, a, eta, wall, h_floor=h_floor)
     F = np.asarray(F).ravel()
     if wall:
         b = damping(r, a)

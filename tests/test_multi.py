@@ -75,3 +75,64 @@ def test_mixture_stochastic_step():
         qn = np.linalg.norm(np.asarray(s_new.Q), axis=-1)
         assert np.abs(qn - 1).max() < 1e-12
     assert float(res.residual) < 1e-4
+
+
+def test_mixture_em_exact_step():
+    """em_exact drift mode now supported for mixtures (round-2 parity)."""
+    mgeom, states = _mixture()
+    cfg = SimulationConfig(dtype=jnp.float64, a=0.24, dt=0.01, kBT=0.5,
+                           drift_mode="em_exact", lanczos_iters=10,
+                           gmres_tol=1e-8, gmres_maxiter=150)
+    F = (jnp.zeros((2, 6), jnp.float64), jnp.zeros((1, 6), jnp.float64))
+    step = jax.jit(lambda st, k: multi.stochastic_step_multi(mgeom, cfg, st, k, F))
+    new_states, res = step(states, jax.random.key(2))
+    for s_new, s_old in zip(new_states, states):
+        assert np.isfinite(np.asarray(s_new.X)).all()
+        assert not np.allclose(np.asarray(s_new.X), np.asarray(s_old.X))
+    assert float(res.residual) < 1e-6
+
+
+def test_mixture_warm_start_cuts_iterations():
+    """Passing the previous solve as x0 must reduce executed GMRES work on a
+    barely-moved configuration."""
+    mgeom, states = _mixture()
+    cfg = SimulationConfig(dtype=jnp.float64, a=0.24, gmres_tol=1e-9,
+                           gmres_maxiter=300)
+    F12 = jnp.zeros((2, 6), jnp.float64)
+    F42 = jnp.zeros((1, 6), jnp.float64).at[0, 2].set(-1.0)
+    cold = multi.solve_saddle_multi(mgeom, cfg, states, None, (F12, F42))
+    warm = multi.solve_saddle_multi(
+        mgeom, cfg, states, None, (F12, F42), x0=(cold.lam, cold.Us)
+    )
+    assert int(warm.iters) < int(cold.iters)
+    assert int(warm.iters) <= 1
+    assert float(warm.residual) < 1e-7
+
+
+def test_run_bd_multi_trajectory():
+    """The mixture scan driver: reproducible, finite, converged, with warm
+    starts + lagged PC threaded through the scan."""
+    mgeom, states = _mixture()
+    cfg = SimulationConfig(dtype=jnp.float64, a=0.24, dt=0.005, kBT=0.3,
+                           lanczos_iters=10, gmres_tol=1e-6, gmres_maxiter=120,
+                           block_diag_pc=True, pc_refresh=4)
+
+    def grav(ss, i):
+        return (jnp.zeros((2, 6), jnp.float64),
+                jnp.zeros((1, 6), jnp.float64).at[0, 2].set(-0.5))
+
+    final, traj = multi.run_bd_multi(
+        mgeom, cfg, states, jax.random.key(7), 12, force_fn=grav, save_every=3
+    )
+    assert traj["X"][0].shape == (4, 2, 3)
+    assert traj["X"][1].shape == (4, 1, 3)
+    assert np.isfinite(traj["X"][0]).all() and np.isfinite(traj["X"][1]).all()
+    assert np.asarray(traj["residual"]).max() < 1e-4
+    # bitwise reproducibility from the same key
+    final2, traj2 = multi.run_bd_multi(
+        mgeom, cfg, states, jax.random.key(7), 12, force_fn=grav, save_every=3
+    )
+    assert np.array_equal(np.asarray(traj["X"][0]), np.asarray(traj2["X"][0]))
+    # bodies actually moved (12 steps at kBT=0.3 — thermal motion dominates
+    # the weak pull, so no directional assertion at this trajectory length)
+    assert not np.allclose(np.asarray(final[1].X), np.asarray(states[1].X))
