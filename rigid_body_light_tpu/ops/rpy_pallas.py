@@ -49,6 +49,14 @@ except Exception:  # pragma: no cover
 TR = 128   # row tile (sublane-aligned multiples)
 TC = 512   # column tile (lane-aligned)
 
+# Square single-RHS sweeps use the symmetric unordered-pair kernel (each
+# tile's coefficient fields computed once, applied forward + transposed).
+# Measured on v5e @ 10,240 blobs: 1.15× over the ordered sweep at k=1
+# (wall 4.51 vs 5.20 ms); at k=2 the doubled transpose-apply overhead
+# cancels the field saving (6.29 vs 6.08 ms), so k≥2 keeps the ordered
+# kernel.  Flip off to force the ordered sweep everywhere.
+USE_SYM = True
+
 _SELF_COEF = 4.0 / 3.0
 _R2_FLOOR = 1e-24
 
@@ -192,6 +200,191 @@ def _kernel(off_ref, rows_ref, cols_ref, out_ref, *, n_cols_valid: int,
     out_ref[3 * nrhs : 8, :] = jnp.zeros((8 - 3 * nrhs, TR), jnp.float32)
 
 
+def _kernel_sym(P_ref, out_ref, *, n_pad: int, wall: bool, nrhs: int,
+                h_floor: float):
+    """Symmetric (unordered-pair) square sweep: each strict-upper tile's
+    coefficient fields are computed ONCE and applied twice — forward
+    (M_ij·F_j into rows i) and transposed (M_ijᵀ·F_i into columns j).
+
+    The free-space RPY block is symmetric in its own right (α I + β d dᵀ
+    with d entering quadratically), and the Swan–Brady wall block obeys
+    C_ji = C_ijᵀ = f1 I + f2 e eᵀ + f3 z eᵀ + f4 e zᵀ + f5 z zᵀ — the same
+    five fields with the f3/f4 roles swapped in the apply.  This cuts the
+    dominant field computation from N² ordered pairs to N²/2 unordered
+    ones (~1.4× fewer executed VPU ops at nrhs=1).
+
+    Self pairs fall out for free: the strict-upper mask col>row excludes
+    the diagonal.  Padded rows/columns carry zero force and live at the
+    top indices, so the mask plus zero forces keep them inert (their
+    outputs land in discarded slices).
+
+    Output is one full-array VMEM accumulator revisited by every grid
+    program (TPU grid programs execute sequentially, so += is race-free);
+    program 0 zeroes it.
+    """
+    i = pl.program_id(0)
+    row_start = i * TR
+
+    xR = P_ref[0, pl.ds(row_start, TR)].reshape(TR, 1)
+    yR = P_ref[1, pl.ds(row_start, TR)].reshape(TR, 1)
+    zR = P_ref[2, pl.ds(row_start, TR)].reshape(TR, 1)
+    row_ids = row_start + jax.lax.broadcasted_iota(jnp.int32, (TR, 1), 0)
+    FR = [
+        P_ref[3 + 3 * k + c, pl.ds(row_start, TR)].reshape(TR, 1)
+        for k in range(nrhs) for c in range(3)
+    ]
+
+    @pl.when(i == 0)
+    def _zero():
+        out_ref[...] = jnp.zeros((8, n_pad), jnp.float32)
+
+    n_col_tiles = n_pad // TC
+    j_start = row_start // TC   # first column tile touching the diagonal
+
+    def col_tile(j, acc):
+        c0 = j * TC
+        xC = P_ref[0, pl.ds(c0, TC)].reshape(1, TC)
+        yC = P_ref[1, pl.ds(c0, TC)].reshape(1, TC)
+        zC = P_ref[2, pl.ds(c0, TC)].reshape(1, TC)
+        col_ids = c0 + jax.lax.broadcasted_iota(jnp.int32, (1, TC), 1)
+        upper = col_ids > row_ids          # strict upper triangle only
+
+        dx = xR - xC
+        dy = yR - yC
+        dz = zR - zC
+        r2 = jnp.maximum(dx * dx + dy * dy + dz * dz, _R2_FLOOR)
+        invr = jax.lax.rsqrt(r2)
+        invr2 = invr * invr
+        r = r2 * invr
+        far = r >= 2.0
+        alpha = jnp.where(
+            far,
+            (1.0 + (2.0 / 3.0) * invr2) * invr,
+            _SELF_COEF * (1.0 - 0.28125 * r),
+        )
+        beta = jnp.where(
+            far,
+            (1.0 - 2.0 * invr2) * invr2 * invr,
+            (_SELF_COEF * 0.09375) * invr,
+        )
+        alpha = jnp.where(upper, alpha, 0.0)
+        beta = jnp.where(upper, beta, 0.0)
+
+        if wall:
+            if h_floor > 0:
+                zRw = jnp.maximum(zR, h_floor)
+                zCw = jnp.maximum(zC, h_floor)
+            else:
+                zRw, zCw = zR, zC
+            dzi = zRw + zCw
+            R2 = jnp.maximum(dx * dx + dy * dy + dzi * dzi, _R2_FLOOR)
+            invR = jax.lax.rsqrt(R2)
+            ex = dx * invR
+            ey = dy * invR
+            ez = dzi * invR
+            ez2 = ez * ez
+            invR3 = invR * invR * invR
+            invR5 = invR3 * invR * invR
+            h_hat = zCw / jnp.maximum(dzi, 1e-12)
+            hh = h_hat * (1.0 - h_hat)
+            f1 = -(3.0 * (1.0 + 2.0 * hh * ez2) * invR
+                   + 2.0 * (1.0 - 3.0 * ez2) * invR3
+                   - 2.0 * (1.0 - 5.0 * ez2) * invR5) * (1.0 / 3.0)
+            f2 = -(3.0 * (1.0 - 6.0 * hh * ez2) * invR
+                   - 6.0 * (1.0 - 5.0 * ez2) * invR3
+                   + 10.0 * (1.0 - 7.0 * ez2) * invR5) * (1.0 / 3.0)
+            f3 = ez * (3.0 * h_hat * (1.0 - 6.0 * (1.0 - h_hat) * ez2) * invR
+                       - 6.0 * (1.0 - 5.0 * ez2) * invR3
+                       + 10.0 * (2.0 - 7.0 * ez2) * invR5) * (2.0 / 3.0)
+            f4 = ez * (3.0 * h_hat * invR - 10.0 * invR5) * (2.0 / 3.0)
+            f5 = -(3.0 * h_hat * h_hat * ez2 * invR
+                   + 3.0 * ez2 * invR3
+                   + (2.0 - 15.0 * ez2) * invR5) * (4.0 / 3.0)
+            f1 = jnp.where(upper, f1, 0.0)
+            f2 = jnp.where(upper, f2, 0.0)
+            f3 = jnp.where(upper, f3, 0.0)
+            f4 = jnp.where(upper, f4, 0.0)
+            f5 = jnp.where(upper, f5, 0.0)
+
+        new_acc = []
+        for k in range(nrhs):
+            ux, uy, uz = acc[3 * k], acc[3 * k + 1], acc[3 * k + 2]
+            fx = P_ref[3 + 3 * k, pl.ds(c0, TC)].reshape(1, TC)
+            fy = P_ref[4 + 3 * k, pl.ds(c0, TC)].reshape(1, TC)
+            fz = P_ref[5 + 3 * k, pl.ds(c0, TC)].reshape(1, TC)
+
+            # forward: M_ij F_j accumulated into rows i
+            dF = dx * fx + dy * fy + dz * fz
+            bdF = beta * dF
+            cx = alpha * fx + bdF * dx
+            cy = alpha * fy + bdF * dy
+            cz = alpha * fz + bdF * dz
+            if wall:
+                eF = ex * fx + ey * fy + ez * fz
+                f2eF = f2 * eF
+                cx = cx + f1 * fx + f2eF * ex + f3 * fz * ex
+                cy = cy + f1 * fy + f2eF * ey + f3 * fz * ey
+                cz = cz + f1 * fz + f2eF * ez + f3 * fz * ez + f4 * eF + f5 * fz
+            new_acc.extend([
+                ux + jnp.sum(cx, axis=1, keepdims=True),
+                uy + jnp.sum(cy, axis=1, keepdims=True),
+                uz + jnp.sum(cz, axis=1, keepdims=True),
+            ])
+
+            # transpose: M_ijᵀ F_i accumulated into columns j
+            fxR, fyR, fzR = FR[3 * k], FR[3 * k + 1], FR[3 * k + 2]
+            dFr = dx * fxR + dy * fyR + dz * fzR
+            bdFr = beta * dFr
+            tx = alpha * fxR + bdFr * dx
+            ty = alpha * fyR + bdFr * dy
+            tz = alpha * fzR + bdFr * dz
+            if wall:
+                eFr = ex * fxR + ey * fyR + ez * fzR
+                f2eFr = f2 * eFr
+                tx = tx + f1 * fxR + f2eFr * ex + f4 * fzR * ex
+                ty = ty + f1 * fyR + f2eFr * ey + f4 * fzR * ey
+                tz = tz + f1 * fzR + f2eFr * ez + f4 * fzR * ez \
+                    + f3 * eFr + f5 * fzR
+            out_ref[3 * k + 0, pl.ds(c0, TC)] += jnp.sum(tx, axis=0)
+            out_ref[3 * k + 1, pl.ds(c0, TC)] += jnp.sum(ty, axis=0)
+            out_ref[3 * k + 2, pl.ds(c0, TC)] += jnp.sum(tz, axis=0)
+        return tuple(new_acc)
+
+    zero = jnp.zeros((TR, 1), jnp.float32)
+    acc = jax.lax.fori_loop(j_start, n_col_tiles, col_tile,
+                            (zero,) * (3 * nrhs))
+    for k in range(nrhs):
+        for c in range(3):
+            out_ref[3 * k + c, pl.ds(row_start, TR)] += (
+                acc[3 * k + c].reshape(1, TR)[0]
+            )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_pad", "wall", "nrhs", "h_floor", "interpret")
+)
+def _pair_sweep_sym(P, n_pad: int, wall: bool, nrhs: int = 1,
+                    h_floor: float = 0.0, interpret: bool = False):
+    n_row_tiles = n_pad // TR
+    flops_per_pair = ((60 if wall else 25) + 2 * nrhs * (30 if wall else 15))
+    kernel = functools.partial(
+        _kernel_sym, n_pad=n_pad, wall=wall, nrhs=nrhs, h_floor=h_floor,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_row_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=n_pad * n_pad * flops_per_pair // 2,
+            bytes_accessed=8 * n_pad * 4 * n_row_tiles,
+            transcendentals=n_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(P)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -260,10 +453,13 @@ def pair_sum(r_over_a, F, wall: bool, h_floor: float = None,
     n = r_over_a.shape[0]
     n_pad = -(-n // TC) * TC
     P = _pack(r_over_a, Fk, n_pad)
-    off = jnp.zeros((2,), jnp.int32)
-    out = _pair_sweep_packed(
-        P, P, off, n, n_pad, n_pad, wall, k, h_floor, interpret
-    )
+    if USE_SYM and k == 1:
+        out = _pair_sweep_sym(P, n_pad, wall, k, h_floor, interpret)
+    else:
+        off = jnp.zeros((2,), jnp.int32)
+        out = _pair_sweep_packed(
+            P, P, off, n, n_pad, n_pad, wall, k, h_floor, interpret
+        )
     U = jnp.stack([out[3 * i : 3 * i + 3, :n].T for i in range(k)])
     return U if multi else U[0]
 

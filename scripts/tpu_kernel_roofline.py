@@ -87,39 +87,71 @@ def measure_vpu_peak():
     return flops / dt
 
 
-def sweep_pair_kernel():
+def _chained_kernel_time(wall, k, sym, reps=20):
+    """Time the raw packed sweep with ZERO per-rep host dispatch: pack once,
+    chain `reps` kernel calls inside one jit via a data dependency (the
+    output rows become the next force rows, max-normalized to stay finite),
+    sync once.  Per-rep Python dispatch through the axon tunnel otherwise
+    dwarfs a ~5 ms kernel."""
+    import jax
     import jax.numpy as jnp
     from rigid_body_light_tpu.ops import rpy_pallas
 
     rng = np.random.default_rng(0)
-    r = jnp.asarray(rng.uniform([-60, -60, 1.0], [60, 60, 30], (N, 3)), jnp.float32)
-    F1 = jnp.asarray(rng.standard_normal((N, 3)), jnp.float32)
-    F2 = jnp.asarray(rng.standard_normal((2, N, 3)), jnp.float32)
+    r = jnp.asarray(rng.uniform([-60, -60, 1.0], [60, 60, 30], (N, 3)),
+                    jnp.float32)
+    Fk = jnp.asarray(rng.standard_normal((k, N, 3)), jnp.float32)
+    n_pad = -(-N // rpy_pallas.TC) * rpy_pallas.TC
+    P0 = rpy_pallas._pack(r, Fk, n_pad)
+    off = jnp.zeros((2,), jnp.int32)
+    h_floor = 0.75
+
+    def body(_, P):
+        if sym:
+            out = rpy_pallas._pair_sweep_sym(P, n_pad, wall, k, h_floor)
+        else:
+            out = rpy_pallas._pair_sweep_packed(
+                P, P, off, N, n_pad, n_pad, wall, k, h_floor)
+        scale = 1.0 / jnp.maximum(jnp.max(jnp.abs(out[: 3 * k])), 1e-20)
+        return P.at[3 : 3 + 3 * k].set(out[: 3 * k] * scale)
+
+    @jax.jit
+    def chain(P):
+        return jax.lax.fori_loop(0, reps, body, P)
+
+    P = chain(P0)           # compile + warm
+    _sync(P)
+    t0 = time.perf_counter()
+    P = chain(P)
+    _sync(P)
+    return (time.perf_counter() - t0) / reps
+
+
+def sweep_pair_kernel(sym=False):
+    tag = "sym" if sym else "ord"
     for wall in (False, True):
-        for F, k in ((F1, 1), (F2, 2)):
-            dt = _time(lambda: rpy_pallas.pair_sum(r, F, wall))
+        for k in (1, 2):
+            dt = _chained_kernel_time(wall, k, sym)
+            # "-equiv" flop model: ordered pairs; sym executes ~half the
+            # field work so its equiv-TFLOP/s is reported on the SAME model
+            # (useful ordered-pair work per second) for comparability.
             flops_pair = (60 if wall else 25) + k * (30 if wall else 15)
-            print(f"pair_sum wall={wall} k={k}: {dt*1e3:.3f} ms "
+            print(f"pair_sum[{tag}] wall={wall} k={k}: {dt*1e3:.3f} ms "
                   f"({N*N*flops_pair/dt/1e12:.2f} TFLOP/s-equiv)", flush=True)
 
 
-def sweep_tiles():
+def sweep_tiles(sym=False):
     """Recompile the kernel at several (TR, TC) and time the wall sweep."""
-    import importlib
-
-    import jax.numpy as jnp
     from rigid_body_light_tpu.ops import rpy_pallas
 
-    rng = np.random.default_rng(0)
-    r = jnp.asarray(rng.uniform([-60, -60, 1.0], [60, 60, 30], (N, 3)), jnp.float32)
-    F = jnp.asarray(rng.standard_normal((N, 3)), jnp.float32)
     base = (rpy_pallas.TR, rpy_pallas.TC)
     for TR, TC in ((128, 512), (256, 512), (64, 512), (128, 1024),
                    (128, 256), (256, 1024), (512, 512)):
         rpy_pallas.TR, rpy_pallas.TC = TR, TC
         rpy_pallas._pair_sweep_packed._clear_cache()
+        rpy_pallas._pair_sweep_sym._clear_cache()
         try:
-            dt = _time(lambda: rpy_pallas.pair_sum(r, F, True), reps=20)
+            dt = _chained_kernel_time(True, 1, sym)
             print(f"TR={TR} TC={TC}: {dt*1e3:.3f} ms", flush=True)
         except Exception as e:  # noqa: BLE001
             print(f"TR={TR} TC={TC}: FAILED {type(e).__name__}: {e}", flush=True)
@@ -131,6 +163,10 @@ if __name__ == "__main__":
     if which in ("peak", "all"):
         measure_vpu_peak()
     if which in ("sweep", "all"):
-        sweep_pair_kernel()
-    if which in ("tiles", "all"):
+        sweep_pair_kernel(sym=False)
+    if which in ("sym", "all"):
+        sweep_pair_kernel(sym=True)
+    if which in ("tiles",):
         sweep_tiles()
+    if which in ("tiles-sym",):
+        sweep_tiles(sym=True)

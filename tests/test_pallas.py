@@ -76,6 +76,52 @@ def test_slab_2d_decomposition(cloud, wall):
     assert np.abs(acc[:n] - full).max() / np.abs(full).max() < 1e-5
 
 
+@pytest.mark.parametrize("wall", [False, True])
+@pytest.mark.parametrize("nrhs", [1, 2])
+def test_symmetric_kernel_matches_ordered(cloud, wall, nrhs):
+    """The unordered-pair (symmetric) sweep must reproduce the ordered sweep
+    exactly (same math, each strict-upper tile applied forward + transposed);
+    ragged N covers pad inertness on both the row and column roles."""
+    r, F = cloud
+    r_n = jnp.asarray(r) / 0.9
+    rng = np.random.default_rng(11)
+    n = r.shape[0]
+    Fk = jnp.asarray(rng.standard_normal((nrhs, n, 3)), jnp.float32)
+    old = rpy_pallas.USE_SYM
+    try:
+        rpy_pallas.USE_SYM = False
+        ref = np.asarray(rpy_pallas.pair_sum(r_n, Fk, wall, interpret=True))
+    finally:
+        rpy_pallas.USE_SYM = old
+    # call the sym sweep directly: pair_sum only routes k=1 through it
+    n_pad = -(-n // rpy_pallas.TC) * rpy_pallas.TC
+    P = rpy_pallas._pack(r_n, Fk, n_pad)
+    out = rpy_pallas._pair_sweep_sym(
+        P, n_pad, wall, nrhs, rpy_pallas.rpy_xla.WALL_H_FLOOR, interpret=True)
+    sym = np.stack([np.asarray(out)[3 * i : 3 * i + 3, :n].T
+                    for i in range(nrhs)])
+    assert np.abs(sym - ref).max() / np.abs(ref).max() < 2e-6
+
+
+def test_symmetric_kernel_vs_oracle(cloud):
+    """End-to-end mobility through the symmetric kernel vs the f64 oracle."""
+    import oracle
+
+    r, F = cloud
+    a, eta = 0.9, 1.3
+    Uref = oracle.apply_M(
+        F.astype(np.float64), r.astype(np.float64), a, eta, True
+    ).reshape(-1, 3)
+    old = rpy_pallas.USE_SYM
+    try:
+        rpy_pallas.USE_SYM = True
+        U = np.asarray(rpy_pallas.mobility_apply(
+            jnp.asarray(F), jnp.asarray(r), a, eta, True, interpret=True))
+    finally:
+        rpy_pallas.USE_SYM = old
+    assert np.abs(U - Uref).max() / np.abs(Uref).max() < 5e-6
+
+
 def test_padded_columns_are_inert(cloud):
     """Ragged N (not a multiple of the column tile) must not perturb results:
     compare against the XLA reference path at the same precision."""
