@@ -53,9 +53,16 @@ TC = 512   # column tile (lane-aligned)
 # tile's coefficient fields computed once, applied forward + transposed).
 # Measured on v5e @ 10,240 blobs: 1.15× over the ordered sweep at k=1
 # (wall 4.51 vs 5.20 ms); at k=2 the doubled transpose-apply overhead
-# cancels the field saving (6.29 vs 6.08 ms), so k≥2 keeps the ordered
-# kernel.  Flip off to force the ordered sweep everywhere.
+# cancels the field saving (6.29 vs 6.08 ms), so small-N k≥2 keeps the
+# ordered kernel.  Flip off to force the ordered sweep everywhere.
 USE_SYM = True
+
+# Above this padded N, k≥2 square sweeps also route through the symmetric
+# kernel: the ordered kernel keeps TWO packed (16, n_pad) operands + the
+# output resident (~160 B/blob ≈ 16 MB at 100k blobs) and faults the TPU
+# worker at ~102k blobs (observed), while the symmetric kernel's single
+# operand (~96 B/blob at k=2) fits to ~170k.
+_SYM_K2_MIN_NPAD = 65536
 
 _SELF_COEF = 4.0 / 3.0
 _R2_FLOOR = 1e-24
@@ -453,7 +460,7 @@ def pair_sum(r_over_a, F, wall: bool, h_floor: float = None,
     n = r_over_a.shape[0]
     n_pad = -(-n // TC) * TC
     P = _pack(r_over_a, Fk, n_pad)
-    if USE_SYM and k == 1:
+    if USE_SYM and (k == 1 or n_pad >= _SYM_K2_MIN_NPAD):
         out = _pair_sweep_sym(P, n_pad, wall, k, h_floor, interpret)
     else:
         off = jnp.zeros((2,), jnp.int32)

@@ -73,14 +73,10 @@ def measure_matvec():
           f"({flops/dt/1e12:.2f} TFLOP/s executed-sym)", flush=True)
 
 
-def measure_step():
-    import jax
+def _scale_setup(kBT=1.0, lanczos_precond=True):
     import jax.numpy as jnp
 
     from rigid_body_light_tpu import SimulationConfig, load_structure
-    from rigid_body_light_tpu.dynamics import run_bd
-    from rigid_body_light_tpu.ops import kinematics as kin
-    from rigid_body_light_tpu.state import make_state
 
     params, cfgb = load_structure("shell_N_2562")
     B = BODIES
@@ -89,11 +85,65 @@ def measure_step():
                    for i in range(B)])
     qs = np.tile([1.0, 0, 0, 0], (B, 1))
     cfg = SimulationConfig(
-        a=params["sep"] / 2, dt=0.005, kBT=1.0, wall=True,
-        dtype=jnp.float32, lanczos_iters=10, lanczos_precond=True,
+        a=params["sep"] / 2, dt=0.005, kBT=kBT, wall=True,
+        dtype=jnp.float32, lanczos_iters=10, lanczos_precond=lanczos_precond,
         gmres_tol=1e-4, gmres_restart=30, gmres_maxiter=90,
         pc_mode="diag", block_diag_pc=False,
     )
+    return params, cfgb, B, xs, qs, cfg
+
+
+def measure_noise(precond=True):
+    """Isolate the Lanczos noise draw at scale (the suspect: per-body
+    7686² factor matmuls when preconditioned)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rigid_body_light_tpu.ops import kinematics as kin
+    from rigid_body_light_tpu.ops import lanczos
+    from rigid_body_light_tpu.ops import saddle as saddle_mod
+    from rigid_body_light_tpu.state import make_state
+
+    params, cfgb, B, xs, qs, cfg = _scale_setup(lanczos_precond=precond)
+    geom = kin.make_ref_geometry(cfgb, dtype=jnp.float32)
+    state = make_state(xs, qs, dtype=jnp.float32)
+    ops = saddle_mod.geometry_ops(geom, state)
+    mob2 = saddle_mod.mobility_apply_multi_fn(cfg)
+    pos = ops.flat_positions
+
+    @jax.jit
+    def draw(key):
+        k1, k2 = jax.random.split(key)
+        if precond:
+            npc = lanczos.make_noise_preconditioner(
+                geom.ref_cfg, cfg.a, cfg.eta, jnp.float32)
+            m1, m2 = lanczos.m_half_w_precond(
+                mob2, pos, ops.rot, npc[0], npc[1], (k1, k2),
+                iters=cfg.lanczos_iters, multi=True)
+        else:
+            m1, m2 = lanczos.m_half_w_pair(
+                mob2, pos, k1, k2, iters=cfg.lanczos_iters)
+        return jnp.sum(m1) + jnp.sum(m2)
+
+    t0 = time.perf_counter()
+    v = float(draw(jax.random.key(0)))
+    print(f"  noise draw (precond={precond}): compile+run "
+          f"{time.perf_counter()-t0:.0f} s, value finite={np.isfinite(v)}",
+          flush=True)
+    t0 = time.perf_counter()
+    v = float(draw(jax.random.key(1)))
+    print(f"  noise draw warm: {time.perf_counter()-t0:.2f} s", flush=True)
+
+
+def measure_step(kBT=1.0):
+    import jax
+    import jax.numpy as jnp
+
+    from rigid_body_light_tpu.dynamics import run_bd
+    from rigid_body_light_tpu.ops import kinematics as kin
+    from rigid_body_light_tpu.state import make_state
+
+    params, cfgb, B, xs, qs, cfg = _scale_setup(kBT=kBT)
     geom = kin.make_ref_geometry(cfgb, dtype=jnp.float32)
     state = make_state(xs, qs, dtype=jnp.float32)
     n_blobs = B * params["N"]
@@ -114,8 +164,9 @@ def measure_step():
     dt = (time.perf_counter() - t0) / n_rep
     res = float(jnp.max(jnp.asarray(traj["residual"])))
     ok = bool(jnp.isfinite(s.X).all())
+    kind = "fluctuating" if kBT > 0 else "deterministic"
     print(json.dumps({
-        "metric": f"fluctuating BD steps/sec @ {n_blobs} blobs "
+        "metric": f"{kind} BD steps/sec @ {n_blobs} blobs "
                   f"({B}x shell_N_2562, wall, diag PC)",
         "value": round(1.0 / dt, 4), "unit": "steps/s",
         "residual": res, "finite": ok,
@@ -138,6 +189,12 @@ if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("matvec", "all"):
         measure_matvec()
+    if which in ("step0",):
+        measure_step(kBT=0.0)
+    if which in ("noise",):
+        measure_noise(precond=True)
+    if which in ("noise-plain",):
+        measure_noise(precond=False)
     if which in ("step", "all"):
         measure_step()
     if which in ("vmem", "all"):
