@@ -100,6 +100,76 @@ def build_pc_multi(opses, cfg: SimulationConfig):
     return tuple(saddle_mod.build_pc(o, cfg) for o in opses)
 
 
+def make_noise_preconditioner_multi(mgeom: MultiGeometry, a, eta, dtype=jnp.float32):
+    """Per-species body-frame noise factors — mixture analogue of
+    :func:`rigid_body_light_tpu.ops.lanczos.make_noise_preconditioner`.
+
+    C = blkdiag over *all* bodies of every species of that body's free-space
+    reference mobility; each species contributes its own (L, L⁻¹) pair of
+    shape (3n_s, 3n_s), applied to its slice of the Lanczos vectors.
+    """
+    return tuple(
+        lanczos.make_noise_preconditioner(g.ref_cfg, a, eta, dtype)
+        for g in mgeom.geoms
+    )
+
+
+def m_half_w_precond_multi(mob_apply_multi, opses, npcs, keys, iters: int = 10):
+    """Preconditioned M^{1/2}W draws on the mixture blob space.
+
+    Same factor trick as the single-species path (noise = R̃L·G^{1/2}W with
+    G = C^{-1/2}MC^{-ᵀ/2}): the per-species factors transform each species'
+    slice of the Lanczos vectors in the body frame, while the G matvec
+    couples everything through one fused k-RHS wall mobility sweep over the
+    concatenated blob array.  ``keys`` is a sequence of k PRNG keys (the
+    midpoint stepper passes two).  Returns a tuple of k (N_total, 3) draws.
+    """
+    pos = concat_positions(opses)
+    dtype = pos.dtype
+    n_total = pos.shape[0]
+    k = len(keys)
+
+    def to_world(vk):  # (k, 3N) -> (k, N, 3): per species R̃ L^{-T} v
+        parts = []
+        start = 0
+        for o, (L, L_inv) in zip(opses, npcs):
+            B, n = o.offsets.shape[0], o.offsets.shape[1]
+            vb = vk[:, start : start + 3 * B * n].reshape(k, B, 3 * n)
+            u = jnp.einsum("qp,kbq->kbp", L_inv, vb).reshape(k, B, n, 3)
+            parts.append(jnp.einsum("bij,kbnj->kbni", o.rot, u).reshape(k, B * n, 3))
+            start += 3 * B * n
+        return jnp.concatenate(parts, axis=1)
+
+    def from_world(xk):  # (k, N, 3) -> (k, 3N): per species L^{-1} R̃ᵀ x
+        parts = []
+        start = 0
+        for o, (L, L_inv) in zip(opses, npcs):
+            B, n = o.offsets.shape[0], o.offsets.shape[1]
+            xb = xk[:, start : start + B * n].reshape(k, B, n, 3)
+            u = jnp.einsum("bji,kbnj->kbni", o.rot, xb).reshape(k, B, 3 * n)
+            parts.append(jnp.einsum("pq,kbq->kbp", L_inv, u).reshape(k, -1))
+            start += B * n
+        return jnp.concatenate(parts, axis=1)
+
+    def mv(vk):  # G v
+        return from_world(mob_apply_multi(to_world(vk), pos))
+
+    w = jnp.stack(
+        [jax.random.normal(kk, (3 * n_total,), dtype=dtype) for kk in keys]
+    )
+    g = lanczos.sqrt_matvec_batched(mv, w, iters=iters)
+    out = []
+    start = 0
+    for o, (L, _) in zip(opses, npcs):  # noise slice = R̃ L g_s
+        B, n = o.offsets.shape[0], o.offsets.shape[1]
+        gb = g[:, start : start + 3 * B * n].reshape(k, B, 3 * n)
+        lg = jnp.einsum("pq,kbq->kbp", L, gb).reshape(k, B, n, 3)
+        out.append(jnp.einsum("bij,kbnj->kbni", o.rot, lg).reshape(k, B * n, 3))
+        start += 3 * B * n
+    out = jnp.concatenate(out, axis=1)
+    return tuple(out[i] for i in range(k))
+
+
 def apply_pc_multi(pcs, slip, Fs, opses, cfg: SimulationConfig):
     parts = split_blobs(slip.reshape(-1, 3), opses)
     lams, Us = [], []
@@ -237,17 +307,15 @@ def stochastic_step_multi(
     mob_apply=None,
     x0=None,
     pcs=None,
+    noise_pcs=None,
 ):
     """One fluctuating BD step of the mixture — full parity with the
     single-species :func:`rigid_body_light_tpu.dynamics.stochastic_step`:
     midpoint slip (default) and ``em_exact`` drift modes, fused 2-RHS
-    Lanczos noise when ``split_rand``, Krylov warm starts (``x0``) and
-    prebuilt/lagged preconditioners (``pcs``).
-
-    Note: ``cfg.lanczos_precond`` is not applied to mixtures — the noise
-    runs plain (unpreconditioned) Lanczos, which is correct at any
-    ``lanczos_iters`` budget; the body-frame factor trick needs per-species
-    blocks here and is future work.
+    Lanczos noise when ``split_rand``, factor-preconditioned noise when
+    ``cfg.lanczos_precond`` (per-species body-frame factors, ``noise_pcs``),
+    Krylov warm starts (``x0``) and prebuilt/lagged preconditioners
+    (``pcs``).
     """
     default_mob = mob_apply is None
     if default_mob:
@@ -266,23 +334,36 @@ def stochastic_step_multi(
         # em_exact has no corrector — a single sqrt(2kBT/dt) draw has the
         # same distribution at half the Lanczos cost (see stepper.py)
         use_split = cfg.split_rand and cfg.drift_mode != "em_exact"
-        if use_split and default_mob:
-            # fused 2-RHS Lanczos: both recurrences share one pair-field sweep
-            mob_multi = saddle_mod.mobility_apply_multi_fn(cfg)
-            mhw1, mhw2 = lanczos.m_half_w_pair(
-                mob_multi, pos, k1, k2, iters=cfg.lanczos_iters
-            )
-            c1 = 2.0 * jnp.sqrt(jnp.asarray(kBT / cfg.dt, dtype))
-            c2 = jnp.sqrt(jnp.asarray(kBT / cfg.dt, dtype))
-            bi = c2 * (mhw1 - mhw2)
-        elif use_split:
-            mhw1 = lanczos.m_half_w(mob_apply, pos, k1, iters=cfg.lanczos_iters)
-            mhw2 = lanczos.m_half_w(mob_apply, pos, k2, iters=cfg.lanczos_iters)
+        if cfg.lanczos_precond and noise_pcs is None:
+            # per-species body-frame factors (trace-time constants; run_bd_multi
+            # precomputes and threads these through the scan)
+            noise_pcs = make_noise_preconditioner_multi(mgeom, cfg.a, cfg.eta, dtype)
+        mob_multi = saddle_mod.mobility_apply_multi_fn(cfg) if default_mob else (
+            lambda xk, r: jnp.stack([mob_apply(x, r) for x in xk])
+        )
+        if use_split:
+            if cfg.lanczos_precond:
+                mhw1, mhw2 = m_half_w_precond_multi(
+                    mob_multi, opses, noise_pcs, (k1, k2), iters=cfg.lanczos_iters
+                )
+            elif default_mob:
+                # fused 2-RHS Lanczos: both recurrences share one pair-field sweep
+                mhw1, mhw2 = lanczos.m_half_w_pair(
+                    mob_multi, pos, k1, k2, iters=cfg.lanczos_iters
+                )
+            else:
+                mhw1 = lanczos.m_half_w(mob_apply, pos, k1, iters=cfg.lanczos_iters)
+                mhw2 = lanczos.m_half_w(mob_apply, pos, k2, iters=cfg.lanczos_iters)
             c1 = 2.0 * jnp.sqrt(jnp.asarray(kBT / cfg.dt, dtype))
             c2 = jnp.sqrt(jnp.asarray(kBT / cfg.dt, dtype))
             bi = c2 * (mhw1 - mhw2)
         else:
-            mhw1 = lanczos.m_half_w(mob_apply, pos, k1, iters=cfg.lanczos_iters)
+            if cfg.lanczos_precond:
+                (mhw1,) = m_half_w_precond_multi(
+                    mob_multi, opses, noise_pcs, (k1,), iters=cfg.lanczos_iters
+                )
+            else:
+                mhw1 = lanczos.m_half_w(mob_apply, pos, k1, iters=cfg.lanczos_iters)
             c1 = jnp.sqrt(jnp.asarray(2.0 * kBT / cfg.dt, dtype))
             bi = c1 * mhw1
 
@@ -381,6 +462,10 @@ def run_bd_multi(
             return tuple(jnp.zeros((b, 6), dtype) for b in sizes)
 
     lagged_pc = cfg.pc_refresh > 1
+    noise_pcs = (
+        make_noise_preconditioner_multi(mgeom, cfg.a, cfg.eta, dtype)
+        if (cfg.lanczos_precond and cfg.kBT > 0.0) else None
+    )
 
     def body(carry, i):
         ss, k, x_prev, pcs_prev = carry
@@ -398,7 +483,7 @@ def run_bd_multi(
             pcs = None
         ss_new, res = stochastic_step_multi(
             mgeom, cfg, ss, sub, forces, slip=slip, mob_apply=mob_apply,
-            x0=x_prev, pcs=pcs,
+            x0=x_prev, pcs=pcs, noise_pcs=noise_pcs,
         )
         out = (
             tuple(s.X for s in ss_new),

@@ -109,6 +109,74 @@ def test_mixture_warm_start_cuts_iterations():
     assert float(warm.residual) < 1e-7
 
 
+def test_mixture_preconditioned_noise_exact_factor():
+    """Per-species factor-preconditioned mixture noise must use a valid
+    factor of the coupled mixture mobility (X·Xᵀ = M) and reproduce the
+    dense truth at full iteration count."""
+    import scipy.linalg as sla
+
+    import oracle
+
+    _, cfg12 = load_structure("shell_N_12")
+    _, cfg42 = load_structure("shell_N_42")
+    mgeom = multi.MultiGeometry.create([cfg12, cfg42], dtype=jnp.float64)
+    rng = np.random.default_rng(17)
+    q3 = rng.standard_normal((3, 4))
+    q3 /= np.linalg.norm(q3, axis=1, keepdims=True)
+    s12 = make_state([[0.0, 0, 2.0], [6.0, 0, 2.2]], q3[:2], dtype=jnp.float64)
+    s42 = make_state([[0.0, 6.0, 2.4]], q3[2:], dtype=jnp.float64)
+    states = (s12, s42)
+    a, eta = 0.24, 1.1
+    cfg = SimulationConfig(dtype=jnp.float64, a=a, eta=eta, wall=True)
+    opses = multi.geometry_ops_multi(mgeom, states)
+    pos = multi.concat_positions(opses)
+    npcs = multi.make_noise_preconditioner_multi(mgeom, a, eta, jnp.float64)
+
+    M = oracle.rpy_matrix(np.asarray(pos), a, eta, True)
+    b = oracle.damping(np.asarray(pos), a)
+    M = np.diag(b) @ M @ np.diag(b)
+    blocks = []
+    for o, (L, _) in zip(opses, npcs):
+        n = o.offsets.shape[1]
+        for Rb in np.asarray(o.rot):
+            blocks.append(np.kron(np.eye(n), Rb) @ np.asarray(L))
+    C12 = sla.block_diag(*blocks)
+    G = np.linalg.solve(C12, np.linalg.solve(C12, M.T).T)
+    Xf = C12 @ sla.sqrtm(G).real
+    assert np.abs(Xf @ Xf.T - M).max() < 1e-11  # valid factor of M
+
+    sz = M.shape[0]
+    key = jax.random.key(11)
+    w = np.asarray(jax.random.normal(key, (sz,), dtype=jnp.float64))
+    truth = C12 @ (sla.sqrtm(G).real @ w)
+    mob2 = sad.mobility_apply_multi_fn(cfg)
+    (y,) = multi.m_half_w_precond_multi(mob2, opses, npcs, (key,), iters=sz)
+    assert np.abs(np.asarray(y).ravel() - truth).max() < 1e-9
+
+
+def test_single_species_mixture_precond_noise_matches_plain_stack():
+    """A 1-species mixture's preconditioned draw must equal the
+    single-species sampler with the same keys (identical algebra)."""
+    from rigid_body_light_tpu.ops import lanczos
+
+    _, cfgb = load_structure("shell_N_12")
+    mgeom = multi.MultiGeometry.create([cfgb], dtype=jnp.float64)
+    X, Q = utils.create_random_positions(3, wall_PC=True, seed=9)
+    state = make_state(X, Q, dtype=jnp.float64)
+    cfg = SimulationConfig(dtype=jnp.float64, a=0.4, wall=True)
+    opses = multi.geometry_ops_multi(mgeom, (state,))
+    npcs = multi.make_noise_preconditioner_multi(mgeom, 0.4, 1.0, jnp.float64)
+    mob2 = sad.mobility_apply_multi_fn(cfg)
+    k1, k2 = jax.random.key(3), jax.random.key(4)
+    m1, m2 = multi.m_half_w_precond_multi(mob2, opses, npcs, (k1, k2), iters=15)
+    s1, s2 = lanczos.m_half_w_precond(
+        mob2, opses[0].flat_positions, opses[0].rot, npcs[0][0], npcs[0][1],
+        (k1, k2), iters=15, multi=True,
+    )
+    assert float(jnp.abs(m1 - s1).max()) < 1e-12
+    assert float(jnp.abs(m2 - s2).max()) < 1e-12
+
+
 def test_run_bd_multi_trajectory():
     """The mixture scan driver: reproducible, finite, converged, with warm
     starts + lagged PC threaded through the scan."""
