@@ -26,6 +26,9 @@ class SolveResult(NamedTuple):
     U: jax.Array         # (B, 6) rigid body velocities
     residual: jax.Array  # final relative residual (preconditioned system)
     iters: jax.Array = None  # inner GMRES iterations executed
+    true_residual: jax.Array = None  # ‖b − A·x‖/‖b‖ on the UNpreconditioned
+                                     # saddle system (only when requested —
+                                     # costs one extra mobility matvec)
 
 
 def solve_saddle(
@@ -36,8 +39,14 @@ def solve_saddle(
     pc: saddle_mod.PCData = None,
     x0=None,
     mob_apply: Callable = None,
+    true_residual: bool = False,
 ) -> SolveResult:
     """Solve [M −K; Kᵀ 0][λ; U] = [slip; F] with preconditioned GMRES.
+
+    true_residual=True additionally reports the relative residual of the
+    *unpreconditioned* saddle system (one extra mobility matvec) — the
+    convergence test itself stays on the preconditioned residual (scipy
+    convention, matching the external drivers the reference implies).
 
     slip: (N, 3) prescribed slip on blobs (RHS upper block).
     force: (B, 6) applied body force/torque; the RHS lower block is +force,
@@ -82,7 +91,18 @@ def solve_saddle(
     )
     lam = result.x[:nb].reshape(-1, 3)
     U = result.x[nb:].reshape(-1, 6)
-    return SolveResult(lam=lam, U=U, residual=result.residual, iters=result.iters)
+    tr = None
+    if true_residual:
+        s, f = saddle_mod.apply_saddle(lam, U, ops, cfg, mob_apply)
+        rvec = jnp.concatenate([(slip - s).reshape(-1), (force - f).reshape(-1)])
+        bvec = jnp.concatenate([slip.reshape(-1), force.reshape(-1)])
+        tr = jnp.linalg.norm(rvec) / jnp.maximum(
+            jnp.linalg.norm(bvec), jnp.asarray(1e-30, dtype)
+        )
+    return SolveResult(
+        lam=lam, U=U, residual=result.residual, iters=result.iters,
+        true_residual=tr,
+    )
 
 
 def make_differentiable_solver(cfg: SimulationConfig) -> Callable:

@@ -113,3 +113,28 @@ def test_resistance_problem():
     assert float(res) < 1e-8
     round_trip = solvers.solve_saddle(ops, cfg, jnp.zeros((42, 3)), F)
     assert np.allclose(np.asarray(round_trip.U), np.asarray(U), atol=1e-8)
+
+
+@pytest.mark.parametrize("wall", [False, True])
+def test_true_residual_reporting(wall):
+    """true_residual=True reports the UNpreconditioned relative residual:
+    it must certify the same convergence (small when converged) and equal
+    an independently computed ‖b − A·x‖/‖b‖."""
+    cfg, geom, state, ops = _setup(2, wall, False, seed=12)
+    B, n, _ = ops.offsets.shape
+    rng = np.random.default_rng(3)
+    slip = jnp.asarray(rng.standard_normal((B * n, 3)))
+    force = jnp.asarray(rng.standard_normal((B, 6)))
+    res = solvers.solve_saddle(ops, cfg, slip, force, true_residual=True)
+    assert res.true_residual is not None
+    assert float(res.residual) < 1e-8
+    s, f = saddle_mod.apply_saddle(res.lam, res.U, ops, cfg)
+    num = np.linalg.norm(np.concatenate([
+        (np.asarray(slip) - np.asarray(s)).ravel(),
+        (np.asarray(force) - np.asarray(f)).ravel()]))
+    den = np.linalg.norm(np.concatenate([np.asarray(slip).ravel(),
+                                         np.asarray(force).ravel()]))
+    assert float(res.true_residual) == pytest.approx(num / den, rel=1e-10)
+    assert float(res.true_residual) < 1e-6  # converged in the true norm too
+    # default path must not compute it
+    assert solvers.solve_saddle(ops, cfg, slip, force).true_residual is None
