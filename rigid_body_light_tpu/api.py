@@ -309,6 +309,11 @@ class RigidBody:
     # ---------------------------------------------------------------- checks
 
     def _check_above_wall(self, positions):
+        """Reference error contract (``c_rigid_obj.cpp:95-97``).  Costs a
+        host sync per operator call — deliberate at this numpy-in/numpy-out
+        boundary; hot loops should use the on-device paths
+        (``dynamics.run_bd`` / ``stochastic_step``), which guard below-wall
+        configurations with in-graph move rejection instead."""
         if self.config.wall:
             if bool(jnp.any(positions[:, 2] < 0.0)):
                 raise RuntimeError(
