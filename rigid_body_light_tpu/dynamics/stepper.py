@@ -37,6 +37,7 @@ class StepAux(NamedTuple):
     U: jax.Array          # (B, 6) body velocities used for the commit
     lam: jax.Array        # (N, 3) constraint forces
     residual: jax.Array   # GMRES relative residual
+    iters: jax.Array = None  # inner GMRES iterations executed (exact)
 
 
 def _commit(geom, cfg, state, dU):
@@ -97,7 +98,9 @@ def deterministic_step(
     ok = res.residual < jnp.asarray(cfg.max_step_residual, dtype)
     dU = jnp.where(ok, res.U, 0.0) * jnp.asarray(cfg.dt, dtype)
     new_state = _commit(geom, cfg, state, dU)
-    return new_state, StepAux(U=res.U, lam=res.lam, residual=res.residual)
+    return new_state, StepAux(
+        U=res.U, lam=res.lam, residual=res.residual, iters=res.iters
+    )
 
 
 def stochastic_step(
@@ -240,7 +243,9 @@ def stochastic_step(
     ok = res.residual < jnp.asarray(cfg.max_step_residual, dtype)
     dU = jnp.where(ok, U_total, 0.0) * jnp.asarray(cfg.dt, dtype)
     new_state = _commit(geom, cfg, state, dU)
-    return new_state, StepAux(U=U_total, lam=res.lam, residual=res.residual)
+    return new_state, StepAux(
+        U=U_total, lam=res.lam, residual=res.residual, iters=res.iters
+    )
 
 
 def run_bd(
@@ -296,7 +301,7 @@ def run_bd(
             geom, cfg, s, sub, force, slip=slip, mob_apply=mob_apply,
             x0=x_prev, pc=pc, noise_pc=noise_pc,
         )
-        out = (s_new.X, s_new.Q, aux.residual)
+        out = (s_new.X, s_new.Q, aux.residual, aux.iters)
         # a failed solve's (λ, U) would poison the next step's warm start
         # (its residual is measured relative to ‖b‖, so a garbage x0 can
         # take more iterations than the budget to un-learn) — carry zeros
@@ -318,8 +323,11 @@ def run_bd(
         saddle_mod.build_pc(saddle_mod.geometry_ops(geom, state), cfg)
         if lagged_pc else None
     )
-    (final, _, _, _), (Xs, Qs, residuals) = lax.scan(
+    (final, _, _, _), (Xs, Qs, residuals, iters) = lax.scan(
         body, (state, key, x_init, pc_init), jnp.arange(n_steps)
     )
     keep = slice(save_every - 1, None, save_every)
-    return final, {"X": Xs[keep], "Q": Qs[keep], "residual": residuals[keep]}
+    return final, {
+        "X": Xs[keep], "Q": Qs[keep], "residual": residuals[keep],
+        "iters": iters[keep],
+    }

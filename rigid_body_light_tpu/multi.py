@@ -489,6 +489,7 @@ def run_bd_multi(
             tuple(s.X for s in ss_new),
             tuple(s.Q for s in ss_new),
             res.residual,
+            res.iters,
         )
         # a failed solve's (λ, Us) would poison the next warm start
         solve_ok = res.residual < cfg.max_step_residual
@@ -506,7 +507,7 @@ def run_bd_multi(
         build_pc_multi(geometry_ops_multi(mgeom, states), cfg)
         if lagged_pc else None
     )
-    (final, _, _, _), (Xs, Qs, residuals) = lax.scan(
+    (final, _, _, _), (Xs, Qs, residuals, iters) = lax.scan(
         body, (states, key, x_init, pcs_init), jnp.arange(n_steps)
     )
     keep = slice(save_every - 1, None, save_every)
@@ -514,6 +515,7 @@ def run_bd_multi(
         "X": tuple(x[keep] for x in Xs),
         "Q": tuple(q[keep] for q in Qs),
         "residual": residuals[keep],
+        "iters": iters[keep],
     }
 
 

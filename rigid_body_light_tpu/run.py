@@ -187,6 +187,7 @@ def main(argv=None):
             "step": step,
             "steps_per_sec": round(chunk / dt_chunk, 4),
             "max_residual": float(np.asarray(traj["residual"]).max()),
+            "mean_gmres_iters": round(float(np.asarray(traj["iters"]).mean()), 1),
         }), flush=True)
 
     writer.flush()

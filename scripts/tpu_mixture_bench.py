@@ -82,8 +82,11 @@ def main():
     mgeom = multi.MultiGeometry.create([cfg642, cfg162s], dtype=jnp.float32)
     xb = np.array([[2.5 * (i % 4), 2.5 * (i // 4), 2.0 + 0.2 * (i % 3)]
                    for i in range(12)])
-    xsm = np.array([[1.25 + 2.5 * (i % 4), 1.25 + 2.5 * (i // 4), 1.4]
-                    for i in range(16)])
+    # small spheres sit in the lattice gaps *above* the big ones: blob
+    # heights stay > 3a above the wall (placing them at z=1.4 put blobs at
+    # 0.9 and cost ~2x GMRES iterations on wall ill-conditioning)
+    xsm = np.array([[1.25 + 2.5 * (i % 4), 1.25 + 2.5 * (i // 4),
+                     3.6 + 0.2 * (i % 3)] for i in range(16)])
     st_b = make_state(xb, np.tile([1.0, 0, 0, 0], (12, 1)), dtype=jnp.float32)
     st_s = make_state(xsm, np.tile([1.0, 0, 0, 0], (16, 1)), dtype=jnp.float32)
     Fb = jnp.zeros((12, 6), jnp.float32).at[:, 2].set(-1.0)

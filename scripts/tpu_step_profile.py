@@ -25,8 +25,11 @@ REPS = 10
 
 
 def _sync(x):
+    import jax
     import jax.numpy as jnp
 
+    if jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+        x = jax.random.key_data(x)
     return float(jnp.sum(x))
 
 
