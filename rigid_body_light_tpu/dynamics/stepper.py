@@ -274,7 +274,11 @@ def run_bd(
         def force_fn(s, i):
             return jnp.zeros((B, 6), dtype)
 
-    lagged_pc = cfg.pc_refresh > 1
+    # the block_free PC holds only body-frame constants (configuration-
+    # independent) — build it once outside the scan and never rebuild
+    pc_mode = cfg.pc_mode or ("block" if cfg.block_diag_pc else "diag")
+    static_pc = pc_mode == "block_free"
+    lagged_pc = cfg.pc_refresh > 1 and not static_pc
     noise_pc = (
         lanczos.make_noise_preconditioner(geom.ref_cfg, cfg.a, cfg.eta, dtype)
         if (cfg.lanczos_precond and cfg.kBT > 0.0) else None
@@ -285,7 +289,9 @@ def run_bd(
         k, sub = jax.random.split(k)
         force = force_fn(s, i)
         slip = slip_fn(s, i) if slip_fn is not None else None
-        if lagged_pc:
+        if static_pc:
+            pc = pc_prev
+        elif lagged_pc:
             # rebuild the (expensive) PC only every pc_refresh steps; a
             # preconditioner lagging a few small steps barely affects the
             # Krylov iteration count but amortizes the per-body factor cost
@@ -318,10 +324,11 @@ def run_bd(
         jnp.zeros((B, 6), dtype),
     )
     # in lagged mode the carry needs a PCData pytree of the right structure
-    # (the cond at i=0 always rebuilds it); otherwise carry nothing
+    # (the cond at i=0 always rebuilds it); in static (block_free) mode the
+    # init IS the PC for the whole scan; otherwise carry nothing
     pc_init = (
         saddle_mod.build_pc(saddle_mod.geometry_ops(geom, state), cfg)
-        if lagged_pc else None
+        if (lagged_pc or static_pc) else None
     )
     (final, _, _, _), (Xs, Qs, residuals, iters) = lax.scan(
         body, (state, key, x_init, pc_init), jnp.arange(n_steps)

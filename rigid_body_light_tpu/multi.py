@@ -461,7 +461,11 @@ def run_bd_multi(
         def force_fn(ss, i):
             return tuple(jnp.zeros((b, 6), dtype) for b in sizes)
 
-    lagged_pc = cfg.pc_refresh > 1
+    # block_free PC constants are configuration-independent — build once,
+    # never rebuild (same rule as dynamics.run_bd)
+    pc_mode = cfg.pc_mode or ("block" if cfg.block_diag_pc else "diag")
+    static_pc = pc_mode == "block_free"
+    lagged_pc = cfg.pc_refresh > 1 and not static_pc
     noise_pcs = (
         make_noise_preconditioner_multi(mgeom, cfg.a, cfg.eta, dtype)
         if (cfg.lanczos_precond and cfg.kBT > 0.0) else None
@@ -472,7 +476,9 @@ def run_bd_multi(
         k, sub = jax.random.split(k)
         forces = force_fn(ss, i)
         slip = slip_fn(ss, i) if slip_fn is not None else None
-        if lagged_pc:
+        if static_pc:
+            pcs = pcs_prev
+        elif lagged_pc:
             pcs = lax.cond(
                 i % cfg.pc_refresh == 0,
                 lambda _: build_pc_multi(geometry_ops_multi(mgeom, ss), cfg),
@@ -505,7 +511,7 @@ def run_bd_multi(
     )
     pcs_init = (
         build_pc_multi(geometry_ops_multi(mgeom, states), cfg)
-        if lagged_pc else None
+        if (lagged_pc or static_pc) else None
     )
     (final, _, _, _), (Xs, Qs, residuals, iters) = lax.scan(
         body, (states, key, x_init, pcs_init), jnp.arange(n_steps)

@@ -204,3 +204,31 @@ def test_rotation_guard_independent_of_max_move():
     dU_ok = jnp.zeros((1, 6), jnp.float64).at[0, 5].set(0.1)
     out2 = stepper._commit(geom, cfg, state, dU_ok)
     assert not np.allclose(np.asarray(out2.Q), np.asarray(state.Q))
+
+
+def test_run_bd_block_free_static_pc():
+    """pc_mode=block_free in the scan driver: the PC is built once outside
+    the scan (its body-frame constants are configuration-independent) and
+    the trajectory must still converge at block-PC-like iteration counts."""
+    params, cfgb = _shell()
+    cfg = SimulationConfig(a=params["sep"] / 2, dt=0.02, kBT=1.0,
+                           dtype=jnp.float64, lanczos_iters=10,
+                           pc_mode="block_free", pc_refresh=4,
+                           gmres_tol=1e-8, gmres_maxiter=200)
+    geom = kin.make_ref_geometry(cfgb, dtype=jnp.float64)
+    state = make_state([[0.0, 0.0, 0.0], [4.0, 0, 0]],
+                       [[1.0, 0, 0, 0], [1.0, 0, 0, 0]], dtype=jnp.float64)
+    final, traj = run_bd(geom, cfg, state, jax.random.key(3), n_steps=6)
+    assert np.isfinite(np.asarray(traj["X"])).all()
+    assert float(np.asarray(traj["residual"]).max()) < 1e-7
+    # matches a per-step stochastic_step chain with the same keys (the
+    # static PC must not change the numerics vs building it every step)
+    s = state
+    k = jax.random.key(3)
+    x_prev = (jnp.zeros((2 * params["N"], 3)), jnp.zeros((2, 6)))
+    for _ in range(6):
+        k, sub = jax.random.split(k)
+        s, aux = stochastic_step(geom, cfg, s, sub, jnp.zeros((2, 6)),
+                                 x0=x_prev)
+        x_prev = (aux.lam, aux.U)
+    assert np.allclose(np.asarray(final.X), np.asarray(s.X), atol=1e-9)
