@@ -10,6 +10,13 @@ Config schema (JSON):
 {
   "structure": "shell_N_42",          // shipped name or path
   "n_bodies": 16,
+      // — or, for a multi-species mixture, replace those two keys with:
+      // "species": [
+      //   {"structure": "shell_N_642", "n_bodies": 12,
+      //    "placement": {...}, "forces": [...]},        // per-species opts
+      //   {"structure": "shell_N_162", "n_bodies": 16, "scale": 0.5}
+      // ]   // "scale" scales the blob geometry (smaller bodies, same a);
+      //     // species-level "placement"/"forces" override the global ones
   "placement": {"type": "grid", "spacing": 2.5, "z0": 2.0}   // or "random"
       // or {"type": "file", "path": "init.npz"}  (arrays X (B,3), Q (B,4))
   "a": null,                          // blob radius; null → sep/2
@@ -89,53 +96,7 @@ def place_bodies(spec, n_bodies, rng, wall):
     return X, Q
 
 
-def main(argv=None):
-    parser = argparse.ArgumentParser(description="rigid_body_light_tpu run driver")
-    parser.add_argument("config", help="JSON config path")
-    parser.add_argument("--resume", default=None, help="checkpoint to resume from")
-    args = parser.parse_args(argv)
-
-    with open(args.config) as f:
-        conf = json.load(f)
-
-    import jax
-    import jax.numpy as jnp
-
-    from rigid_body_light_tpu import SimulationConfig, load_structure
-    from rigid_body_light_tpu.dynamics import run_bd
-    from rigid_body_light_tpu.ops import kinematics as kin
-    from rigid_body_light_tpu.runtime import TrajectoryWriter
-    from rigid_body_light_tpu.state import make_state
-    from rigid_body_light_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
-
-    params, blobs = load_structure(conf["structure"])
-    a = conf.get("a") or params["sep"] / 2
-    dtype = jnp.float64 if conf.get("dtype") == "float64" else jnp.float32
-    solver = conf.get("solver", {})
-    cfg = SimulationConfig(
-        a=a, eta=conf.get("eta", 1.0), dt=conf["dt"], kBT=conf.get("kBT", 0.0),
-        wall=bool(conf.get("wall", False)), dtype=dtype,
-        gmres_tol=solver.get("gmres_tol", 1e-4),
-        gmres_restart=solver.get("gmres_restart", 40),
-        gmres_maxiter=solver.get("gmres_maxiter", 80),
-        lanczos_iters=solver.get("lanczos_iters", 30),
-    )
-    geom = kin.make_ref_geometry(blobs, dtype=dtype)
-    rng = np.random.default_rng(conf.get("seed", 0))
-
-    out_dir = conf.get("output_dir", "out")
-    os.makedirs(out_dir, exist_ok=True)
-
-    start_step = 0
-    if args.resume:
-        state, key, start_step, _ = load_checkpoint(args.resume, dtype=dtype)
-        print(f"resumed from {args.resume} at step {start_step}")
-    else:
-        X, Q = place_bodies(conf.get("placement"), conf["n_bodies"], rng, cfg.wall)
-        state = make_state(X, Q, dtype=dtype)
-        key = jax.random.key(conf.get("seed", 0))
-
-    force_fn = build_forces(conf.get("forces"))
+def _chunking(conf):
     n_steps = conf["n_steps"]
     save_every = conf.get("save_every", 10)
     ckpt_every = conf.get("checkpoint_every", max(1, n_steps // 5))
@@ -150,6 +111,177 @@ def main(argv=None):
             f"n_steps ({n_steps}) must be a multiple of checkpoint_every "
             f"({chunk}) — each checkpoint chunk is one compiled scan"
         )
+    return n_steps, save_every, chunk
+
+
+def _build_cfg(conf, a, dtype):
+    from rigid_body_light_tpu import SimulationConfig
+
+    solver = conf.get("solver", {})
+    return SimulationConfig(
+        a=a, eta=conf.get("eta", 1.0), dt=conf["dt"], kBT=conf.get("kBT", 0.0),
+        wall=bool(conf.get("wall", False)), dtype=dtype,
+        gmres_tol=solver.get("gmres_tol", 1e-4),
+        gmres_restart=solver.get("gmres_restart", 40),
+        gmres_maxiter=solver.get("gmres_maxiter", 80),
+        lanczos_iters=solver.get("lanczos_iters", 30),
+    )
+
+
+def main_multi(conf, args):
+    """Mixture runs: the ``species`` config key drives the multi stack
+    (``multi.run_bd_multi``); trajectory frames are the concatenated body
+    list in species order (species boundaries recorded in the metadata)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rigid_body_light_tpu import load_structure, multi
+    from rigid_body_light_tpu.runtime import TrajectoryWriter
+    from rigid_body_light_tpu.state import make_state
+    from rigid_body_light_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    dtype = jnp.float64 if conf.get("dtype") == "float64" else jnp.float32
+    rng = np.random.default_rng(conf.get("seed", 0))
+    species = conf["species"]
+
+    ref_cfgs, all_params = [], []
+    for sp in species:
+        params, blobs = load_structure(sp["structure"])
+        scale = sp.get("scale", 1.0)
+        ref_cfgs.append(np.asarray(blobs) * scale)
+        all_params.append(params)
+    a = conf.get("a") or all_params[0]["sep"] / 2
+    cfg = _build_cfg(conf, a, dtype)
+    mgeom = multi.MultiGeometry.create(ref_cfgs, dtype=dtype)
+
+    out_dir = conf.get("output_dir", "out")
+    os.makedirs(out_dir, exist_ok=True)
+
+    start_step = 0
+    if args.resume:
+        states, key, start_step, _ = load_checkpoint(args.resume, dtype=dtype)
+        if not isinstance(states, tuple) or len(states) != len(species):
+            raise RuntimeError(
+                f"checkpoint {args.resume} does not match the configured "
+                f"{len(species)}-species mixture"
+            )
+        print(f"resumed from {args.resume} at step {start_step}")
+    else:
+        states = []
+        for sp in species:
+            X, Q = place_bodies(sp.get("placement", conf.get("placement")),
+                                sp["n_bodies"], rng, cfg.wall)
+            states.append(make_state(X, Q, dtype=dtype))
+        states = tuple(states)
+        key = jax.random.key(conf.get("seed", 0))
+
+    per_species_fns = [
+        build_forces(sp.get("forces", conf.get("forces"))) for sp in species
+    ]
+    sizes = tuple(s.X.shape[0] for s in states)
+
+    def force_fn(ss, i):
+        return tuple(
+            fn(s, i) if fn is not None else jnp.zeros((b, 6), dtype)
+            for fn, s, b in zip(per_species_fns, ss, sizes)
+        )
+
+    n_steps, save_every, chunk = _chunking(conf)
+    B_total = sum(sizes)
+    traj_path = os.path.join(out_dir, "trajectory.rblt")
+    writer = TrajectoryWriter(
+        traj_path, B_total,
+        dtype=np.dtype(np.float64 if dtype == jnp.float64 else np.float32),
+        append=bool(args.resume),
+    )
+
+    run_chunk = jax.jit(functools.partial(
+        multi.run_bd_multi, mgeom, cfg, n_steps=chunk, force_fn=force_fn,
+        save_every=save_every,
+    ))
+
+    meta = {"config": conf, "species_sizes": list(sizes)}
+    step = start_step
+    t_start = time.perf_counter()
+    while step < start_step + n_steps:
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        states, traj = run_chunk(states, key=sub)
+        Xs = np.concatenate([np.asarray(x) for x in traj["X"]], axis=1)
+        Qs = np.concatenate([np.asarray(q) for q in traj["Q"]], axis=1)
+        dt_chunk = time.perf_counter() - t0
+        for i in range(Xs.shape[0]):
+            frame_step = step + (i + 1) * save_every
+            writer.append(frame_step, frame_step * cfg.dt, Xs[i], Qs[i])
+        step += chunk
+        writer.flush()
+        save_checkpoint(os.path.join(out_dir, "checkpoint.npz"), states, key,
+                        step=step, metadata=meta)
+        print(json.dumps({
+            "step": step,
+            "steps_per_sec": round(chunk / dt_chunk, 4),
+            "max_residual": float(np.asarray(traj["residual"]).max()),
+            "mean_gmres_iters": round(float(np.asarray(traj["iters"]).mean()), 1),
+        }), flush=True)
+
+    writer.flush()
+    writer.close()
+    total = time.perf_counter() - t_start
+    print(json.dumps({
+        "done": True, "total_steps": n_steps, "wall_time_s": round(total, 2),
+        "trajectory": traj_path, "frames": writer.frames,
+        "species_sizes": list(sizes),
+    }))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="rigid_body_light_tpu run driver")
+    parser.add_argument("config", help="JSON config path")
+    parser.add_argument("--resume", default=None, help="checkpoint to resume from")
+    args = parser.parse_args(argv)
+
+    with open(args.config) as f:
+        conf = json.load(f)
+
+    if "species" in conf:
+        return main_multi(conf, args)
+
+    import jax
+    import jax.numpy as jnp
+
+    from rigid_body_light_tpu import load_structure
+    from rigid_body_light_tpu.dynamics import run_bd
+    from rigid_body_light_tpu.ops import kinematics as kin
+    from rigid_body_light_tpu.runtime import TrajectoryWriter
+    from rigid_body_light_tpu.state import make_state
+    from rigid_body_light_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    params, blobs = load_structure(conf["structure"])
+    a = conf.get("a") or params["sep"] / 2
+    dtype = jnp.float64 if conf.get("dtype") == "float64" else jnp.float32
+    cfg = _build_cfg(conf, a, dtype)
+    geom = kin.make_ref_geometry(blobs, dtype=dtype)
+    rng = np.random.default_rng(conf.get("seed", 0))
+
+    out_dir = conf.get("output_dir", "out")
+    os.makedirs(out_dir, exist_ok=True)
+
+    start_step = 0
+    if args.resume:
+        state, key, start_step, _ = load_checkpoint(args.resume, dtype=dtype)
+        if not hasattr(state, "X"):
+            raise RuntimeError(
+                f"checkpoint {args.resume} is a mixture checkpoint — add the "
+                f"matching 'species' section to the config to resume it"
+            )
+        print(f"resumed from {args.resume} at step {start_step}")
+    else:
+        X, Q = place_bodies(conf.get("placement"), conf["n_bodies"], rng, cfg.wall)
+        state = make_state(X, Q, dtype=dtype)
+        key = jax.random.key(conf.get("seed", 0))
+
+    force_fn = build_forces(conf.get("forces"))
+    n_steps, save_every, chunk = _chunking(conf)
 
     B = state.X.shape[0]
     traj_path = os.path.join(out_dir, "trajectory.rblt")

@@ -24,16 +24,28 @@ from rigid_body_light_tpu.state import BodyState
 _FORMAT_VERSION = 1
 
 
-def save_checkpoint(path: str, state: BodyState, key: Optional[jax.Array] = None,
+def save_checkpoint(path: str, state, key: Optional[jax.Array] = None,
                     step: int = 0, metadata: Optional[dict] = None) -> None:
-    """Write (X, Q, key, step, metadata) to ``path`` (npz, atomic rename)."""
+    """Write (X, Q, key, step, metadata) to ``path`` (npz, atomic rename).
+
+    ``state`` is a single :class:`BodyState` or a sequence of them (one per
+    species of a mixture — the multi-species state is exactly the tuple of
+    per-species (X, Q), so a mixture checkpoint is the same npz with
+    ``X_s``/``Q_s`` arrays and an ``n_species`` field).
+    """
     payload = {
         "format_version": _FORMAT_VERSION,
-        "X": np.asarray(state.X),
-        "Q": np.asarray(state.Q),
         "step": np.asarray(step),
         "metadata": json.dumps(metadata or {}),
     }
+    if isinstance(state, BodyState):
+        payload["X"] = np.asarray(state.X)
+        payload["Q"] = np.asarray(state.Q)
+    else:
+        payload["n_species"] = np.asarray(len(state))
+        for s_idx, s in enumerate(state):
+            payload[f"X_{s_idx}"] = np.asarray(s.X)
+            payload[f"Q_{s_idx}"] = np.asarray(s.Q)
     if key is not None:
         payload["key_data"] = np.asarray(jax.random.key_data(key))
     tmp = path + ".tmp"
@@ -43,16 +55,27 @@ def save_checkpoint(path: str, state: BodyState, key: Optional[jax.Array] = None
 
 
 def load_checkpoint(path: str, dtype=jnp.float32) -> Tuple[BodyState, Optional[jax.Array], int, dict]:
-    """Read a checkpoint → (state, key | None, step, metadata)."""
+    """Read a checkpoint → (state, key | None, step, metadata).
+
+    ``state`` is a :class:`BodyState`, or a tuple of them if the checkpoint
+    was written from a mixture (``n_species`` present).
+    """
     with np.load(path, allow_pickle=False) as z:
         version = int(z["format_version"])
         if version > _FORMAT_VERSION:
             raise RuntimeError(f"Checkpoint {path} has format v{version}; this build reads ≤ v{_FORMAT_VERSION}")
-        X = jnp.asarray(z["X"], dtype)
-        Q = jnp.asarray(z["Q"], dtype)
+        if "n_species" in z.files:
+            state = tuple(
+                BodyState(X=jnp.asarray(z[f"X_{s}"], dtype),
+                          Q=jnp.asarray(z[f"Q_{s}"], dtype))
+                for s in range(int(z["n_species"]))
+            )
+        else:
+            state = BodyState(X=jnp.asarray(z["X"], dtype),
+                              Q=jnp.asarray(z["Q"], dtype))
         step = int(z["step"])
         metadata = json.loads(str(z["metadata"]))
         key = None
         if "key_data" in z.files:
             key = jax.random.wrap_key_data(jnp.asarray(z["key_data"]))
-    return BodyState(X=X, Q=Q), key, step, metadata
+    return state, key, step, metadata

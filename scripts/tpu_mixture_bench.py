@@ -64,7 +64,7 @@ def main():
     F1 = jnp.zeros((16, 6), jnp.float32).at[:, 2].set(-1.0)
     runner = jax.jit(functools.partial(
         run_bd, geom, cfg, n_steps=N_REP,
-        force_fn=lambda s, i: F1, save_every=N_REP,
+        force_fn=lambda s, i: F1, save_every=1,
     ))
     t0 = time.perf_counter()
     s, traj = runner(state, jax.random.key(0))
@@ -76,7 +76,8 @@ def main():
     dt_single = (time.perf_counter() - t0) / N_REP
     res_s = float(jnp.max(jnp.asarray(traj["residual"])))
     print(f"single-species step: {dt_single*1e3:.1f} ms "
-          f"({1/dt_single:.3f} steps/s), residual {res_s:.2e}", flush=True)
+          f"({1/dt_single:.3f} steps/s), residual {res_s:.2e}, "
+          f"iters {np.asarray(traj['iters']).tolist()}", flush=True)
 
     # --- mixture: 12 x 642 + 16 x 162-scaled ---
     mgeom = multi.MultiGeometry.create([cfg642, cfg162s], dtype=jnp.float32)
@@ -94,7 +95,7 @@ def main():
 
     mrunner = jax.jit(functools.partial(
         multi.run_bd_multi, mgeom, cfg, n_steps=N_REP,
-        force_fn=lambda ss, i: (Fb, Fs), save_every=N_REP,
+        force_fn=lambda ss, i: (Fb, Fs), save_every=1,
     ))
     t0 = time.perf_counter()
     fin, mtraj = mrunner((st_b, st_s), key=jax.random.key(0))
@@ -105,6 +106,9 @@ def main():
     _sync(fin[0].X)
     dt_mix = (time.perf_counter() - t0) / N_REP
     res_m = float(jnp.max(jnp.asarray(mtraj["residual"])))
+    print("mixture per-step residuals:",
+          [f"{float(r):.1e}" for r in np.asarray(mtraj["residual"])],
+          "iters:", np.asarray(mtraj["iters"]).tolist(), flush=True)
     finite = all(bool(jnp.isfinite(s.X).all()) for s in fin)
     n_mix = 12 * 642 + 16 * len(cfg162s)
     print(json.dumps({

@@ -84,3 +84,48 @@ def test_random_and_file_placement(tmp_path):
     # drifts weakly through pair-wall hydrodynamics)
     assert Xs[0, 0, 2] < 2.0
     assert np.allclose(Xs[0, :, :2], X[:, :2], atol=1e-2)
+
+
+def test_mixture_run_and_resume(tmp_path):
+    """'species' config drives the multi stack: concatenated trajectory
+    frames, mixture checkpoint (per-species X/Q), exact resume."""
+    conf = {
+        "species": [
+            {"structure": "shell_N_12", "n_bodies": 2,
+             "placement": {"type": "grid", "spacing": 4.0, "z0": 2.0}},
+            {"structure": "shell_N_12", "n_bodies": 1, "scale": 0.5,
+             "placement": {"type": "grid", "spacing": 4.0, "z0": 4.0},
+             "forces": [{"type": "gravity", "value": [0, 0, -0.1, 0, 0, 0]}]},
+        ],
+        "a": 0.4, "eta": 1.0, "dt": 0.02, "kBT": 0.4, "wall": True,
+        "dtype": "float64", "n_steps": 8, "save_every": 2,
+        "checkpoint_every": 4,
+        "forces": [{"type": "gravity", "value": [0, 0, -0.5, 0, 0, 0]},
+                   {"type": "wall_repulsion", "strength": 2.0,
+                    "debye_length": 0.5}],
+        "seed": 5, "output_dir": str(tmp_path / "out"),
+        "solver": {"gmres_tol": 1e-7, "gmres_restart": 30,
+                   "gmres_maxiter": 90, "lanczos_iters": 10},
+    }
+    cfg_path = str(tmp_path / "mix.json")
+    with open(cfg_path, "w") as f:
+        json.dump(conf, f)
+    main([cfg_path])
+    out_dir = conf["output_dir"]
+    steps, times, X, Q = read_trajectory(os.path.join(out_dir, "trajectory.rblt"))
+    assert steps.tolist() == [2, 4, 6, 8]
+    assert X.shape[1] == 3  # 2 + 1 bodies concatenated
+    assert np.isfinite(X).all()
+    states, key, step, meta = load_checkpoint(os.path.join(out_dir, "checkpoint.npz"))
+    assert isinstance(states, tuple) and len(states) == 2
+    assert states[0].X.shape == (2, 3) and states[1].X.shape == (1, 3)
+    assert meta["species_sizes"] == [2, 1]
+    assert step == 8 and key is not None
+    # checkpointed state matches the last trajectory frame
+    assert np.allclose(np.concatenate([states[0].X, states[1].X]), X[-1],
+                       atol=1e-12)
+
+    main([cfg_path, "--resume", os.path.join(out_dir, "checkpoint.npz")])
+    steps2, _, X2, _ = read_trajectory(os.path.join(out_dir, "trajectory.rblt"))
+    assert steps2.tolist() == [2, 4, 6, 8, 10, 12, 14, 16]
+    assert np.array_equal(X2[:4], X)
