@@ -38,17 +38,19 @@ def main():
     B = 16
     xs = np.array([[2.5 * (i % 4), 2.5 * (i // 4), 2.0 + 0.2 * (i % 3)] for i in range(B)])
     qs = np.tile([1.0, 0, 0, 0], (B, 1))
-    # solver settings tuned on this workload (BENCH_NOTES.md): the full
-    # per-body block PC (wall-corrected) cuts GMRES from ~75 to ~15
-    # iterations; its dense per-body inverse build is amortized by rebuilding
-    # every pc_refresh steps inside the scan (a preconditioner lagging a few
-    # small steps barely affects the iteration count).  Lanczos at 25
-    # iterations gives ~2e-3 relative noise error.
+    # solver settings tuned on this workload (BENCH_NOTES.md round-2 sweep,
+    # scripts/tpu_bench_variants.py): the rotation-equivariant block_free PC
+    # is built ONCE per trajectory (body-frame constants) and is never
+    # stale, so it both costs nothing per step and converges in ~7 GMRES
+    # iterations where the lagged wall-corrected block PC needed ~25 (the
+    # lag, not the wall terms, dominated the iteration count; true-residual
+    # parity between the two PCs verified in tests).  Preconditioned Lanczos
+    # noise at 8 iterations is equilibrium-validated (VALIDATION.md).
     cfg = SimulationConfig(
         a=params["sep"] / 2, dt=0.01, kBT=1.0, wall=True,
-        dtype=jnp.float32, lanczos_iters=10, lanczos_precond=True,
+        dtype=jnp.float32, lanczos_iters=8, lanczos_precond=True,
         gmres_tol=1e-4, gmres_restart=20, gmres_maxiter=60,
-        matvec_row_tile=512, block_diag_pc=True, pc_refresh=4,
+        matvec_row_tile=512, pc_mode="block_free",
     )
     geom = kin.make_ref_geometry(cfgb, dtype=jnp.float32)
     state = make_state(xs, qs, dtype=jnp.float32)

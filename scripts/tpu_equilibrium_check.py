@@ -4,7 +4,7 @@ Wall-confined spheres under gravity + exponential repulsion at kBT — the
 sharpest end-to-end test of the stochastic drift terms (VALIDATION.md).
 Runs ~25 min on one chip (compile included). Usage:
 
-    python scripts/tpu_equilibrium_check.py [midpoint_slip|em_exact] [lanczos_iters]
+    python scripts/tpu_equilibrium_check.py [midpoint_slip|em_exact] [lanczos_iters] [pc_mode]
 """
 import sys, time, functools
 import numpy as np
@@ -17,7 +17,7 @@ from rigid_body_light_tpu.ops import kinematics as kin
 from rigid_body_light_tpu.state import make_state
 
 
-def main(mode="midpoint_slip", lanczos_iters=10, n_chunks=20):
+def main(mode="midpoint_slip", lanczos_iters=10, pc_mode=None, n_chunks=20):
     params, cfgb = load_structure("shell_N_12")
     kBT, mg, k_wall, lam_wall = 0.3, 1.0, 4.0, 0.3
     geom = kin.make_ref_geometry(cfgb, dtype=jnp.float32)
@@ -34,6 +34,7 @@ def main(mode="midpoint_slip", lanczos_iters=10, n_chunks=20):
         a=params["sep"] / 2, dt=0.01, kBT=kBT, wall=True, dtype=jnp.float32,
         lanczos_iters=int(lanczos_iters), lanczos_precond=True, drift_mode=mode,
         gmres_tol=1e-5, gmres_restart=25, gmres_maxiter=75,
+        pc_mode=pc_mode,
     )
     # domain starts at the lowest accessible body-center height (blob shell
     # radius ~0.79 for shell_N_12, below-wall moves rejected), not at z=1 —
@@ -55,11 +56,12 @@ def main(mode="midpoint_slip", lanczos_iters=10, n_chunks=20):
         zs.append(np.asarray(traj["X"])[:, :, 2])
     z = np.concatenate(zs[n_chunks // 4:], axis=0)
     se = z.mean(axis=0).std() / np.sqrt(B)
-    print(f"{mode} (lanczos {int(lanczos_iters)}): mean z = {z.mean():.4f} ± {se:.4f} "
+    print(f"{mode} (lanczos {int(lanczos_iters)}, pc {pc_mode or 'diag'}): "
+          f"mean z = {z.mean():.4f} ± {se:.4f} "
           f"(theory {z_theory:.4f}, bias {z.mean() - z_theory:+.4f}); "
           f"zmax {np.concatenate(zs).max():.2f}, "
           f"wall {time.perf_counter() - t0:.0f}s")
 
 
 if __name__ == "__main__":
-    main(*(sys.argv[1:3] or ["midpoint_slip"]))
+    main(*(sys.argv[1:4] or ["midpoint_slip"]))

@@ -51,9 +51,9 @@ def main():
 
     cfg = SimulationConfig(
         a=p642["sep"] / 2, dt=0.01, kBT=1.0, wall=True,
-        dtype=jnp.float32, lanczos_iters=10, lanczos_precond=True,
+        dtype=jnp.float32, lanczos_iters=8, lanczos_precond=True,
         gmres_tol=1e-4, gmres_restart=20, gmres_maxiter=60,
-        matvec_row_tile=512, block_diag_pc=True, pc_refresh=4,
+        matvec_row_tile=512, pc_mode="block_free",
     )
 
     # --- single species: 16 x 642 (identical to bench.py) ---

@@ -84,11 +84,14 @@ def _scale_setup(kBT=1.0, lanczos_precond=True):
     xs = np.array([[2.6 * (i % side), 2.6 * (i // side), 2.0 + 0.2 * (i % 3)]
                    for i in range(B)])
     qs = np.tile([1.0, 0, 0, 0], (B, 1))
+    # round-2 shipped PC: block_free's per-body 7686² body-frame inverse is
+    # computed once per trajectory (the per-step block PC build would be
+    # infeasible here); diag remains available via pc_mode="diag"
     cfg = SimulationConfig(
         a=params["sep"] / 2, dt=0.005, kBT=kBT, wall=True,
-        dtype=jnp.float32, lanczos_iters=10, lanczos_precond=lanczos_precond,
+        dtype=jnp.float32, lanczos_iters=8, lanczos_precond=lanczos_precond,
         gmres_tol=1e-4, gmres_restart=30, gmres_maxiter=90,
-        pc_mode="diag", block_diag_pc=False,
+        pc_mode="block_free",
     )
     return params, cfgb, B, xs, qs, cfg
 
@@ -167,7 +170,7 @@ def measure_step(kBT=1.0):
     kind = "fluctuating" if kBT > 0 else "deterministic"
     print(json.dumps({
         "metric": f"{kind} BD steps/sec @ {n_blobs} blobs "
-                  f"({B}x shell_N_2562, wall, diag PC)",
+                  f"({B}x shell_N_2562, wall, block_free PC)",
         "value": round(1.0 / dt, 4), "unit": "steps/s",
         "residual": res, "finite": ok,
     }), flush=True)
