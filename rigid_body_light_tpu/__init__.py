@@ -27,9 +27,17 @@ import jax as _jax
 # measurably breaks them (it biased the preconditioned-noise sampler's
 # equilibrium statistics and floored Krylov convergence).  The hot-path
 # flops live in the O(N²) pair sweeps, not in these small matmuls, so the
-# multi-pass float32 mode costs nothing measurable.  Users can override
-# after import with jax.config.update or a default_matmul_precision scope.
-_jax.config.update("jax_default_matmul_precision", "highest")
+# multi-pass float32 mode costs nothing measurable.  The pin IS process-
+# global: an application embedding this framework next to e.g. a neural
+# net in the same process inherits it.  Opt out by setting
+# RBLT_NO_MATMUL_PIN=1 before import (this framework's float32 accuracy
+# contracts then degrade to ~2e-3 on TPU — see BENCH_NOTES.md), or
+# override after import with jax.config.update / a
+# default_matmul_precision scope around your own code.
+import os as _os
+
+if not _os.environ.get("RBLT_NO_MATMUL_PIN"):
+    _jax.config.update("jax_default_matmul_precision", "highest")
 
 from rigid_body_light_tpu import analysis, flows, forces, multi
 from rigid_body_light_tpu.api import RigidBody

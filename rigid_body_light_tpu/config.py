@@ -77,6 +77,12 @@ class SimulationConfig:
     validate_config: bool = True  # RigidBody API: check blob overlap on set_config/apply_M (O(N²) pairwise sweep + host sync — disable for very large N or latency-critical callers; the jitted device paths never run it)
 
     def __post_init__(self):
+        if self.drift_mode not in ("midpoint_slip", "em_exact"):
+            raise ValueError(
+                f"unknown drift_mode {self.drift_mode!r}; use 'midpoint_slip' "
+                "or 'em_exact' (a typo here would otherwise silently run the "
+                "midpoint scheme)"
+            )
         if self.max_step_residual > 0 and self.gmres_tol >= self.max_step_residual:
             raise ValueError(
                 f"gmres_tol ({self.gmres_tol}) must be below max_step_residual "

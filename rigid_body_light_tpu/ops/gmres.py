@@ -87,11 +87,15 @@ def _cycle(matvec: Callable, x0, r0, m: int, atol):
                 )
 
             col = lax.fori_loop(0, j, rot, col)
-            # new rotation annihilating the subdiagonal entry
+            # new rotation annihilating the subdiagonal entry.  The stored
+            # diagonal is floored: if both entries underflow to 0 (happy
+            # breakdown / rank deficiency in f32) an unfloored 0 diagonal
+            # would send solve_triangular to NaN; the floor makes the
+            # corresponding y component ~0 instead (minimal-norm behavior)
             denom = jnp.sqrt(col[j] ** 2 + col[j + 1] ** 2)
             c = col[j] / jnp.maximum(denom, tiny)
             s = col[j + 1] / jnp.maximum(denom, tiny)
-            col = col.at[j].set(denom).at[j + 1].set(0.0)
+            col = col.at[j].set(jnp.maximum(denom, tiny)).at[j + 1].set(0.0)
             g_new = g.at[j + 1].set(-s * g[j]).at[j].set(c * g[j])
             return (
                 V_new,

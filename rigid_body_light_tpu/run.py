@@ -69,7 +69,8 @@ def build_forces(specs):
 
 
 def place_bodies(spec, n_bodies, rng, wall):
-    t = (spec or {"type": "grid"}).get("type", "grid")
+    spec = spec or {"type": "grid"}
+    t = spec.get("type", "grid")
     if t == "grid":
         spacing = spec.get("spacing", 2.5)
         z0 = spec.get("z0", 2.0)
@@ -137,7 +138,7 @@ def main_multi(conf, args):
 
     from rigid_body_light_tpu import load_structure, multi
     from rigid_body_light_tpu.runtime import TrajectoryWriter
-    from rigid_body_light_tpu.state import make_state
+    from rigid_body_light_tpu.state import BodyState, make_state
     from rigid_body_light_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
     dtype = jnp.float64 if conf.get("dtype") == "float64" else jnp.float32
@@ -160,7 +161,7 @@ def main_multi(conf, args):
     start_step = 0
     if args.resume:
         states, key, start_step, _ = load_checkpoint(args.resume, dtype=dtype)
-        if not isinstance(states, tuple) or len(states) != len(species):
+        if isinstance(states, BodyState) or len(states) != len(species):
             raise RuntimeError(
                 f"checkpoint {args.resume} does not match the configured "
                 f"{len(species)}-species mixture"

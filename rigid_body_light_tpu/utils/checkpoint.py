@@ -21,7 +21,11 @@ import numpy as np
 
 from rigid_body_light_tpu.state import BodyState
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 1        # single-species layout (X/Q arrays)
+_FORMAT_VERSION_MULTI = 2  # mixture layout (X_s/Q_s arrays + n_species) —
+                           # a distinct version so pre-mixture readers fail
+                           # with a clear version error, not a KeyError
+_MAX_READ_VERSION = 2
 
 
 def save_checkpoint(path: str, state, key: Optional[jax.Array] = None,
@@ -34,14 +38,15 @@ def save_checkpoint(path: str, state, key: Optional[jax.Array] = None,
     ``X_s``/``Q_s`` arrays and an ``n_species`` field).
     """
     payload = {
-        "format_version": _FORMAT_VERSION,
         "step": np.asarray(step),
         "metadata": json.dumps(metadata or {}),
     }
     if isinstance(state, BodyState):
+        payload["format_version"] = _FORMAT_VERSION
         payload["X"] = np.asarray(state.X)
         payload["Q"] = np.asarray(state.Q)
     else:
+        payload["format_version"] = _FORMAT_VERSION_MULTI
         payload["n_species"] = np.asarray(len(state))
         for s_idx, s in enumerate(state):
             payload[f"X_{s_idx}"] = np.asarray(s.X)
@@ -62,8 +67,8 @@ def load_checkpoint(path: str, dtype=jnp.float32) -> Tuple[BodyState, Optional[j
     """
     with np.load(path, allow_pickle=False) as z:
         version = int(z["format_version"])
-        if version > _FORMAT_VERSION:
-            raise RuntimeError(f"Checkpoint {path} has format v{version}; this build reads ≤ v{_FORMAT_VERSION}")
+        if version > _MAX_READ_VERSION:
+            raise RuntimeError(f"Checkpoint {path} has format v{version}; this build reads ≤ v{_MAX_READ_VERSION}")
         if "n_species" in z.files:
             state = tuple(
                 BodyState(X=jnp.asarray(z[f"X_{s}"], dtype),

@@ -133,3 +133,30 @@ def test_padded_columns_are_inert(cloud):
     U_xla = np.asarray(rpy.mobility_apply(F1, r1, 1.0, 1.0, True))
     assert np.abs(U_pal - U_xla).max() / np.abs(U_xla).max() < 1e-5
     assert np.isfinite(U_pal).all()
+
+
+@pytest.mark.parametrize("nrhs", [1, 2])
+def test_symmetric_kernel_multi_column_tile(nrhs):
+    """Production-size tiling: n_pad = 3 column tiles exercises the
+    diagonal-tile skip (j_start > 0 for later row tiles) and the
+    cross-column-tile transposed accumulation, which single-tile clouds
+    (n_pad = TC) never touch."""
+    rng = np.random.default_rng(23)
+    n = 1100  # n_pad = 1536 = 3 * TC
+    r = jnp.asarray(
+        rng.uniform([-12, -12, 0.7], [12, 12, 9], (n, 3)), jnp.float32)
+    Fk = jnp.asarray(rng.standard_normal((nrhs, n, 3)), jnp.float32)
+    old = rpy_pallas.USE_SYM
+    try:
+        rpy_pallas.USE_SYM = False
+        ref = np.asarray(rpy_pallas.pair_sum(r, Fk, True, interpret=True))
+    finally:
+        rpy_pallas.USE_SYM = old
+    n_pad = -(-n // rpy_pallas.TC) * rpy_pallas.TC
+    assert n_pad // rpy_pallas.TC >= 3
+    P = rpy_pallas._pack(r, Fk, n_pad)
+    out = rpy_pallas._pair_sweep_sym(
+        P, n_pad, True, nrhs, rpy_pallas.rpy_xla.WALL_H_FLOOR, interpret=True)
+    sym = np.stack([np.asarray(out)[3 * i : 3 * i + 3, :n].T
+                    for i in range(nrhs)])
+    assert np.abs(sym - ref).max() / np.abs(ref).max() < 2e-6
