@@ -111,7 +111,7 @@ def config_3():
     # a/r ~ 2.5e-2 per pair, negligible at this tolerance)
     B = 16
     cfg = SimulationConfig(a=params["sep"] / 2, dt=dt, kBT=kBT,
-                           dtype=jnp.float32, lanczos_iters=20,
+                           dtype=jnp.float32, lanczos_iters=8,
                            gmres_tol=1e-4, gmres_restart=20, gmres_maxiter=40)
     geom = kin.make_ref_geometry(cfgb, dtype=jnp.float32)
     state = make_state(
@@ -156,8 +156,8 @@ def config_4():
     qs = np.tile([1.0, 0, 0, 0], (B, 1))
     cfg = SimulationConfig(
         a=params["sep"] / 2, dt=0.01, kBT=1.0, wall=True, dtype=jnp.float32,
-        lanczos_iters=25, gmres_tol=1e-4, gmres_restart=20, gmres_maxiter=60,
-        block_diag_pc=True, pc_refresh=4,
+        lanczos_iters=8, gmres_tol=1e-4, gmres_restart=20, gmres_maxiter=60,
+        pc_mode="block_free",
     )
     geom = kin.make_ref_geometry(cfgb, dtype=jnp.float32)
     state = make_state(xs, qs, dtype=jnp.float32)

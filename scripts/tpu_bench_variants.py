@@ -28,7 +28,7 @@ sys.path.insert(0, ".")
 N_REP = 8
 
 
-def measure(name, cfg_kwargs):
+def measure(name, cfg_kwargs, bodies=16):
     import jax
     import jax.numpy as jnp
 
@@ -38,7 +38,7 @@ def measure(name, cfg_kwargs):
     from rigid_body_light_tpu.state import make_state
 
     params, cfgb = load_structure("shell_N_642")
-    B = 16
+    B = bodies
     xs = np.array([[2.5 * (i % 4), 2.5 * (i // 4), 2.0 + 0.2 * (i % 3)]
                    for i in range(B)])
     base = dict(
@@ -65,7 +65,8 @@ def measure(name, cfg_kwargs):
     _ = float(jnp.sum(s.X))
     dt = (time.perf_counter() - t0) / N_REP
     print(json.dumps({
-        "variant": name, "steps_per_s": round(1.0 / dt, 3),
+        "variant": name, "n_blobs": B * params["N"],
+        "steps_per_s": round(1.0 / dt, 3),
         "ms_per_step": round(dt * 1e3, 1),
         "mean_iters": round(float(np.asarray(traj["iters"]).mean()), 1),
         "max_residual": float(np.asarray(traj["residual"]).max()),
@@ -76,6 +77,8 @@ def measure(name, cfg_kwargs):
 
 VARIANTS = {
     "base": {},
+    "shipped41k": {"pc_mode": "block_free", "pc_refresh": 1,
+                   "lanczos_iters": 8, "_bodies": 64},
     "block_free": {"pc_mode": "block_free", "pc_refresh": 1},
     "refresh8": {"pc_refresh": 8},
     "lanczos8": {"lanczos_iters": 8},
@@ -86,4 +89,6 @@ VARIANTS = {
 if __name__ == "__main__":
     names = sys.argv[1:] or list(VARIANTS)
     for n in names:
-        measure(n, VARIANTS[n])
+        kw = dict(VARIANTS[n])
+        bodies = kw.pop("_bodies", 16)
+        measure(n, kw, bodies=bodies)
