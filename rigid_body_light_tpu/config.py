@@ -54,6 +54,7 @@ class SimulationConfig:
     dt: float = 1.0
     kBT: float = 0.0
     wall: bool = False
+    box: Any = None  # None (open domain) or (Lx, Ly): pseudo-periodic boundaries in the plane via minimum-image wrapping of pair displacements (z stays open).  The standard production-multiblob approximation for wall-bounded suspensions, where the wall-corrected pair mobility decays ~1/r³ and the truncation error is small for box ≫ body size; in free space the bare 1/r decay makes it much cruder.  The minimum-image mobility is not guaranteed SPD at high density — the Lanczos sampler clamps negative modes, but validate equilibrium statistics for your workload.  Requires box[i] > 2×(body diameter) or intra-body distances would wrap.  Trajectories keep unwrapped coordinates; only pair interactions see the wrap.
     block_diag_pc: bool = False
     pc_mode: str = ""  # "", "diag", "block", "block_free" — "" derives from block_diag_pc
     pc_refresh: int = 1  # rebuild the preconditioner every k steps in run_bd (k>1 = lagged PC)
@@ -77,6 +78,14 @@ class SimulationConfig:
     validate_config: bool = True  # RigidBody API: check blob overlap on set_config/apply_M (O(N²) pairwise sweep + host sync — disable for very large N or latency-critical callers; the jitted device paths never run it)
 
     def __post_init__(self):
+        if self.box is not None:
+            box = tuple(float(b) for b in self.box)
+            if len(box) != 2 or box[0] <= 0 or box[1] <= 0:
+                raise ValueError(
+                    f"box must be None or a positive (Lx, Ly) pair, got {self.box!r}"
+                )
+            # normalized tuple keeps the frozen dataclass hashable/jit-static
+            object.__setattr__(self, "box", box)
         if self.drift_mode not in ("midpoint_slip", "em_exact"):
             raise ValueError(
                 f"unknown drift_mode {self.drift_mode!r}; use 'midpoint_slip' "

@@ -65,19 +65,26 @@ def harmonic_trap(k, center) -> Callable:
     return fn
 
 
-def pair_yukawa(strength: float, debye_length: float, diameter: float) -> Callable:
+def pair_yukawa(strength: float, debye_length: float, diameter: float,
+                box=None) -> Callable:
     """Pairwise screened-Coulomb (Yukawa) body-body repulsion:
 
         F_ij = strength · exp(−(r−d)/λ) · r̂,   r = |X_i − X_j|.
 
     O(B²) on body centers (cheap next to the blob-level mobility); fully
-    vectorized, no self interaction.
+    vectorized, no self interaction.  box: optional (Lx, Ly) pseudo-periodic
+    minimum-image wrap in the plane (match ``SimulationConfig.box`` so the
+    conservative force sees the same geometry as the hydrodynamics).
     """
 
     def fn(state: BodyState, step=0):
         X = state.X
         B = X.shape[0]
         d = X[:, None, :] - X[None, :, :]
+        if box is not None:
+            lx, ly = box
+            d = d.at[..., 0].add(-lx * jnp.round(d[..., 0] / lx))
+            d = d.at[..., 1].add(-ly * jnp.round(d[..., 1] / ly))
         r2 = jnp.sum(d * d, axis=-1)
         eye = jnp.eye(B, dtype=bool)
         r = jnp.sqrt(jnp.where(eye, 1.0, r2))

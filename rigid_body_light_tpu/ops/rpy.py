@@ -48,6 +48,30 @@ WALL_H_FLOOR = 0.75
 _R2_FLOOR = 1e-24
 
 
+def _wrap_xy(d, box_n):
+    """Minimum-image wrap of displacement components x, y (units of a).
+
+    box_n: None, or (Lx/a, Ly/a).  Pseudo-periodic boundaries in the plane
+    (z stays open — the wall geometry): every pair interacts through the
+    nearest periodic image only, the standard approximation of the
+    production multiblob codes for wall-bounded suspensions, where the
+    wall-corrected pair mobility decays like 1/r³ (image cancellation) and
+    the minimum-image truncation error is small for box ≫ body size.  In
+    free space the bare 1/r decay makes this much cruder — see
+    ``SimulationConfig.box``.  Wrapped displacements stay antisymmetric
+    under i↔j, so all symmetry-based paths (ordered mirror assembly, the
+    unordered-pair Pallas kernel) remain valid.
+    """
+    if box_n is None:
+        return d
+    lx, ly = box_n
+    dx = d[..., 0]
+    dy = d[..., 1]
+    dx = dx - lx * jnp.round(dx / lx)
+    dy = dy - ly * jnp.round(dy / ly)
+    return jnp.stack([dx, dy, d[..., 2]], axis=-1)
+
+
 def _free_coeffs(r2, dtype):
     """Free-space RPY pair coefficients (α, β) with M = α·I + β·d⊗d.
 
@@ -158,7 +182,7 @@ def damping_factors(r, a=1.0):
 
 
 def _pair_tile(ri, zi_img_unused, rj, row_ids, col_ids, F, inv_a, wall, dtype,
-               h_floor=WALL_H_FLOOR):
+               h_floor=WALL_H_FLOOR, box_n=None):
     """Mobility contribution of all column blobs onto a tile of row blobs.
 
     ri: (T, 3) row positions;  rj: (N, 3) all positions;
@@ -169,7 +193,7 @@ def _pair_tile(ri, zi_img_unused, rj, row_ids, col_ids, F, inv_a, wall, dtype,
     """
     multi = F.ndim == 3
     Fk = F if multi else F[None]
-    d = (ri[:, None, :] - rj[None, :, :]) * inv_a  # (T, N, 3)
+    d = _wrap_xy((ri[:, None, :] - rj[None, :, :]) * inv_a, box_n)  # (T, N, 3)
     r2 = jnp.sum(d * d, axis=-1)
     self_mask = row_ids[:, None] == col_ids[None, :]
     alpha, beta = _free_coeffs(r2, dtype)
@@ -214,6 +238,7 @@ def pair_sum(
     wall=False,
     row_tile=512,
     h_floor=WALL_H_FLOOR,
+    box=None,
 ):
     """Σ_j M_ij·F_j over all column blobs, for a set of row blobs.
 
@@ -225,6 +250,7 @@ def pair_sum(
     """
     dtype = r_rows.dtype
     inv_a = jnp.asarray(1.0 / a, dtype)
+    box_n = None if box is None else (box[0] / a, box[1] / a)
     n_rows = r_rows.shape[0]
     tile = min(row_tile, n_rows)
     n_tiles = -(-n_rows // tile)
@@ -237,7 +263,8 @@ def pair_sum(
         ri = lax.dynamic_slice(r_pad, (start, jnp.int32(0)), (tile, 3))
         rid = lax.dynamic_slice(ids_pad, (start,), (tile,))
         return _pair_tile(ri, None, r_cols, rid, col_ids.astype(jnp.int32),
-                          F_cols, inv_a, wall, dtype, h_floor=h_floor)
+                          F_cols, inv_a, wall, dtype, h_floor=h_floor,
+                          box_n=box_n)
 
     multi = F_cols.ndim == 3
     if n_tiles == 1:
@@ -261,6 +288,7 @@ def mobility_apply(
     damp=None,
     row_tile=512,
     h_floor=WALL_H_FLOOR,
+    box=None,
 ):
     """Matrix-free U = M(r)·F (optionally B·M·B·F), shapes (N, 3)→(N, 3).
 
@@ -284,7 +312,7 @@ def mobility_apply(
 
     ids = jnp.arange(n, dtype=jnp.int32)
     U = pair_sum(r, ids, r, ids, Fd, a=a, wall=wall, row_tile=row_tile,
-                 h_floor=h_floor)
+                 h_floor=h_floor, box=box)
 
     # self term (4/3 + wall self) — diagonal, added outside the pair sweep
     self_diag = jnp.full((n, 3), _SELF_COEF, dtype=dtype)
@@ -308,6 +336,7 @@ def mobility_apply_multi(
     damp=None,
     row_tile=512,
     h_floor=WALL_H_FLOOR,
+    box=None,
 ):
     """Multi-RHS U_k = M(r)·F_k (damped iff wall), (k, N, 3)×(N, 3)→(k, N, 3).
 
@@ -331,7 +360,7 @@ def mobility_apply_multi(
 
     ids = jnp.arange(n, dtype=jnp.int32)
     U = pair_sum(r, ids, r, ids, Fd, a=a, wall=wall, row_tile=row_tile,
-                 h_floor=h_floor)
+                 h_floor=h_floor, box=box)
 
     self_diag = jnp.full((n, 3), _SELF_COEF, dtype=dtype)
     if wall:
@@ -343,7 +372,8 @@ def mobility_apply_multi(
     return U
 
 
-def mobility_matrix(r, a=1.0, eta=1.0, wall=False, h_floor=WALL_H_FLOOR):
+def mobility_matrix(r, a=1.0, eta=1.0, wall=False, h_floor=WALL_H_FLOOR,
+                    box=None):
     """Dense (3N, 3N) RPY mobility — small-N reference path and PC blocks.
 
     Parity: ``rotne_prager_tensor`` (``c_rigid_obj.cpp:413-459``), evaluated
@@ -354,7 +384,8 @@ def mobility_matrix(r, a=1.0, eta=1.0, wall=False, h_floor=WALL_H_FLOOR):
     dtype = r.dtype
     n = r.shape[0]
     inv_a = jnp.asarray(1.0 / a, dtype)
-    d = (r[:, None, :] - r[None, :, :]) * inv_a  # (N, N, 3)
+    box_n = None if box is None else (box[0] / a, box[1] / a)
+    d = _wrap_xy((r[:, None, :] - r[None, :, :]) * inv_a, box_n)  # (N, N, 3)
     r2 = jnp.sum(d * d, axis=-1)
     eye_n = jnp.eye(n, dtype=bool)
     alpha, beta = _free_coeffs(r2, dtype)
@@ -386,11 +417,12 @@ def mobility_matrix(r, a=1.0, eta=1.0, wall=False, h_floor=WALL_H_FLOOR):
     return M.transpose(0, 2, 1, 3).reshape(3 * n, 3 * n)
 
 
-def apply_M_dense(F, r, a=1.0, eta=1.0, wall=False, h_floor=WALL_H_FLOOR):
+def apply_M_dense(F, r, a=1.0, eta=1.0, wall=False, h_floor=WALL_H_FLOOR,
+                  box=None):
     """Dense-path U = B·M·B·F (damping iff wall), for small N / validation."""
     r = jnp.asarray(r).reshape(-1, 3)
     F = jnp.asarray(F, dtype=r.dtype).reshape(-1)
-    M = mobility_matrix(r, a, eta, wall, h_floor=h_floor)
+    M = mobility_matrix(r, a, eta, wall, h_floor=h_floor, box=box)
     if wall:
         b = jnp.repeat(damping_factors(r, a), 3)
         return (b * (M @ (b * F))).reshape(-1, 3)

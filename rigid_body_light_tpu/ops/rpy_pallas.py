@@ -80,7 +80,8 @@ def available() -> bool:
 
 
 def _kernel(off_ref, rows_ref, cols_ref, out_ref, *, n_cols_valid: int,
-            n_cols_pad: int, wall: bool, nrhs: int, h_floor: float):
+            n_cols_pad: int, wall: bool, nrhs: int, h_floor: float,
+            box_x: float = 0.0, box_y: float = 0.0):
     i = pl.program_id(0)
     row_start = i * TR
     row_offset = off_ref[0]
@@ -110,6 +111,11 @@ def _kernel(off_ref, rows_ref, cols_ref, out_ref, *, n_cols_valid: int,
         dx = xR - xC
         dy = yR - yC
         dz = zR - zC
+        if box_x > 0:
+            # pseudo-periodic minimum image in the plane (units of a); the
+            # wrapped dx/dy feed the wall image term below as well
+            dx = dx - box_x * jnp.round(dx * (1.0 / box_x))
+            dy = dy - box_y * jnp.round(dy * (1.0 / box_y))
         r2 = jnp.maximum(dx * dx + dy * dy + dz * dz, _R2_FLOOR)
         invr = jax.lax.rsqrt(r2)
         invr2 = invr * invr
@@ -208,7 +214,7 @@ def _kernel(off_ref, rows_ref, cols_ref, out_ref, *, n_cols_valid: int,
 
 
 def _kernel_sym(P_ref, out_ref, *, n_pad: int, wall: bool, nrhs: int,
-                h_floor: float):
+                h_floor: float, box_x: float = 0.0, box_y: float = 0.0):
     """Symmetric (unordered-pair) square sweep: each strict-upper tile's
     coefficient fields are computed ONCE and applied twice — forward
     (M_ij·F_j into rows i) and transposed (M_ijᵀ·F_i into columns j).
@@ -259,6 +265,11 @@ def _kernel_sym(P_ref, out_ref, *, n_pad: int, wall: bool, nrhs: int,
         dx = xR - xC
         dy = yR - yC
         dz = zR - zC
+        if box_x > 0:
+            # minimum-image wrap is antisymmetric under i<->j, so the
+            # forward + transposed application stays exact
+            dx = dx - box_x * jnp.round(dx * (1.0 / box_x))
+            dy = dy - box_y * jnp.round(dy * (1.0 / box_y))
         r2 = jnp.maximum(dx * dx + dy * dy + dz * dz, _R2_FLOOR)
         invr = jax.lax.rsqrt(r2)
         invr2 = invr * invr
@@ -368,14 +379,17 @@ def _kernel_sym(P_ref, out_ref, *, n_pad: int, wall: bool, nrhs: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_pad", "wall", "nrhs", "h_floor", "interpret")
+    jax.jit, static_argnames=("n_pad", "wall", "nrhs", "h_floor", "interpret",
+                              "box_x", "box_y")
 )
 def _pair_sweep_sym(P, n_pad: int, wall: bool, nrhs: int = 1,
-                    h_floor: float = 0.0, interpret: bool = False):
+                    h_floor: float = 0.0, interpret: bool = False,
+                    box_x: float = 0.0, box_y: float = 0.0):
     n_row_tiles = n_pad // TR
     flops_per_pair = ((60 if wall else 25) + 2 * nrhs * (30 if wall else 15))
     kernel = functools.partial(
         _kernel_sym, n_pad=n_pad, wall=wall, nrhs=nrhs, h_floor=h_floor,
+        box_x=box_x, box_y=box_y,
     )
     return pl.pallas_call(
         kernel,
@@ -396,19 +410,20 @@ def _pair_sweep_sym(P, n_pad: int, wall: bool, nrhs: int = 1,
     jax.jit,
     static_argnames=(
         "n_cols_valid", "n_cols_pad", "n_rows_pad", "wall", "nrhs",
-        "h_floor", "interpret",
+        "h_floor", "interpret", "box_x", "box_y",
     ),
 )
 def _pair_sweep_packed(
     P_rows, P_cols, row_offset,
     n_cols_valid: int, n_cols_pad: int, n_rows_pad: int,
     wall: bool, nrhs: int = 1, h_floor: float = 0.0, interpret: bool = False,
+    box_x: float = 0.0, box_y: float = 0.0,
 ):
     n_row_tiles = n_rows_pad // TR
     flops_per_pair = (60 if wall else 25) + nrhs * (30 if wall else 15)
     kernel = functools.partial(
         _kernel, n_cols_valid=n_cols_valid, n_cols_pad=n_cols_pad, wall=wall,
-        nrhs=nrhs, h_floor=h_floor,
+        nrhs=nrhs, h_floor=h_floor, box_x=box_x, box_y=box_y,
     )
     return pl.pallas_call(
         kernel,
@@ -445,7 +460,7 @@ def _pack(r_over_a, Fs, n_pad):
 
 
 def pair_sum(r_over_a, F, wall: bool, h_floor: float = None,
-             interpret: bool = False):
+             interpret: bool = False, box_over_a=None):
     """Σ_{j≠i} M_ij F_j (unscaled, undamped pair terms).
 
     F: (N, 3) single RHS, or (k, N, 3) multi-RHS (k ≤ 2 on the compiled
@@ -460,12 +475,16 @@ def pair_sum(r_over_a, F, wall: bool, h_floor: float = None,
     n = r_over_a.shape[0]
     n_pad = -(-n // TC) * TC
     P = _pack(r_over_a, Fk, n_pad)
+    bx, by = (0.0, 0.0) if box_over_a is None else (
+        float(box_over_a[0]), float(box_over_a[1]))
     if USE_SYM and (k == 1 or n_pad >= _SYM_K2_MIN_NPAD):
-        out = _pair_sweep_sym(P, n_pad, wall, k, h_floor, interpret)
+        out = _pair_sweep_sym(P, n_pad, wall, k, h_floor, interpret,
+                              box_x=bx, box_y=by)
     else:
         off = jnp.zeros((2,), jnp.int32)
         out = _pair_sweep_packed(
-            P, P, off, n, n_pad, n_pad, wall, k, h_floor, interpret
+            P, P, off, n, n_pad, n_pad, wall, k, h_floor, interpret,
+            box_x=bx, box_y=by,
         )
     U = jnp.stack([out[3 * i : 3 * i + 3, :n].T for i in range(k)])
     return U if multi else U[0]
@@ -473,7 +492,8 @@ def pair_sum(r_over_a, F, wall: bool, h_floor: float = None,
 
 def pair_sum_slab(r_rows_over_a, row_offset, r_cols_over_a, F_cols, wall: bool,
                   n_cols_valid: int = None, col_offset=0,
-                  h_floor: float = None, interpret: bool = False):
+                  h_floor: float = None, interpret: bool = False,
+                  box_over_a=None):
     """Rectangular slab sweep for the sharded paths: local rows × columns.
 
     row_offset / col_offset: global index of the first row / column blob —
@@ -496,15 +516,17 @@ def pair_sum_slab(r_rows_over_a, row_offset, r_cols_over_a, F_cols, wall: bool,
     ])
     if h_floor is None:
         h_floor = rpy_xla.WALL_H_FLOOR
+    bx, by = (0.0, 0.0) if box_over_a is None else (
+        float(box_over_a[0]), float(box_over_a[1]))
     out = _pair_sweep_packed(
         P_rows, P_cols, off, n_cols_valid, n_cols_pad, n_rows_pad, wall, 1,
-        h_floor, interpret
+        h_floor, interpret, box_x=bx, box_y=by,
     )
     return out[0:3, :n_rows].T
 
 
 def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, damp=None,
-                   h_floor=None, interpret=False):
+                   h_floor=None, interpret=False, box=None):
     """Drop-in for :func:`rigid_body_light_tpu.ops.rpy.mobility_apply` on TPU
     (float32): U = M·F, or B·M·B·F when ``wall``."""
     r = jnp.asarray(r, jnp.float32).reshape(-1, 3)
@@ -519,7 +541,9 @@ def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, damp=None,
 
     if h_floor is None:
         h_floor = rpy_xla.WALL_H_FLOOR
-    U = pair_sum(r * inv_a, Fd, wall, h_floor=h_floor, interpret=interpret)
+    boa = None if box is None else (box[0] / a, box[1] / a)
+    U = pair_sum(r * inv_a, Fd, wall, h_floor=h_floor, interpret=interpret,
+                 box_over_a=boa)
 
     self_diag = jnp.full(r.shape, _SELF_COEF, jnp.float32)
     if wall:
@@ -534,7 +558,7 @@ def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, damp=None,
 
 
 def mobility_apply_multi(Fs, r, a=1.0, eta=1.0, wall=False, damp=None,
-                         h_floor=None, interpret=False):
+                         h_floor=None, interpret=False, box=None):
     """Multi-RHS variant: (k, N, 3) forces → (k, N, 3) velocities, sharing
     the pair coefficient fields across RHS (k ≤ 2 on the compiled path)."""
     r = jnp.asarray(r, jnp.float32).reshape(-1, 3)
@@ -551,7 +575,9 @@ def mobility_apply_multi(Fs, r, a=1.0, eta=1.0, wall=False, damp=None,
 
     if h_floor is None:
         h_floor = rpy_xla.WALL_H_FLOOR
-    U = pair_sum(r * inv_a, Fd, wall, h_floor=h_floor, interpret=interpret)
+    boa = None if box is None else (box[0] / a, box[1] / a)
+    U = pair_sum(r * inv_a, Fd, wall, h_floor=h_floor, interpret=interpret,
+                 box_over_a=boa)
 
     self_diag = jnp.full(r.shape, _SELF_COEF, jnp.float32)
     if wall:

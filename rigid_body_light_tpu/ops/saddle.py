@@ -105,7 +105,7 @@ def mobility_apply_fn(cfg: SimulationConfig):
                 def apply_pallas(F, r):
                     return rpy_pallas.mobility_apply(
                         F, r, a=cfg.a, eta=cfg.eta, wall=cfg.wall,
-                        h_floor=cfg.wall_h_floor,
+                        h_floor=cfg.wall_h_floor, box=cfg.box,
                     )
 
                 return apply_pallas
@@ -116,6 +116,7 @@ def mobility_apply_fn(cfg: SimulationConfig):
         return rpy.mobility_apply(
             F, r, a=cfg.a, eta=cfg.eta, wall=cfg.wall,
             row_tile=cfg.matvec_row_tile, h_floor=cfg.wall_h_floor,
+            box=cfg.box,
         )
 
     return apply_xla
@@ -135,7 +136,7 @@ def mobility_apply_multi_fn(cfg: SimulationConfig):
                 def apply_pallas(Fs, r):
                     return rpy_pallas.mobility_apply_multi(
                         Fs, r, a=cfg.a, eta=cfg.eta, wall=cfg.wall,
-                        h_floor=cfg.wall_h_floor,
+                        h_floor=cfg.wall_h_floor, box=cfg.box,
                     )
 
                 return apply_pallas
@@ -146,6 +147,7 @@ def mobility_apply_multi_fn(cfg: SimulationConfig):
         return rpy.mobility_apply_multi(
             Fs, r, a=cfg.a, eta=cfg.eta, wall=cfg.wall,
             row_tile=cfg.matvec_row_tile, h_floor=cfg.wall_h_floor,
+            box=cfg.box,
         )
 
     return apply_xla
@@ -224,7 +226,8 @@ def build_pc(ops: GeometryOps, cfg: SimulationConfig) -> PCData:
         # inverted — reference Block_diag_invM (c_rigid_obj.cpp:461-487)
         def body_inv(pos_b):
             M = rpy.mobility_matrix(
-                pos_b, cfg.a, cfg.eta, cfg.wall, h_floor=cfg.wall_h_floor
+                pos_b, cfg.a, cfg.eta, cfg.wall, h_floor=cfg.wall_h_floor,
+                box=cfg.box,
             )
             return jnp.linalg.inv(M)
 

@@ -49,7 +49,7 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = AXIS) -> Mesh:
 
 def sharded_pair_sum(
     r, F, mesh: Mesh, a=1.0, wall=False, row_tile=512, axis_name=AXIS,
-    use_pallas=False, h_floor=None,
+    use_pallas=False, h_floor=None, box=None,
 ):
     """Row-sharded Σ_j M_ij F_j (pair terms only) over the mesh.
 
@@ -80,14 +80,15 @@ def sharded_pair_sum(
             from rigid_body_light_tpu.ops import rpy_pallas
 
             inv_a = jnp.float32(1.0 / a)
+            boa = None if box is None else (box[0] / a, box[1] / a)
             return rpy_pallas.pair_sum_slab(
                 r_l * inv_a, idx * n_loc, r_all * inv_a, F_all, wall,
-                h_floor=h_floor,
+                h_floor=h_floor, box_over_a=boa,
             )
         row_ids = idx * n_loc + jnp.arange(n_loc, dtype=jnp.int32)
         return rpy.pair_sum(
             r_l, row_ids, r_all, col_ids, F_all, a=a, wall=wall,
-            row_tile=row_tile,
+            row_tile=row_tile, box=box,
             **({} if h_floor is None else {"h_floor": h_floor}),
         )
 
@@ -108,7 +109,7 @@ def make_mesh_2d(shape, axis_names=("rows", "cols")) -> Mesh:
 
 def sharded_pair_sum_2d(
     r, F, mesh: Mesh, a=1.0, wall=False, row_tile=512,
-    axis_names=("rows", "cols"), use_pallas=False, h_floor=None,
+    axis_names=("rows", "cols"), use_pallas=False, h_floor=None, box=None,
 ):
     """2-D (SUMMA-style) sharded Σ_j M_ij F_j over a (Dr, Dc) mesh.
 
@@ -143,9 +144,10 @@ def sharded_pair_sum_2d(
             from rigid_body_light_tpu.ops import rpy_pallas
 
             inv_a = jnp.float32(1.0 / a)
+            boa = None if box is None else (box[0] / a, box[1] / a)
             part = rpy_pallas.pair_sum_slab(
                 r_rows * inv_a, i * n_loc_r, r_cols * inv_a, F_cols, wall,
-                col_offset=j * n_loc_c, h_floor=h_floor,
+                col_offset=j * n_loc_c, h_floor=h_floor, box_over_a=boa,
             )
         else:
             row_ids = i * n_loc_r + jnp.arange(n_loc_r, dtype=jnp.int32)
@@ -153,7 +155,7 @@ def sharded_pair_sum_2d(
             # padded columns have F=0 → no contribution; masking via ids
             part = rpy.pair_sum(
                 r_rows, row_ids, r_cols, col_ids, F_cols,
-                a=a, wall=wall, row_tile=row_tile,
+                a=a, wall=wall, row_tile=row_tile, box=box,
                 **({} if h_floor is None else {"h_floor": h_floor}),
             )
         return lax.psum(part, ax_c)
@@ -192,12 +194,14 @@ def sharded_mobility_apply_fn(
                 r, Fd, mesh, a=cfg.a, wall=cfg.wall,
                 row_tile=cfg.matvec_row_tile, axis_names=mesh.axis_names,
                 use_pallas=cfg.use_pallas, h_floor=cfg.wall_h_floor,
+                box=cfg.box,
             )
         else:
             U = sharded_pair_sum(
                 r, Fd, mesh, a=cfg.a, wall=cfg.wall,
                 row_tile=cfg.matvec_row_tile, axis_name=axis_name,
                 use_pallas=cfg.use_pallas, h_floor=cfg.wall_h_floor,
+                box=cfg.box,
             )
         self_diag = jnp.full(r.shape, 4.0 / 3.0, dtype=dtype)
         if cfg.wall:

@@ -59,8 +59,9 @@ def build_forces(specs):
         elif t == "harmonic_trap":
             fns.append(forces.harmonic_trap(s["k"], np.asarray(s["center"])))
         elif t == "pair_yukawa":
+            box = tuple(s["box"]) if s.get("box") else None
             fns.append(forces.pair_yukawa(
-                s["strength"], s["debye_length"], s["diameter"]))
+                s["strength"], s["debye_length"], s["diameter"], box=box))
         else:
             raise ValueError(f"unknown force type {t!r}")
     if not fns:
@@ -122,6 +123,7 @@ def _build_cfg(conf, a, dtype):
     return SimulationConfig(
         a=a, eta=conf.get("eta", 1.0), dt=conf["dt"], kBT=conf.get("kBT", 0.0),
         wall=bool(conf.get("wall", False)), dtype=dtype,
+        box=tuple(conf["box"]) if conf.get("box") else None,
         gmres_tol=solver.get("gmres_tol", 1e-4),
         gmres_restart=solver.get("gmres_restart", 40),
         gmres_maxiter=solver.get("gmres_maxiter", 80),

@@ -10,13 +10,15 @@ with the vectorized JAX implementation under test.
 import numpy as np
 
 
-def rpy_matrix(r, a=1.0, eta=1.0, wall=False, h_floor=0.75):
+def rpy_matrix(r, a=1.0, eta=1.0, wall=False, h_floor=0.75, box=None):
     """Dense 3N×3N RPY mobility, upper triangle + mirror (reference
     ``rotne_prager_tensor``, ``c_rigid_obj.cpp:413-459``).
 
     h_floor: blob-height floor (units of a) for the wall-correction
     evaluation — mirrors rpy.WALL_H_FLOOR (the raw image terms give an
     indefinite mobility at deep wall overlap); 0 = exact reference formulas.
+    box: None, or (Lx, Ly) pseudo-periodic minimum-image wrap in the plane
+    (absolute units — mirrors rpy._wrap_xy).
     """
     r = np.asarray(r, dtype=np.float64).reshape(-1, 3)
     n = len(r)
@@ -25,6 +27,10 @@ def rpy_matrix(r, a=1.0, eta=1.0, wall=False, h_floor=0.75):
     for i in range(n):
         for j in range(i, n):
             d = (r[i] - r[j]) * inv_a
+            if box is not None:
+                for c in range(2):
+                    lc = box[c] * inv_a
+                    d[c] -= lc * np.round(d[c] / lc)
             if i == j:
                 B = (4.0 / 3.0) * np.eye(3)
             else:
@@ -93,9 +99,9 @@ def damping(r, a=1.0):
     return np.repeat(np.minimum(r[:, 2] / a, 1.0), 3)
 
 
-def apply_M(F, r, a=1.0, eta=1.0, wall=False, h_floor=0.75):
+def apply_M(F, r, a=1.0, eta=1.0, wall=False, h_floor=0.75, box=None):
     """Reference ``apply_M`` semantics: B·M·B·F iff wall else M·F."""
-    M = rpy_matrix(r, a, eta, wall, h_floor=h_floor)
+    M = rpy_matrix(r, a, eta, wall, h_floor=h_floor, box=box)
     F = np.asarray(F).ravel()
     if wall:
         b = damping(r, a)
