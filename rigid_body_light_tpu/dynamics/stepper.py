@@ -248,6 +248,42 @@ def stochastic_step(
     )
 
 
+def make_differentiable_step(geom: kin.RefGeometry, cfg: SimulationConfig):
+    """Build a *differentiable* deterministic BD step — the adjoint chained
+    through the whole update, not just the solve.
+
+    Returns ``step(state, force, slip=None) → BodyState`` differentiable in
+    ``state`` (X and Q), ``force`` and ``slip``: geometry assembly
+    (einsums), the saddle solve (implicit-function adjoint via
+    :func:`rigid_body_light_tpu.ops.solvers.make_differentiable_solver`)
+    and the quaternion commit (gradient-safe axis-angle exponential) all
+    carry gradients, so trajectories built by ``lax.scan`` over this step
+    support end-to-end reverse-mode AD — ∂(final configuration)/∂(initial
+    configuration, applied wrenches, active slip) for control and inverse
+    problems.  Nothing remotely like this exists in the reference.
+
+    Deliberately omits the production guards (below-wall / oversized-move
+    rejection): they are piecewise-constant masks whose gradients vanish,
+    which silently zeroes sensitivities — optimization callers should keep
+    steps inside the guards' validity instead.
+    """
+    solve = solvers.make_differentiable_solver(cfg)
+
+    def step(state: BodyState, force, slip=None):
+        ops = saddle_mod.geometry_ops(geom, state)
+        B, n, _ = ops.offsets.shape
+        dtype = state.X.dtype
+        if slip is None:
+            slip = jnp.zeros((B * n, 3), dtype)
+        lam, U = solve(ops, slip, force)
+        X_new, Q_new = kin.update_X_Q(
+            state.X, state.Q, U * jnp.asarray(cfg.dt, dtype)
+        )
+        return BodyState(X=X_new, Q=Q_new)
+
+    return step
+
+
 def run_bd(
     geom: kin.RefGeometry,
     cfg: SimulationConfig,

@@ -109,16 +109,16 @@ def config_3():
     # a batch of independent walkers shares the pair sweep; diffusion
     # statistics come from the ensemble (walkers 40 radii apart: coupling
     # a/r ~ 2.5e-2 per pair, negligible at this tolerance)
-    B = 16
+    B = 32
     cfg = SimulationConfig(a=params["sep"] / 2, dt=dt, kBT=kBT,
                            dtype=jnp.float32, lanczos_iters=8,
                            gmres_tol=1e-4, gmres_restart=20, gmres_maxiter=40)
     geom = kin.make_ref_geometry(cfgb, dtype=jnp.float32)
     state = make_state(
-        np.array([[40.0 * (i % 4), 40.0 * (i // 4), 0.0] for i in range(B)]),
+        np.array([[40.0 * (i % 8), 40.0 * (i // 8), 0.0] for i in range(B)]),
         np.tile([1.0, 0, 0, 0], (B, 1)), dtype=jnp.float32)
 
-    n_steps = 400
+    n_steps = 800
     runner = jax.jit(functools.partial(run_bd, geom, cfg, n_steps=n_steps,
                                        save_every=1))
     s, traj = runner(state, jax.random.key(0))
@@ -131,10 +131,10 @@ def config_3():
     disp = X - X[0]
     msd = (disp ** 2).sum(-1).mean(1)
     tt = dt * np.arange(n_steps)
-    D_fit = np.polyfit(tt[50:], msd[50:], 1)[0] / 6.0
+    D_fit = np.polyfit(tt[100:], msd[100:], 1)[0] / 6.0
     D_theory = kBT / (6 * np.pi * 1.0)  # Rh = 1
     print(json.dumps({
-        "config": 3, "workload": "shell_N_162 single-sphere fluctuating BD (x16 walkers)",
+        "config": 3, "workload": "shell_N_162 single-sphere fluctuating BD (x32 walkers)",
         "steps_per_sec": round(n_steps / wall_s, 2),
         "diffusion_rel_err": round(abs(D_fit - D_theory) / D_theory, 4),
         "max_residual": float(np.asarray(traj["residual"]).max()),
@@ -168,11 +168,16 @@ def config_4():
     def build(state):
         return sad.build_pc(sad.geometry_ops(geom, state), cfg)
 
-    pc = build(state); _sync(pc.n_mat)
+    import jax as _jax
+
+    def _pc_leaf(pc):
+        return _jax.tree.leaves(pc)[0]
+
+    pc = build(state); _sync(_pc_leaf(pc))
     t0 = time.perf_counter()
     for _ in range(5):
         pc = build(state)
-    _sync(pc.n_mat)
+    _sync(_pc_leaf(pc))
     pc_ms = (time.perf_counter() - t0) / 5 * 1e3
 
     # deterministic step

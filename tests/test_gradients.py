@@ -95,3 +95,41 @@ def test_rotation_gradient_at_zero():
     g = jax.grad(f)(jnp.zeros((1, 6)))
     assert np.isfinite(np.asarray(g)).all()
     assert np.allclose(np.asarray(g)[0, 3:], 0.5)
+
+
+def test_differentiable_full_step_vs_finite_differences():
+    """End-to-end adjoint through geometry → solve → quaternion commit:
+    gradient of the final height after 3 chained steps wrt the applied
+    force AND the initial configuration must match central differences."""
+    from rigid_body_light_tpu.dynamics import make_differentiable_step
+    from rigid_body_light_tpu.state import BodyState, make_state
+
+    params, cfgb = load_structure("shell_N_12")
+    cfg = SimulationConfig(a=params["sep"] / 2, dt=0.05, dtype=jnp.float64,
+                           gmres_tol=1e-12, gmres_maxiter=300,
+                           use_pallas=False)
+    geom = kin.make_ref_geometry(cfgb, dtype=jnp.float64)
+    state0 = make_state([[0.0, 0.0, 2.0], [3.0, 0.0, 2.5]],
+                        [[1.0, 0, 0, 0], [1.0, 0, 0, 0]], dtype=jnp.float64)
+    step = make_differentiable_step(geom, cfg)
+
+    def loss(X0, F):
+        s = BodyState(X=X0, Q=state0.Q)
+        for _ in range(3):
+            s = step(s, F)
+        return jnp.sum(s.X[:, 2])
+
+    F0 = jnp.zeros((2, 6), jnp.float64).at[:, 2].set(-1.0).at[0, 0].set(0.3)
+    gX, gF = jax.grad(loss, argnums=(0, 1))(state0.X, F0)
+
+    eps = 1e-6
+    for idx in [(0, 2), (1, 0), (0, 4)]:
+        Fp = F0.at[idx].add(eps)
+        Fm = F0.at[idx].add(-eps)
+        fd = (loss(state0.X, Fp) - loss(state0.X, Fm)) / (2 * eps)
+        assert float(jnp.abs(gF[idx] - fd)) < 1e-6 * max(1.0, abs(float(fd))), idx
+    for idx in [(0, 2), (1, 1)]:
+        Xp = state0.X.at[idx].add(eps)
+        Xm = state0.X.at[idx].add(-eps)
+        fd = (loss(Xp, F0) - loss(Xm, F0)) / (2 * eps)
+        assert float(jnp.abs(gX[idx] - fd)) < 1e-5 * max(1.0, abs(float(fd))), idx
