@@ -17,7 +17,8 @@ from rigid_body_light_tpu.ops import kinematics as kin
 from rigid_body_light_tpu.state import make_state
 
 
-def main(mode="midpoint_slip", lanczos_iters=10, pc_mode=None, n_chunks=20):
+def main(mode="midpoint_slip", lanczos_iters=10, pc_mode=None, box=None,
+         n_chunks=20):
     params, cfgb = load_structure("shell_N_12")
     kBT, mg, k_wall, lam_wall = 0.3, 1.0, 4.0, 0.3
     geom = kin.make_ref_geometry(cfgb, dtype=jnp.float32)
@@ -26,15 +27,26 @@ def main(mode="midpoint_slip", lanczos_iters=10, pc_mode=None, n_chunks=20):
         forces.wall_repulsion(strength=k_wall, debye_length=lam_wall, radius=1.0),
     )
     B = 64
+    if box == "box":
+        # pseudo-periodic variant: walkers 5 radii apart in a (40, 40) box —
+        # real minimum-image coupling (a/r ~ 0.2 to several neighbors), so
+        # this tests fluctuation-dissipation consistency of the wrapped
+        # mobility, the sharpest check the box feature can get
+        box = (40.0, 40.0)
+        spacing = 5.0
+    else:
+        box = None
+        spacing = 20.0
     state = make_state(
-        np.array([[20.0 * (i % 8), 20.0 * (i // 8), 1.6] for i in range(B)]),
+        np.array([[spacing * (i % 8), spacing * (i // 8), 1.6]
+                  for i in range(B)]),
         np.tile([1.0, 0, 0, 0], (B, 1)), dtype=jnp.float32,
     )
     cfg = SimulationConfig(
         a=params["sep"] / 2, dt=0.01, kBT=kBT, wall=True, dtype=jnp.float32,
         lanczos_iters=int(lanczos_iters), lanczos_precond=True, drift_mode=mode,
         gmres_tol=1e-5, gmres_restart=25, gmres_maxiter=75,
-        pc_mode=pc_mode,
+        pc_mode=pc_mode, box=box,
     )
     # domain starts at the lowest accessible body-center height (blob shell
     # radius ~0.79 for shell_N_12, below-wall moves rejected), not at z=1 —
@@ -56,7 +68,8 @@ def main(mode="midpoint_slip", lanczos_iters=10, pc_mode=None, n_chunks=20):
         zs.append(np.asarray(traj["X"])[:, :, 2])
     z = np.concatenate(zs[n_chunks // 4:], axis=0)
     se = z.mean(axis=0).std() / np.sqrt(B)
-    print(f"{mode} (lanczos {int(lanczos_iters)}, pc {pc_mode or 'diag'}): "
+    print(f"{mode} (lanczos {int(lanczos_iters)}, pc {pc_mode or 'diag'}, "
+          f"box {box}): "
           f"mean z = {z.mean():.4f} ± {se:.4f} "
           f"(theory {z_theory:.4f}, bias {z.mean() - z_theory:+.4f}); "
           f"zmax {np.concatenate(zs).max():.2f}, "
@@ -64,4 +77,4 @@ def main(mode="midpoint_slip", lanczos_iters=10, pc_mode=None, n_chunks=20):
 
 
 if __name__ == "__main__":
-    main(*(sys.argv[1:4] or ["midpoint_slip"]))
+    main(*(sys.argv[1:5] or ["midpoint_slip"]))
