@@ -119,15 +119,19 @@ def _chunking(conf):
 def _build_cfg(conf, a, dtype):
     from rigid_body_light_tpu import SimulationConfig
 
-    solver = conf.get("solver", {})
+    # every key of the "solver" section maps straight onto a
+    # SimulationConfig field (pc_mode, pc_refresh, lanczos_precond,
+    # drift_mode, …); unknown keys raise at construction — typo detection
+    solver = dict(conf.get("solver", {}))
+    solver.setdefault("gmres_tol", 1e-4)
+    solver.setdefault("gmres_restart", 40)
+    solver.setdefault("gmres_maxiter", 80)
+    solver.setdefault("lanczos_iters", 30)
     return SimulationConfig(
         a=a, eta=conf.get("eta", 1.0), dt=conf["dt"], kBT=conf.get("kBT", 0.0),
         wall=bool(conf.get("wall", False)), dtype=dtype,
         box=tuple(conf["box"]) if conf.get("box") else None,
-        gmres_tol=solver.get("gmres_tol", 1e-4),
-        gmres_restart=solver.get("gmres_restart", 40),
-        gmres_maxiter=solver.get("gmres_maxiter", 80),
-        lanczos_iters=solver.get("lanczos_iters", 30),
+        **solver,
     )
 
 
