@@ -45,10 +45,12 @@ def main():
     # iterations where the lagged wall-corrected block PC needed ~25 (the
     # lag, not the wall terms, dominated the iteration count; true-residual
     # parity between the two PCs verified in tests).  Preconditioned Lanczos
-    # noise at 8 iterations is equilibrium-validated (VALIDATION.md).
+    # noise at 6 iterations is equilibrium-validated (VALIDATION.md) and
+    # measured 5.2e-4 from a converged draw at this exact workload
+    # (scripts/tpu_noise_accuracy.py).
     cfg = SimulationConfig(
         a=params["sep"] / 2, dt=0.01, kBT=1.0, wall=True,
-        dtype=jnp.float32, lanczos_iters=8, lanczos_precond=True,
+        dtype=jnp.float32, lanczos_iters=6, lanczos_precond=True,
         gmres_tol=1e-4, gmres_restart=20, gmres_maxiter=60,
         matvec_row_tile=512, pc_mode="block_free",
     )

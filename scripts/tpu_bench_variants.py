@@ -84,6 +84,8 @@ VARIANTS = {
     "lanczos8": {"lanczos_iters": 8},
     "blockfree_lz8": {"pc_mode": "block_free", "pc_refresh": 1,
                       "lanczos_iters": 8},
+    "blockfree_lz6": {"pc_mode": "block_free", "pc_refresh": 1,
+                      "lanczos_iters": 6},
 }
 
 if __name__ == "__main__":
