@@ -7,9 +7,10 @@ docstring), but hand-tiled:
 
   - packed VMEM-resident operands (8, N_pad): rows 0–2 = positions/a,
     rows 3–5 = (damped) forces, rows 6–7 zero.  Whole operands fit VMEM
-    comfortably to ~300k blobs (8·N·4 B), so every grid program reads its
-    row tile and streams column tiles out of VMEM — zero HBM traffic in the
-    inner loop.
+    comfortably (8·N·4 B; the symmetric k=1 sweep is measured clean at
+    409.6k blobs with ideal N² scaling — BENCH_NOTES.md), so every grid
+    program reads its row tile and streams column tiles out of VMEM —
+    zero HBM traffic in the inner loop.
   - grid over row tiles of TR=128; inner ``fori_loop`` over column tiles of
     TC=512; all pair fields are (TR, TC) f32 VPU tiles (8×128-aligned).
   - reductions along the lane (column) axis accumulate the output rows.
