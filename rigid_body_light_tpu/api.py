@@ -83,6 +83,9 @@ class RigidBody:
         self.config = config
         self.precision = "double" if config.dtype == jnp.float64 else "single"
         self._geom = kin.make_ref_geometry(rigid_config, dtype=config.dtype)
+        from rigid_body_light_tpu.utils import validation as _validation
+
+        _validation.check_box_geometry(config.box, self._geom.ref_cfg, config.a)
         # the closed-form (KᵀK)⁻¹ needs a nonsingular rotational moment block
         # D = Σ|ref|²·I − MOI; its spectrum is rotation-invariant, so check
         # once at construction (the reference kills the process instead —
@@ -329,7 +332,12 @@ class RigidBody:
         only guards the user-facing numpy entry points."""
         if not self.config.validate_config or positions.shape[0] < 2:
             return
-        diag = _min_separation_jit(positions, self.config.a)
+        # separations measured through the same minimum-image wrap the
+        # mobility uses (blobs coincident modulo the box are the r=0 case);
+        # diagnose works in raw position units, so the box passes unscaled
+        diag = _min_separation_jit(
+            positions, self.config.a, box=self.config.box
+        )
         if float(diag) < 1e-8:
             raise RuntimeError(
                 f"TWO BLOBS ARE OVERLAPPING OR TOO CLOSELY POSITIONED "
@@ -382,12 +390,12 @@ _KT_dot_jit = jax.jit(kin.KT_dot)
 _update_jit = jax.jit(kin.update_X_Q)
 
 
-@jax.jit
-def _min_separation_jit(positions, a):
+@functools.partial(jax.jit, static_argnames=("box",))
+def _min_separation_jit(positions, a, box=None):
     from rigid_body_light_tpu.utils import validation
 
     Q_unit = jnp.array([[1.0, 0.0, 0.0, 0.0]], positions.dtype)
-    return validation.diagnose(positions, Q_unit, a=a).min_separation
+    return validation.diagnose(positions, Q_unit, a=a, box=box).min_separation
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

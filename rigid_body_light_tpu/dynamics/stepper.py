@@ -306,6 +306,10 @@ def run_bd(
     """
     dtype = state.X.dtype
     B = state.X.shape[0]
+    if cfg.box is not None:
+        from rigid_body_light_tpu.utils.validation import check_box_geometry
+
+        check_box_geometry(cfg.box, geom.ref_cfg, cfg.a)
     if force_fn is None:
         def force_fn(s, i):
             return jnp.zeros((B, 6), dtype)

@@ -82,9 +82,9 @@ def pair_yukawa(strength: float, debye_length: float, diameter: float,
         B = X.shape[0]
         d = X[:, None, :] - X[None, :, :]
         if box is not None:
-            lx, ly = box
-            d = d.at[..., 0].add(-lx * jnp.round(d[..., 0] / lx))
-            d = d.at[..., 1].add(-ly * jnp.round(d[..., 1] / ly))
+            from rigid_body_light_tpu.ops.rpy import _wrap_xy
+
+            d = _wrap_xy(d, box)  # unit-agnostic: absolute units here
         r2 = jnp.sum(d * d, axis=-1)
         eye = jnp.eye(B, dtype=bool)
         r = jnp.sqrt(jnp.where(eye, 1.0, r2))

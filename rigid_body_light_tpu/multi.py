@@ -453,6 +453,11 @@ def run_bd_multi(
 
     states = tuple(states)
     dtype = states[0].X.dtype
+    if cfg.box is not None:
+        from rigid_body_light_tpu.utils.validation import check_box_geometry
+
+        for g in mgeom.geoms:
+            check_box_geometry(cfg.box, g.ref_cfg, cfg.a)
     sizes = tuple(s.X.shape[0] for s in states)
     blob_counts = tuple(
         g.ref_cfg.shape[0] * b for g, b in zip(mgeom.geoms, sizes)

@@ -65,6 +65,8 @@ def _wrap_xy(d, box_n):
     if box_n is None:
         return d
     lx, ly = box_n
+    if lx <= 0 or ly <= 0:
+        raise ValueError(f"periodic box lengths must be positive, got {box_n}")
     dx = d[..., 0]
     dy = d[..., 1]
     dx = dx - lx * jnp.round(dx / lx)

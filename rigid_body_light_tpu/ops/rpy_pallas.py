@@ -478,6 +478,8 @@ def pair_sum(r_over_a, F, wall: bool, h_floor: float = None,
     P = _pack(r_over_a, Fk, n_pad)
     bx, by = (0.0, 0.0) if box_over_a is None else (
         float(box_over_a[0]), float(box_over_a[1]))
+    if box_over_a is not None and (bx <= 0 or by <= 0):
+        raise ValueError(f"periodic box lengths must be positive, got {box_over_a}")
     if USE_SYM and (k == 1 or n_pad >= _SYM_K2_MIN_NPAD):
         out = _pair_sweep_sym(P, n_pad, wall, k, h_floor, interpret,
                               box_x=bx, box_y=by)
@@ -519,6 +521,8 @@ def pair_sum_slab(r_rows_over_a, row_offset, r_cols_over_a, F_cols, wall: bool,
         h_floor = rpy_xla.WALL_H_FLOOR
     bx, by = (0.0, 0.0) if box_over_a is None else (
         float(box_over_a[0]), float(box_over_a[1]))
+    if box_over_a is not None and (bx <= 0 or by <= 0):
+        raise ValueError(f"periodic box lengths must be positive, got {box_over_a}")
     out = _pair_sweep_packed(
         P_rows, P_cols, off, n_cols_valid, n_cols_pad, n_rows_pad, wall, 1,
         h_floor, interpret, box_x=bx, box_y=by,

@@ -45,7 +45,7 @@ import time
 import numpy as np
 
 
-def build_forces(specs):
+def build_forces(specs, default_box=None):
     from rigid_body_light_tpu import forces
 
     fns = []
@@ -59,7 +59,10 @@ def build_forces(specs):
         elif t == "harmonic_trap":
             fns.append(forces.harmonic_trap(s["k"], np.asarray(s["center"])))
         elif t == "pair_yukawa":
-            box = tuple(s["box"]) if s.get("box") else None
+            # inherit the simulation box so the repulsion sees the same
+            # geometry as the wrapped hydrodynamics by default
+            box = s.get("box", default_box)
+            box = tuple(box) if box else None
             fns.append(forces.pair_yukawa(
                 s["strength"], s["debye_length"], s["diameter"], box=box))
         else:
@@ -183,7 +186,9 @@ def main_multi(conf, args):
         key = jax.random.key(conf.get("seed", 0))
 
     per_species_fns = [
-        build_forces(sp.get("forces", conf.get("forces"))) for sp in species
+        build_forces(sp.get("forces", conf.get("forces")),
+                     default_box=conf.get("box"))
+        for sp in species
     ]
     sizes = tuple(s.X.shape[0] for s in states)
 
@@ -287,7 +292,7 @@ def main(argv=None):
         state = make_state(X, Q, dtype=dtype)
         key = jax.random.key(conf.get("seed", 0))
 
-    force_fn = build_forces(conf.get("forces"))
+    force_fn = build_forces(conf.get("forces"), default_box=conf.get("box"))
     n_steps, save_every, chunk = _chunking(conf)
 
     B = state.X.shape[0]

@@ -30,8 +30,13 @@ class StateDiagnostics(NamedTuple):
     max_quat_err: jax.Array     # max | |q| − 1 |
 
 
-def diagnose(positions, Q, a=1.0, row_tile=512) -> StateDiagnostics:
-    """Compute state diagnostics; jittable, O(tile·N) memory."""
+def diagnose(positions, Q, a=1.0, row_tile=512, box=None) -> StateDiagnostics:
+    """Compute state diagnostics; jittable, O(tile·N) memory.
+
+    box: optional (Lx, Ly) — measure separations through the same
+    minimum-image wrap the mobility uses, so blobs coincident modulo the
+    box are caught.
+    """
     r = positions.reshape(-1, 3)
     n = r.shape[0]
     dtype = r.dtype
@@ -47,6 +52,10 @@ def diagnose(positions, Q, a=1.0, row_tile=512) -> StateDiagnostics:
         ri = lax.dynamic_slice(r_pad, (start, jnp.int32(0)), (tile, 3))
         ids = start + jnp.arange(tile, dtype=jnp.int32)
         d = ri[:, None, :] - r[None, :, :]
+        if box is not None:
+            from rigid_body_light_tpu.ops.rpy import _wrap_xy
+
+            d = _wrap_xy(d, box)
         dist2 = jnp.sum(d * d, axis=-1)
         self_mask = ids[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]
         dist2 = jnp.where(self_mask, big, dist2)
@@ -83,4 +92,34 @@ def assert_valid(diag: StateDiagnostics, wall: bool = False,
         raise RuntimeError(
             f"Quaternions have drifted from unit norm (max err "
             f"{float(diag.max_quat_err):.3e})"
+        )
+
+
+def check_box_geometry(box, ref_cfg, a) -> None:
+    """Raise if a periodic box is too small for the body geometry.
+
+    Correctness bound of the minimum-image wrap: intra-body blob pair
+    displacements must never wrap, i.e. body diameter (max blob-center
+    distance + 2a) < min(Lx, Ly)/2 — otherwise the wrapped mobility is
+    inconsistent with the (unwrapped) rigid constraint geometry K and the
+    saddle solve silently returns garbage.  Eager numpy, run once at
+    construction / driver setup.
+    """
+    if box is None:
+        return
+    import numpy as np
+
+    r = np.asarray(ref_cfg).reshape(-1, 3)
+    diam = 2.0 * float(a)
+    if len(r) > 1:
+        diam += float(
+            np.sqrt(((r[:, None, :] - r[None, :, :]) ** 2).sum(-1)).max()
+        )
+    if diam >= min(box) / 2.0:
+        raise ValueError(
+            f"periodic box {tuple(box)} is too small for this body geometry: "
+            f"body diameter {diam:.3f} must be < min(Lx, Ly)/2 = "
+            f"{min(box) / 2.0:.3f}, or intra-body pair displacements wrap "
+            "and the mobility becomes inconsistent with the rigid "
+            "constraints"
         )

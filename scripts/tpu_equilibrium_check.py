@@ -34,9 +34,13 @@ def main(mode="midpoint_slip", lanczos_iters=10, pc_mode=None, box=None,
         # mobility, the sharpest check the box feature can get
         box = (40.0, 40.0)
         spacing = 5.0
-    else:
-        box = None
+    elif isinstance(box, (tuple, list)):
+        box = tuple(float(b) for b in box)
+        spacing = min(box) / 8.0
+    elif box is None:
         spacing = 20.0
+    else:
+        raise ValueError(f"box must be None, 'box', or an (Lx, Ly) pair; got {box!r}")
     state = make_state(
         np.array([[spacing * (i % 8), spacing * (i // 8), 1.6]
                   for i in range(B)]),

@@ -140,3 +140,64 @@ def test_pair_yukawa_wraps():
     assert float(f_box[0, 0]) > 10 * abs(float(f_open[0, 0]))
     assert float(f_box[0, 0]) > 0 and float(f_box[1, 0]) < 0
     assert np.allclose(np.asarray(f_box[:, 1]), 0.0)
+
+
+def test_sharded_pair_sum_2d_with_box():
+    """The SUMMA path's box plumbing (independent of the 1-D path's)."""
+    from rigid_body_light_tpu.parallel.sharding import (
+        make_mesh_2d, sharded_pair_sum_2d,
+    )
+
+    r, F = _cloud(n=32, seed=6)
+    rj, Fj = jnp.asarray(r), jnp.asarray(F)
+    ids = jnp.arange(32, dtype=jnp.int32)
+    ref = np.asarray(rpy.pair_sum(rj, ids, rj, ids, Fj, a=0.7, wall=True,
+                                  box=BOX))
+    mesh = make_mesh_2d((2, 4))
+    out = np.asarray(sharded_pair_sum_2d(rj, Fj, mesh, a=0.7, wall=True,
+                                         box=BOX))
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-12
+
+
+def test_box_too_small_for_body_raises():
+    """A box smaller than twice the body diameter must be rejected wherever
+    geometry meets the config (API constructor and scan drivers)."""
+    from rigid_body_light_tpu import RigidBody, load_structure
+    from rigid_body_light_tpu.dynamics import run_bd
+    from rigid_body_light_tpu.ops import kinematics as kin
+    from rigid_body_light_tpu.state import make_state
+
+    params, cfgb = load_structure("shell_N_42")  # diameter ~2 + 2a
+    with pytest.raises(ValueError, match="too small"):
+        RigidBody(np.asarray(cfgb).ravel(), np.array([0.0, 0, 3.0]),
+                  np.array([1.0, 0, 0, 0]), a=params["sep"] / 2, eta=1.0,
+                  dt=0.01, config=SimulationConfig(
+                      wall=True, box=(3.0, 3.0), dtype=jnp.float32))
+    geom = kin.make_ref_geometry(cfgb, dtype=jnp.float64)
+    cfg = SimulationConfig(a=params["sep"] / 2, dt=0.01, kBT=0.5, wall=True,
+                           box=(3.0, 3.0), dtype=jnp.float64)
+    state = make_state([[0.0, 0, 3.0]], [[1.0, 0, 0, 0]], dtype=jnp.float64)
+    with pytest.raises(ValueError, match="too small"):
+        run_bd(geom, cfg, state, jax.random.key(0), 2)
+
+
+def test_overlap_check_sees_wrapped_distance():
+    """Blobs coincident modulo the box are the r=0 failure the API's
+    overlap validation exists for — it must measure wrapped distances."""
+    from rigid_body_light_tpu import RigidBody, load_structure
+
+    params, cfgb = load_structure("shell_N_12")
+    cfg = SimulationConfig(box=(8.0, 8.0), dtype=jnp.float64)
+    with pytest.raises(RuntimeError, match="OVERLAP"):
+        RigidBody(np.asarray(cfgb).ravel(),
+                  np.array([[0.0, 2.0, 3.0], [8.0, 2.0, 3.0]]),
+                  np.tile([1.0, 0, 0, 0], (2, 1)),
+                  a=params["sep"] / 2, eta=1.0, dt=0.01, config=cfg)
+
+
+def test_zero_box_component_rejected():
+    with pytest.raises(ValueError):
+        SimulationConfig(box=(10.0, 0.0))
+    with pytest.raises(ValueError):
+        rpy.mobility_apply(jnp.zeros((2, 3)), jnp.ones((2, 3)),
+                           box=(10.0, 0.0))
