@@ -90,17 +90,24 @@ def height_histogram(X, bins=50, z_range=None):
     return 0.5 * (edges[:-1] + edges[1:]), hist
 
 
-def pair_distribution(X, r_max, bins=50):
+def pair_distribution(X, r_max, bins=50, box=None):
     """Radial pair distribution g(r) of body centers, free-space normalized.
 
-    X: (T, B, 3).  Returns (r_centers, g).
+    X: (T, B, 3).  box: optional (Lx, Ly) — measure pair separations through
+    the minimum-image wrap (trajectories from periodic runs keep unwrapped
+    coordinates, so pass the run's ``SimulationConfig.box`` here).
+    Returns (r_centers, g).
     """
     X = np.asarray(X)
     T, B, _ = X.shape
     counts = np.zeros(bins)
     edges = np.linspace(0.0, r_max, bins + 1)
     for t in range(T):
-        d = np.linalg.norm(X[t][:, None] - X[t][None, :], axis=-1)
+        dv = X[t][:, None] - X[t][None, :]
+        if box is not None:
+            for c in range(2):
+                dv[..., c] -= box[c] * np.round(dv[..., c] / box[c])
+        d = np.linalg.norm(dv, axis=-1)
         iu = np.triu_indices(B, 1)
         h, _ = np.histogram(d[iu], bins=edges)
         counts += h

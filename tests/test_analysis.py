@@ -46,3 +46,15 @@ def test_height_histogram():
     z, rho = analysis.height_histogram(X, bins=20)
     assert abs(np.trapezoid(rho, z) - 1.0) < 0.05
     assert (z > 0.9).all() and (z < 3.1).all()
+
+
+def test_pair_distribution_wraps_with_box():
+    """Periodic trajectories keep unwrapped coordinates; g(r) with box=
+    must see the through-boundary neighbor at its wrapped distance."""
+    # two bodies 0.5 apart across the x boundary of a (10, 10) box
+    X = np.array([[[0.2, 5.0, 2.0], [9.7, 5.0, 2.0]]])
+    r_open, g_open = analysis.pair_distribution(X, r_max=2.0, bins=10)
+    r_box, g_box = analysis.pair_distribution(X, r_max=2.0, bins=10,
+                                              box=(10.0, 10.0))
+    assert g_open.sum() == 0.0          # 9.5 apart: outside r_max
+    assert g_box[r_box < 1.0].sum() > 0  # wrapped: 0.5 apart
