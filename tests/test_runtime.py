@@ -106,3 +106,36 @@ def test_forces_jit_in_scan():
     )
     out = jax.jit(lambda s: fn(s, 0))(state)
     assert out.shape == (1, 6)
+
+
+def test_checkpoint_format_versions(tmp_path):
+    """Mixture checkpoints carry format v2 (distinct layout) so pre-mixture
+    readers fail with a clear version error, not a KeyError; single-species
+    checkpoints stay v1; unknown future versions are rejected cleanly."""
+    import json as _json
+
+    import pytest
+
+    single = str(tmp_path / "single.npz")
+    save_checkpoint(single, make_state(np.zeros((2, 3)),
+                                       np.tile([1.0, 0, 0, 0], (2, 1))))
+    with np.load(single) as z:
+        assert int(z["format_version"]) == 1
+
+    mix = str(tmp_path / "mix.npz")
+    states = (
+        make_state(np.zeros((2, 3)), np.tile([1.0, 0, 0, 0], (2, 1))),
+        make_state(np.ones((1, 3)), np.array([[1.0, 0, 0, 0]])),
+    )
+    save_checkpoint(mix, states, step=5)
+    with np.load(mix) as z:
+        assert int(z["format_version"]) == 2
+    loaded, _, step, _ = load_checkpoint(mix)
+    assert isinstance(loaded, tuple) and len(loaded) == 2 and step == 5
+    assert np.array_equal(np.asarray(loaded[1].X), np.ones((1, 3)))
+
+    future = str(tmp_path / "future.npz")
+    np.savez(future, format_version=np.asarray(99), step=np.asarray(0),
+             metadata=_json.dumps({}))
+    with pytest.raises(RuntimeError, match="format v99"):
+        load_checkpoint(future)
