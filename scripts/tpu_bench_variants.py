@@ -78,7 +78,7 @@ def measure(name, cfg_kwargs, bodies=16):
 VARIANTS = {
     "base": {},
     "shipped41k": {"pc_mode": "block_free", "pc_refresh": 1,
-                   "lanczos_iters": 8, "_bodies": 64},
+                   "lanczos_iters": 6, "_bodies": 64},
     "block_free": {"pc_mode": "block_free", "pc_refresh": 1},
     "refresh8": {"pc_refresh": 8},
     "lanczos8": {"lanczos_iters": 8},

@@ -89,7 +89,7 @@ def _scale_setup(kBT=1.0, lanczos_precond=True):
     # infeasible here); diag remains available via pc_mode="diag"
     cfg = SimulationConfig(
         a=params["sep"] / 2, dt=0.005, kBT=kBT, wall=True,
-        dtype=jnp.float32, lanczos_iters=8, lanczos_precond=lanczos_precond,
+        dtype=jnp.float32, lanczos_iters=6, lanczos_precond=lanczos_precond,
         gmres_tol=1e-4, gmres_restart=30, gmres_maxiter=90,
         pc_mode="block_free",
     )
