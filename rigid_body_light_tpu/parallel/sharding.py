@@ -92,11 +92,16 @@ def sharded_pair_sum(
             **({} if h_floor is None else {"h_floor": h_floor}),
         )
 
+    # check_vma=False: pallas_call's ShapeDtypeStruct carries no varying-
+    # mesh-axes annotation, and jax>=0.9's shard_map rejects that under its
+    # default validation — the slab kernel's output is trivially varying
+    # over the row axis, which out_specs already declares
     U_p = shard_map(
         local,
         mesh=mesh,
         in_specs=(P(axis_name), P(axis_name)),
         out_specs=P(axis_name),
+        check_vma=False,
     )(r_p, F_p)
     return U_p[:n]
 
@@ -165,6 +170,7 @@ def sharded_pair_sum_2d(
         mesh=mesh,
         in_specs=(P(ax_r), P(ax_c), P(ax_c)),
         out_specs=P(ax_r),
+        check_vma=False,  # see sharded_pair_sum
     )(r_p, r_p, F_p)
     return U_p[:n]
 
