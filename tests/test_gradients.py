@@ -1,5 +1,6 @@
 """Differentiable mobility solves (implicit adjoints) vs finite differences."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -19,6 +20,7 @@ def _setup():
     return cfg, geom
 
 
+@pytest.mark.medium
 def test_force_gradient_is_symmetric_mobility():
     """∂(v·U)/∂F = N·v: the gradient w.r.t. force of a velocity projection is
     a mobility application — check against an explicit extra solve."""
@@ -42,6 +44,7 @@ def test_force_gradient_is_symmetric_mobility():
     assert np.allclose(np.asarray(g), np.asarray(Nv), atol=1e-9)
 
 
+@pytest.mark.medium
 def test_position_gradient_vs_finite_difference():
     """∂(U_z of body 0)/∂(X of body 1): implicit adjoint vs centered FD."""
     cfg, geom = _setup()
@@ -66,6 +69,7 @@ def test_position_gradient_vs_finite_difference():
         assert abs(float(g[idx]) - float(fd)) < 1e-6, (idx, float(g[idx]), float(fd))
 
 
+@pytest.mark.medium
 def test_slip_gradient_flows():
     cfg, geom = _setup()
     solve = solvers.make_differentiable_solver(cfg)
@@ -97,6 +101,7 @@ def test_rotation_gradient_at_zero():
     assert np.allclose(np.asarray(g)[0, 3:], 0.5)
 
 
+@pytest.mark.medium
 def test_differentiable_full_step_vs_finite_differences():
     """End-to-end adjoint through geometry → solve → quaternion commit:
     gradient of the final height after 3 chained steps wrt the applied

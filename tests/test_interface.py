@@ -200,6 +200,7 @@ def test_evolve_matches_axis_angle_update():
         assert np.allclose(got, flip * expected, atol=1e-5)
 
 
+@pytest.mark.medium
 def test_stepping_methods_drive_the_system():
     """deterministic_step / stochastic_step / run on the class surface."""
     import jax

@@ -62,6 +62,7 @@ def test_mixture_solve_and_coupling():
     assert np.all(np.asarray(res.Us[0])[:, 2] < 0)
 
 
+@pytest.mark.medium
 def test_mixture_stochastic_step():
     mgeom, states = _mixture()
     cfg = SimulationConfig(dtype=jnp.float64, a=0.24, dt=0.01, kBT=0.5,
@@ -77,6 +78,7 @@ def test_mixture_stochastic_step():
     assert float(res.residual) < 1e-4
 
 
+@pytest.mark.medium
 def test_mixture_em_exact_step():
     """em_exact drift mode now supported for mixtures (round-2 parity)."""
     mgeom, states = _mixture()
@@ -177,6 +179,7 @@ def test_single_species_mixture_precond_noise_matches_plain_stack():
     assert float(jnp.abs(m2 - s2).max()) < 1e-12
 
 
+@pytest.mark.medium
 def test_run_bd_multi_trajectory():
     """The mixture scan driver: reproducible, finite, converged, with warm
     starts + lagged PC threaded through the scan."""

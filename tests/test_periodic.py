@@ -91,6 +91,7 @@ def test_pallas_kernels_match_oracle_with_box(wall):
         rpy_pallas.USE_SYM = old
 
 
+@pytest.mark.medium
 def test_sharded_pair_sum_with_box():
     from rigid_body_light_tpu.parallel import make_mesh
     from rigid_body_light_tpu.parallel.sharding import sharded_pair_sum
@@ -105,6 +106,7 @@ def test_sharded_pair_sum_with_box():
     assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-12
 
 
+@pytest.mark.medium
 def test_bd_step_with_box_runs():
     """End to end: a periodic wall suspension steps, converges, stays finite,
     and keeps unwrapped coordinates (bodies can drift past the boundary)."""
@@ -142,6 +144,7 @@ def test_pair_yukawa_wraps():
     assert np.allclose(np.asarray(f_box[:, 1]), 0.0)
 
 
+@pytest.mark.medium
 def test_sharded_pair_sum_2d_with_box():
     """The SUMMA path's box plumbing (independent of the 1-D path's)."""
     from rigid_body_light_tpu.parallel.sharding import (

@@ -54,6 +54,7 @@ def test_sphere_rotational_drag_converges():
     assert errs[2] < 0.01  # shell_162 within 1%
 
 
+@pytest.mark.medium
 def test_wall_hindered_mobility():
     """Near-wall mobility must be reduced, anisotropic (μ_∥ > μ_⊥), and
     monotonically approach the free-space value with height."""

@@ -41,6 +41,7 @@ def _config(tmp_path, **overrides):
     return p, conf
 
 
+@pytest.mark.medium
 def test_run_and_resume(tmp_path, capsys):
     cfg_path, conf = _config(tmp_path)
     main([cfg_path])
@@ -86,6 +87,7 @@ def test_random_and_file_placement(tmp_path):
     assert np.allclose(Xs[0, :, :2], X[:, :2], atol=1e-2)
 
 
+@pytest.mark.medium
 def test_mixture_run_and_resume(tmp_path):
     """'species' config drives the multi stack: concatenated trajectory
     frames, mixture checkpoint (per-species X/Q), exact resume."""

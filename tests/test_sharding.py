@@ -33,6 +33,7 @@ def test_sharded_matvec_parity(wall, n):
     assert np.abs(np.asarray(U_sharded - U_single)).max() < 1e-13
 
 
+@pytest.mark.medium
 def test_sharded_bd_step_matches_replicated():
     """Full stochastic step with the sharded matvec must match the
     single-device step bit-for-tolerance (same keys, same scheme)."""
@@ -81,6 +82,7 @@ def test_2d_sharded_matvec_parity(wall, n):
     assert np.abs(np.asarray(U_sharded - U_single)).max() < 1e-13
 
 
+@pytest.mark.medium
 def test_2d_sharded_bd_step():
     from rigid_body_light_tpu.parallel import make_mesh_2d
 

@@ -46,6 +46,7 @@ def test_stochastic_step_zero_kbt_equals_deterministic():
     assert np.allclose(np.asarray(s_det.Q), np.asarray(s_sto.Q), atol=1e-14)
 
 
+@pytest.mark.medium
 def test_run_bd_reproducible_and_finite():
     params, cfgb = _shell()
     cfg = SimulationConfig(a=params["sep"] / 2, dt=0.02, kBT=1.0,
@@ -133,6 +134,7 @@ def test_wall_equilibrium_boltzmann():
     assert abs(z.mean() - z_theory) < 4 * se + 0.03, (z.mean(), z_theory, se)
 
 
+@pytest.mark.medium
 def test_lagged_block_pc_converges():
     """run_bd with pc_refresh>1 (stale block PC) must keep the solver
     converged and match the statistics contract (finite, unit quats)."""
@@ -206,6 +208,7 @@ def test_rotation_guard_independent_of_max_move():
     assert not np.allclose(np.asarray(out2.Q), np.asarray(state.Q))
 
 
+@pytest.mark.medium
 def test_run_bd_block_free_static_pc():
     """pc_mode=block_free in the scan driver: the PC is built once outside
     the scan (its body-frame constants are configuration-independent) and

@@ -1,6 +1,7 @@
 """Stochastic layer: Lanczos square root vs dense sqrtm, the covariance
 identity, and RFD drift vs an explicit dense finite difference."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -30,6 +31,7 @@ def _dense_m(wall=False, n_bodies=2, seed=0):
     return M, pos, geom, state
 
 
+@pytest.mark.medium
 def test_lanczos_sqrt_vs_scipy_sqrtm():
     M, pos, _, _ = _dense_m(wall=True)
     sqrtM = scipy.linalg.sqrtm(M).real
@@ -102,6 +104,7 @@ def test_m_rfd_vs_dense_finite_difference():
     assert np.allclose(out, ref, atol=1e-8)
 
 
+@pytest.mark.medium
 def test_m_half_w_covariance_statistical():
     """⟨(M^{1/2}W)(M^{1/2}W)ᵀ⟩ → M (reference Test_Mhalf, c_rigid_obj.cpp:895)
     — trace-level statistical check with a modest sample count."""
@@ -122,6 +125,7 @@ def test_m_half_w_covariance_statistical():
     assert abs(est - np.trace(M)) < 5 * se + 1e-9
 
 
+@pytest.mark.medium
 def test_preconditioned_noise_exact_factor():
     """Preconditioned sampling M^{1/2}W = C^{1/2}·G^{1/2}·W must (a) use a
     valid factor (X·Xᵀ = M) and (b) reproduce the dense truth at full
