@@ -68,6 +68,8 @@ class SimulationConfig:
     dtype: Any = jnp.float32
     m_scale: float = 1.0
     lanczos_iters: int = 30
+    lanczos_max_iters: int = 0  # adaptive noise accuracy: with lanczos_err_tol > 0, keep iterating past lanczos_iters (up to this cap) while the per-step truncation estimate exceeds the tolerance.  0 disables (fixed lanczos_iters).
+    lanczos_err_tol: float = 0.0  # target relative truncation error of M^{1/2}W for the adaptive mode; the estimate itself is always surfaced per step as StepAux.noise_err
     lanczos_precond: bool = True  # factor-preconditioned M^{1/2}W: body-frame free-space factor drops cond(G) ~30x, so ~10 iterations replace ~30.  Round-1's equilibrium bias at large ensembles is root-caused and fixed (wall_h_floor indefiniteness + TPU bf16 matmuls — VALIDATION.md); the failing 64-walker workload now passes (bias -0.013 ± 0.023).
     gmres_tol: float = 1.0e-6
     gmres_maxiter: int = 200

@@ -38,6 +38,10 @@ class StepAux(NamedTuple):
     lam: jax.Array        # (N, 3) constraint forces
     residual: jax.Array   # GMRES relative residual
     iters: jax.Array = None  # inner GMRES iterations executed (exact)
+    noise_err: jax.Array = None  # relative Lanczos truncation estimate of the
+                                 # step's M^{1/2}W draws (0 when kBT=0) — the
+                                 # noise-accuracy observable, next to the
+                                 # solve's residual/iters
 
 
 def _commit(geom, cfg, state, dU):
@@ -159,43 +163,48 @@ def stochastic_step(
             noise_pc = lanczos.make_noise_preconditioner(
                 geom.ref_cfg, cfg.a, cfg.eta, dtype
             )
+        lz_kw = dict(
+            iters=cfg.lanczos_iters, max_iters=cfg.lanczos_max_iters,
+            err_tol=cfg.lanczos_err_tol, return_err=True,
+        )
         if use_split and default_mob:
             # fused two-draw Lanczos: both recurrences share one pair-field
             # sweep per iteration (2-RHS mobility product)
             mob_multi = saddle_mod.mobility_apply_multi_fn(cfg)
             if cfg.lanczos_precond:
-                mhw1, mhw2 = lanczos.m_half_w_precond(
+                mhw1, mhw2, noise_err = lanczos.m_half_w_precond(
                     mob_multi, pos, ops.rot, noise_pc[0], noise_pc[1], (k1, k2),
-                    iters=cfg.lanczos_iters, multi=True,
+                    multi=True, **lz_kw,
                 )
             else:
-                mhw1, mhw2 = lanczos.m_half_w_pair(
-                    mob_multi, pos, k1, k2, iters=cfg.lanczos_iters
+                mhw1, mhw2, noise_err = lanczos.m_half_w_pair(
+                    mob_multi, pos, k1, k2, **lz_kw
                 )
             c1 = 2.0 * jnp.sqrt(jnp.asarray(kBT / cfg.dt, dtype))
             c2 = jnp.sqrt(jnp.asarray(kBT / cfg.dt, dtype))
             bi = c2 * (mhw1 - mhw2)
         elif use_split:
             if cfg.lanczos_precond:
-                mhw1 = lanczos.m_half_w_precond(
+                mhw1, e1 = lanczos.m_half_w_precond(
                     mob_apply, pos, ops.rot, noise_pc[0], noise_pc[1], k1,
-                    iters=cfg.lanczos_iters)
-                mhw2 = lanczos.m_half_w_precond(
+                    **lz_kw)
+                mhw2, e2 = lanczos.m_half_w_precond(
                     mob_apply, pos, ops.rot, noise_pc[0], noise_pc[1], k2,
-                    iters=cfg.lanczos_iters)
+                    **lz_kw)
             else:
-                mhw1 = lanczos.m_half_w(mob_apply, pos, k1, iters=cfg.lanczos_iters)
-                mhw2 = lanczos.m_half_w(mob_apply, pos, k2, iters=cfg.lanczos_iters)
+                mhw1, e1 = lanczos.m_half_w(mob_apply, pos, k1, **lz_kw)
+                mhw2, e2 = lanczos.m_half_w(mob_apply, pos, k2, **lz_kw)
+            noise_err = jnp.maximum(e1, e2)
             c1 = 2.0 * jnp.sqrt(jnp.asarray(kBT / cfg.dt, dtype))
             c2 = jnp.sqrt(jnp.asarray(kBT / cfg.dt, dtype))
             bi = c2 * (mhw1 - mhw2)
         else:
             if cfg.lanczos_precond:
-                mhw1 = lanczos.m_half_w_precond(
+                mhw1, noise_err = lanczos.m_half_w_precond(
                     mob_apply, pos, ops.rot, noise_pc[0], noise_pc[1], k1,
-                    iters=cfg.lanczos_iters)
+                    **lz_kw)
             else:
-                mhw1 = lanczos.m_half_w(mob_apply, pos, k1, iters=cfg.lanczos_iters)
+                mhw1, noise_err = lanczos.m_half_w(mob_apply, pos, k1, **lz_kw)
             c1 = jnp.sqrt(jnp.asarray(2.0 * kBT / cfg.dt, dtype))
             c2 = c1
             bi = c2 * mhw1
@@ -229,6 +238,7 @@ def stochastic_step(
         slip_eff = slip
         ops_solve = ops
         drift_U = None
+        noise_err = jnp.zeros((), dtype)
 
     res = solvers.solve_saddle(
         ops_solve, cfg, slip_eff, force, mob_apply=mob_apply, x0=x0, pc=pc
@@ -244,7 +254,8 @@ def stochastic_step(
     dU = jnp.where(ok, U_total, 0.0) * jnp.asarray(cfg.dt, dtype)
     new_state = _commit(geom, cfg, state, dU)
     return new_state, StepAux(
-        U=U_total, lam=res.lam, residual=res.residual, iters=res.iters
+        U=U_total, lam=res.lam, residual=res.residual, iters=res.iters,
+        noise_err=jnp.asarray(noise_err, dtype),
     )
 
 
@@ -347,7 +358,7 @@ def run_bd(
             geom, cfg, s, sub, force, slip=slip, mob_apply=mob_apply,
             x0=x_prev, pc=pc, noise_pc=noise_pc,
         )
-        out = (s_new.X, s_new.Q, aux.residual, aux.iters)
+        out = (s_new.X, s_new.Q, aux.residual, aux.iters, aux.noise_err)
         # a failed solve's (λ, U) would poison the next step's warm start
         # (its residual is measured relative to ‖b‖, so a garbage x0 can
         # take more iterations than the budget to un-learn) — carry zeros
@@ -370,11 +381,11 @@ def run_bd(
         saddle_mod.build_pc(saddle_mod.geometry_ops(geom, state), cfg)
         if (lagged_pc or static_pc) else None
     )
-    (final, _, _, _), (Xs, Qs, residuals, iters) = lax.scan(
+    (final, _, _, _), (Xs, Qs, residuals, iters, noise_errs) = lax.scan(
         body, (state, key, x_init, pc_init), jnp.arange(n_steps)
     )
     keep = slice(save_every - 1, None, save_every)
     return final, {
         "X": Xs[keep], "Q": Qs[keep], "residual": residuals[keep],
-        "iters": iters[keep],
+        "iters": iters[keep], "noise_err": noise_errs[keep],
     }

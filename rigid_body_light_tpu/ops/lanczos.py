@@ -23,32 +23,85 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _y_coeffs(alphas, betas, s, m):
+    """√T·e₁ coefficients of the size-``s`` leading block of the tridiagonal.
+
+    alphas/betas: (k, m) recurrence coefficients (entries ≥ s arbitrary);
+    s: dynamic size (traced scalar or python int), m: static padded size.
+    The beyond-``s`` block is masked to the identity with its coupling β
+    zeroed, so its spurious eigenpairs have zero e₁-projection and contribute
+    nothing — a fixed-shape way to evaluate every truncation order from one
+    recurrence (the basis V is orthonormal, so coefficient-space norms equal
+    vector-space norms; this is what makes the per-step truncation-error
+    observable free of large-vector work).
+    """
+    dtype = alphas.dtype
+    idx = jnp.arange(m)
+    live = idx < s
+    a = jnp.where(live, alphas, 1.0)
+    b = jnp.where(idx < s - 1, betas, 0.0)
+    T = jnp.zeros(alphas.shape + (m,), dtype)
+    T = T.at[:, idx, idx].set(a)
+    T = T.at[:, idx[:-1], idx[1:]].set(b[:, :-1])
+    T = T.at[:, idx[1:], idx[:-1]].set(b[:, :-1])
+    evals, evecs = jnp.linalg.eigh(T)
+    sq = jnp.sqrt(jnp.maximum(evals, 0.0))
+    e1_proj = evecs[:, 0, :]  # (k, m) = first row of each eigenvector matrix
+    return jnp.einsum("kmj,kj->km", evecs, sq * e1_proj)
+
+
+def _trunc_err(alphas, betas, s, m):
+    """Relative (m−1 → m) truncation estimate per batch row, shape (k,).
+
+    ‖y_s − y_{s−1}‖/‖y_s‖ in coefficient space — the standard a-posteriori
+    Lanczos-f(A) estimate (the last-iteration increment); validated against
+    the true error series measured by ``scripts/tpu_noise_accuracy.py``.
+    """
+    y = _y_coeffs(alphas, betas, s, m)
+    y_prev = _y_coeffs(alphas, betas, s - 1, m)
+    num = jnp.linalg.norm(y - y_prev, axis=1)
+    den = jnp.maximum(jnp.linalg.norm(y, axis=1), 1e-30)
+    return num / den
+
+
 def sqrt_matvec_batched(
     matvec: Callable,
     W: jax.Array,
     iters: int = 30,
-) -> jax.Array:
+    max_iters: int = 0,
+    err_tol: float = 0.0,
+    return_err: bool = False,
+):
     """Approximate A^{1/2}·w_k for a batch of vectors with a *joint* matvec.
 
     W: (k, sz).  ``matvec`` maps (k, sz) → (k, sz), applying the same SPD
     operator to each row — on TPU the k rows share one pair-field sweep
     (see ``rpy_pallas.mobility_apply_multi``), so k Lanczos recurrences cost
-    far less than k separate ones.  Returns (k, sz).
+    far less than k separate ones.  Returns (k, sz), or ((k, sz), err (k,))
+    when ``return_err`` — err is the relative last-increment truncation
+    estimate (costs only small (m×m) eigensolves, no extra matvecs).
 
-    Fixed iteration count (static shape); eigenvalues of each tridiagonal T
-    are clamped at 0 so float32 round-off on near-singular modes cannot
-    produce NaN.
+    Adaptive mode: with ``max_iters > iters`` and ``err_tol > 0``, iterate at
+    least ``iters`` times and keep going (to at most ``max_iters``) while the
+    estimate exceeds ``err_tol`` — fixed shapes throughout (the basis is
+    allocated at ``max_iters``; a ``while_loop`` drives the data-dependent
+    trip count).  The reference has no error control at all — its noise is
+    an exact O(N³) Cholesky (``c_rigid_obj.cpp:661-675``); here accuracy is
+    an explicit, observable, per-step-controlled quantity.
+
+    Eigenvalues of each tridiagonal T are clamped at 0 so float32 round-off
+    on near-singular modes cannot produce NaN.
     """
     k, sz = W.shape
     dtype = W.dtype
-    m = iters
+    adaptive = max_iters > iters and err_tol > 0.0
+    m = max_iters if adaptive else iters
     norm_w = jnp.linalg.norm(W, axis=1)  # (k,)
     v1 = W / jnp.maximum(norm_w, 1e-30)[:, None]
 
     V0 = jnp.zeros((k, m, sz), dtype=dtype).at[:, 0].set(v1)
 
-    def body(i, carry):
-        V, alphas, betas, v_prev, beta_prev = carry
+    def step(i, V, alphas, betas, v_prev, beta_prev):
         v = V[:, i]
         av = matvec(v)
         alpha = jnp.einsum("ks,ks->k", v, av)
@@ -68,26 +121,39 @@ def sqrt_matvec_batched(
         )
         alphas = alphas.at[:, i].set(alpha)
         betas = betas.at[:, i].set(beta)
-        return (V, alphas, betas, v, beta)
+        return V, alphas, betas, v, beta
 
     alphas = jnp.zeros((k, m), dtype=dtype)
     betas = jnp.zeros((k, m), dtype=dtype)
-    V, alphas, betas, _, _ = lax.fori_loop(
-        0, m, body,
-        (V0, alphas, betas, jnp.zeros_like(v1), jnp.zeros((k,), dtype)),
-    )
+    init = (V0, alphas, betas, jnp.zeros_like(v1), jnp.zeros((k,), dtype))
 
-    # batched tridiagonal T_k from (alphas_k, betas_k[:-1])
-    idx = jnp.arange(m)
-    T = jnp.zeros((k, m, m), dtype)
-    T = T.at[:, idx, idx].set(alphas)
-    T = T.at[:, idx[:-1], idx[1:]].set(betas[:, :-1])
-    T = T.at[:, idx[1:], idx[:-1]].set(betas[:, :-1])
-    evals, evecs = jnp.linalg.eigh(T)
-    sq = jnp.sqrt(jnp.maximum(evals, 0.0))
-    e1_proj = evecs[:, 0, :]  # (k, m) = first row of each eigenvector matrix
-    y = jnp.einsum("kmj,kj->km", evecs, sq * e1_proj)
-    return norm_w[:, None] * jnp.einsum("km,kms->ks", y, V)
+    if adaptive:
+        def cond_fn(carry):
+            i = carry[0]
+            err = _trunc_err(carry[2], carry[3], i, m)
+            return (i < iters) | ((i < m) & (jnp.max(err) > err_tol))
+
+        def body_fn(carry):
+            i, V, a, b, vp, bp = carry
+            V, a, b, vp, bp = step(i, V, a, b, vp, bp)
+            return (i + 1, V, a, b, vp, bp)
+
+        s_final, V, alphas, betas, _, _ = lax.while_loop(
+            cond_fn, body_fn, (jnp.int32(0),) + init
+        )
+    else:
+        def body(i, carry):
+            return step(i, *carry)
+
+        V, alphas, betas, _, _ = lax.fori_loop(0, m, body, init)
+        s_final = m
+
+    y = _y_coeffs(alphas, betas, s_final, m)
+    out = norm_w[:, None] * jnp.einsum("km,kms->ks", y, V)
+    if not return_err:
+        return out
+    err = _trunc_err(alphas, betas, s_final, m)
+    return out, err
 
 
 def sqrt_matvec(
@@ -108,7 +174,10 @@ def m_half_w(
     positions,
     key,
     iters: int = 30,
-) -> jax.Array:
+    max_iters: int = 0,
+    err_tol: float = 0.0,
+    return_err: bool = False,
+):
     """Draw W ~ N(0, I) and return M^{1/2}W on the blob space, shape (N, 3).
 
     mob_apply: (F (N,3), r (N,3)) → (N,3), the damped mobility product
@@ -124,7 +193,17 @@ def m_half_w(
     def mv(flat):
         return mob_apply(flat.reshape(-1, 3), positions).reshape(-1)
 
-    return sqrt_matvec(mv, w, iters=iters).reshape(-1, 3)
+    def mv_batched(vk):
+        return mv(vk[0])[None]
+
+    out = sqrt_matvec_batched(
+        mv_batched, w[None], iters=iters, max_iters=max_iters,
+        err_tol=err_tol, return_err=return_err,
+    )
+    if return_err:
+        out, err = out
+        return out[0].reshape(-1, 3), err[0]
+    return out[0].reshape(-1, 3)
 
 
 def make_noise_preconditioner(geom_ref_cfg, a, eta, dtype=jnp.float32):
@@ -166,10 +245,15 @@ def m_half_w_precond(
     keys,
     iters: int = 10,
     multi: bool = False,
+    max_iters: int = 0,
+    err_tol: float = 0.0,
+    return_err: bool = False,
 ):
     """Preconditioned M^{1/2}W draws; ``keys`` is one key (multi=False) or a
     pair of keys (multi=True, fused 2-RHS sweep).  Returns (N, 3) or a tuple
-    of two (N, 3) arrays.
+    of two (N, 3) arrays; with ``return_err`` the last element is the max
+    relative truncation estimate (see ``sqrt_matvec_batched`` — measured in
+    the preconditioned G-space, where the Lanczos recurrence actually runs).
 
     G·v = L⁻¹ R̃ᵀ · M · R̃ L⁻ᵀ v, noise = R̃ L · G^{1/2} W.
     """
@@ -212,7 +296,14 @@ def m_half_w_precond(
     else:
         w = jax.random.normal(keys, (B * three_n,), dtype=dtype)[None]
 
-    g = sqrt_matvec_batched(mv, w, iters=iters)  # (k, sz) = G^{1/2} W
+    g = sqrt_matvec_batched(
+        mv, w, iters=iters, max_iters=max_iters, err_tol=err_tol,
+        return_err=return_err,
+    )  # (k, sz) = G^{1/2} W
+    err = None
+    if return_err:
+        g, err = g
+        err = jnp.max(err)
     # noise = R̃ L g
     gb = g.reshape(k, B, three_n)
     lg = jnp.einsum("pq,kbq->kbp", L, gb)
@@ -221,8 +312,8 @@ def m_half_w_precond(
         lg.reshape(k * B, n, 3),
     ).reshape(k, B * n, 3)
     if multi:
-        return out[0], out[1]
-    return out[0]
+        return (out[0], out[1], err) if return_err else (out[0], out[1])
+    return (out[0], err) if return_err else out[0]
 
 
 def m_half_w_pair(
@@ -231,6 +322,9 @@ def m_half_w_pair(
     key1,
     key2,
     iters: int = 30,
+    max_iters: int = 0,
+    err_tol: float = 0.0,
+    return_err: bool = False,
 ):
     """Two independent M^{1/2}W draws with fused matvecs.
 
@@ -238,7 +332,7 @@ def m_half_w_pair(
     configuration (``split_rand``, reference ``c_rigid_obj.cpp:930-936``);
     running both Lanczos recurrences through a 2-RHS mobility sweep shares
     the pair coefficient fields and nearly halves the noise cost.
-    Returns ((N,3), (N,3)).
+    Returns ((N,3), (N,3)), plus the max truncation estimate if asked.
     """
     positions = positions.reshape(-1, 3)
     n = positions.shape[0]
@@ -249,5 +343,11 @@ def m_half_w_pair(
     def mv2(vk):
         return mob_apply_multi(vk.reshape(2, -1, 3), positions).reshape(2, -1)
 
-    out = sqrt_matvec_batched(mv2, jnp.stack([w1, w2]), iters=iters)
+    out = sqrt_matvec_batched(
+        mv2, jnp.stack([w1, w2]), iters=iters, max_iters=max_iters,
+        err_tol=err_tol, return_err=return_err,
+    )
+    if return_err:
+        out, err = out
+        return out[0].reshape(-1, 3), out[1].reshape(-1, 3), jnp.max(err)
     return out[0].reshape(-1, 3), out[1].reshape(-1, 3)

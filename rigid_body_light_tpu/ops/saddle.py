@@ -204,6 +204,89 @@ class PCData(NamedTuple):
 _PC_SELF_FLOOR = 0.05
 
 
+def _rot6(rot):
+    """Block-diagonal 6×6 rotations diag(R, R), shape (B, 6, 6)."""
+    B = rot.shape[0]
+    R6 = jnp.zeros((B, 6, 6), rot.dtype)
+    R6 = R6.at[:, 0:3, 0:3].set(rot)
+    R6 = R6.at[:, 3:6, 3:6].set(rot)
+    return R6
+
+
+def grand_body_mobility(ops: GeometryOps, cfg: SimulationConfig, n_ref,
+                        include_rot: bool = True) -> jax.Array:
+    """Coupled (6B, 6B) far-field grand body mobility (Stokesian-dynamics
+    far field): exact single-body diagonal blocks + RPY-at-Rh_eff pair
+    blocks (wall-corrected trans-trans; free-space rotlet couplings when
+    ``include_rot``).
+
+    **Measured negative result (round 3, ``scripts/pc_dense_study.py``):**
+    used as the U-block Ñ of the saddle preconditioner while M̃⁻¹ stays
+    body-diagonal, this makes convergence dramatically WORSE (dispersed
+    9→30 iters, settled 13→35): with a block-diagonal M̃ the exact Schur
+    inverse is itself block-diagonal, so injecting coupling only at the
+    Schur level breaks the PC's exact-inverse structure — Ñ must stay
+    consistent with M̃ (the inconsistent-Ñ Neumann variant shows the same
+    failure, 38 vs 15 iters).  Kept for the study harness and as the
+    documented dead end; it is NOT wired into ``build_pc``.
+    """
+    from rigid_body_light_tpu.ops import rpy
+
+    rot = ops.rot
+    B = rot.shape[0]
+    dtype = rot.dtype
+    # effective hydrodynamic radius from the exact single-body mobility:
+    # n_ref[:3,:3] ≈ I/(6πη·Rh_eff)
+    mu_t = jnp.trace(n_ref[0:3, 0:3]) / 3.0
+    rh = 1.0 / (6.0 * jnp.pi * cfg.eta * mu_t)
+    X = ops.positions[:, 0, :] - ops.offsets[:, 0, :]  # (B, 3) tracking points
+
+    # trans-trans: body-level wall-corrected RPY at radius Rh_eff
+    m_tt = rpy.mobility_matrix(
+        X, a=rh, eta=cfg.eta, wall=cfg.wall, h_floor=cfg.wall_h_floor,
+        box=cfg.box,
+    ).reshape(B, 3, B, 3)
+
+    grand = jnp.zeros((B, 6, B, 6), dtype)
+    grand = grand.at[:, 0:3, :, 0:3].set(m_tt)
+
+    if include_rot and B > 1:
+        d = (X[:, None, :] - X[None, :, :]) / rh
+        box_n = None if cfg.box is None else (cfg.box[0] / rh, cfg.box[1] / rh)
+        d = rpy._wrap_xy(d, box_n)
+        r = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-24))
+        rcl = jnp.maximum(r, 2.0)  # clamp at contact: 2·Rh_eff
+        e = d / r[..., None]
+        # normalized by rh: physical r_phys = r·rh
+        g = 1.0 / (8.0 * jnp.pi * cfg.eta * (rcl * rh) ** 2)  # (B, B)
+        ex, ey, ez = e[..., 0], e[..., 1], e[..., 2]
+        zero = jnp.zeros_like(ex)
+        skew = jnp.stack(
+            [
+                jnp.stack([zero, -ez, ey], axis=-1),
+                jnp.stack([ez, zero, -ex], axis=-1),
+                jnp.stack([-ey, ex, zero], axis=-1),
+            ],
+            axis=-2,
+        )  # (B, B, 3, 3) = [e]ₓ
+        c_ut = -g[..., None, None] * skew
+        grr = 1.0 / (16.0 * jnp.pi * cfg.eta * (rcl * rh) ** 3)
+        eye3 = jnp.eye(3, dtype=dtype)
+        c_rr = grr[..., None, None] * (
+            3.0 * e[..., :, None] * e[..., None, :] - eye3
+        )
+        grand = grand.at[:, 0:3, :, 3:6].set(c_ut.transpose(0, 2, 1, 3))
+        grand = grand.at[:, 3:6, :, 0:3].set(c_ut.transpose(0, 2, 1, 3))
+        grand = grand.at[:, 3:6, :, 3:6].set(c_rr.transpose(0, 2, 1, 3))
+
+    # zero all diagonal blocks, then set the exact single-body mobility
+    R6 = _rot6(rot)
+    diag = jnp.einsum("bij,jk,blk->bil", R6, n_ref, R6)  # (B, 6, 6)
+    idx = jnp.arange(B)
+    grand = grand.at[idx, :, idx, :].set(diag)
+    return grand.reshape(6 * B, 6 * B)
+
+
 def build_pc(ops: GeometryOps, cfg: SimulationConfig) -> PCData:
     B, n, _ = ops.offsets.shape
     mode = cfg.pc_mode or ("block" if cfg.block_diag_pc else "diag")
