@@ -30,7 +30,11 @@ Config schema (JSON):
   "seed": 0,
   "output_dir": "out",
   "solver": {"gmres_tol": 1e-4, "gmres_restart": 40, "gmres_maxiter": 80,
-             "lanczos_iters": 30}
+             "lanczos_iters": 30},
+  "mesh": {"shape": [8]}              // optional: multi-chip run — shard the
+      // O(N²) pair sweep over a device mesh.  [D] = 1-D row sharding
+      // (all_gather over ICI), [Dr, Dc] = 2-D SUMMA (psum, O(N/Dr) comm).
+      // Omit for single-device.  Physics is identical; see parallel/.
 }
 """
 
@@ -99,6 +103,38 @@ def place_bodies(spec, n_bodies, rng, wall):
     else:
         raise ValueError(f"unknown placement type {t!r}")
     return X, Q
+
+
+def _build_mesh_mob(conf, cfg):
+    """Optional ``mesh`` config key → (mesh, sharded mob_apply) or (None, None).
+
+    Routes the production driver's pair sweep through the multi-chip path
+    (1-D row sharding or 2-D SUMMA per the shape) — the same ``mob_apply``
+    contract every solver/stepper entry point accepts.
+    """
+    spec = conf.get("mesh")
+    if not spec:
+        return None, None
+    import jax
+
+    from rigid_body_light_tpu import parallel
+
+    shape = list(spec.get("shape", [len(jax.devices())]))
+    n_req = int(np.prod(shape))
+    n_avail = len(jax.devices())
+    if n_req > n_avail:
+        raise ValueError(
+            f"mesh shape {shape} needs {n_req} devices but only {n_avail} "
+            f"are visible (set XLA_FLAGS=--xla_force_host_platform_device_count "
+            f"for CPU testing)"
+        )
+    if len(shape) == 1:
+        mesh = parallel.make_mesh(shape[0])
+    elif len(shape) == 2:
+        mesh = parallel.make_mesh_2d(tuple(shape))
+    else:
+        raise ValueError(f"mesh shape must be 1-D or 2-D, got {shape}")
+    return mesh, parallel.sharded_mobility_apply_fn(cfg, mesh)
 
 
 def _chunking(conf):
@@ -207,9 +243,15 @@ def main_multi(conf, args):
         append=bool(args.resume),
     )
 
+    mesh, mob_apply = _build_mesh_mob(conf, cfg)
+    if mesh is not None:
+        print(json.dumps({"mesh": dict(zip(map(str, mesh.axis_names),
+                                           map(int, mesh.devices.shape)))}),
+              flush=True)
+
     run_chunk = jax.jit(functools.partial(
         multi.run_bd_multi, mgeom, cfg, n_steps=chunk, force_fn=force_fn,
-        save_every=save_every,
+        save_every=save_every, mob_apply=mob_apply,
     ))
 
     meta = {"config": conf, "species_sizes": list(sizes)}
@@ -303,9 +345,15 @@ def main(argv=None):
         append=bool(args.resume),
     )
 
+    mesh, mob_apply = _build_mesh_mob(conf, cfg)
+    if mesh is not None:
+        print(json.dumps({"mesh": dict(zip(map(str, mesh.axis_names),
+                                           map(int, mesh.devices.shape)))}),
+              flush=True)
+
     run_chunk = jax.jit(functools.partial(
         run_bd, geom, cfg, n_steps=chunk, force_fn=force_fn,
-        save_every=save_every,
+        save_every=save_every, mob_apply=mob_apply,
     ))
 
     step = start_step

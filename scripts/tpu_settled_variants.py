@@ -1,0 +1,85 @@
+"""Measure solver variants on the REAL settled soak state (TPU).
+
+Loads the checkpoint captured by tpu_soak_checkpoint.py and runs a short
+continuation per variant, reporting steps/s + GMRES iters + the new
+noise-error observable.  This is the honest A/B harness for the settled
+dense-suspension performance problem (round-2 soak: 9.13 steps/s at 16
+mean / 33 max iters vs 13.0 dispersed).
+
+Usage: python scripts/tpu_settled_variants.py [ckpt=/tmp/settled_642.npz] [steps=200]
+"""
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ckpt_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/settled_642.npz"
+    n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    import jax
+    import jax.numpy as jnp
+
+    from rigid_body_light_tpu import SimulationConfig, forces, load_structure
+    from rigid_body_light_tpu.dynamics import run_bd
+    from rigid_body_light_tpu.ops import kinematics as kin
+    from rigid_body_light_tpu.utils import checkpoint as ckpt
+
+    params, cfgb = load_structure("shell_N_642")
+    geom = kin.make_ref_geometry(cfgb, dtype=jnp.float32)
+    state, key, step0, _ = ckpt.load_checkpoint(ckpt_path, dtype=jnp.float32)
+    force_fn = forces.sum_forces(
+        forces.gravity(np.array([0, 0, -1.0, 0, 0, 0])),
+        forces.wall_repulsion(strength=4.0, debye_length=0.3, radius=1.0),
+    )
+    base = dict(
+        a=params["sep"] / 2, dt=0.01, kBT=1.0, wall=True,
+        dtype=jnp.float32, lanczos_iters=6, lanczos_precond=True,
+        gmres_tol=1e-4, gmres_restart=20, gmres_maxiter=60,
+        matvec_row_tile=512, pc_mode="block_free",
+    )
+    variants = {
+        "shipped_r20": {},
+        "restart60": dict(gmres_restart=60),
+    }
+    for arg in sys.argv[3:]:
+        if arg == "--adaptive-noise":
+            variants["restart60_adaptive_noise"] = dict(
+                gmres_restart=60, lanczos_max_iters=14, lanczos_err_tol=1e-3)
+
+    for name, kw in variants.items():
+        cfg = SimulationConfig(**dict(base, **kw))
+        runner = jax.jit(functools.partial(
+            run_bd, geom, cfg, n_steps=n_steps, force_fn=force_fn,
+            save_every=1))
+        t0 = time.perf_counter()
+        s, traj = runner(state, key)
+        _ = float(jnp.sum(s.X))
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        s2, traj = runner(state, jax.random.split(key)[0])
+        _ = float(jnp.sum(s2.X))
+        wall = time.perf_counter() - t0
+        it = np.asarray(traj["iters"])
+        res = np.asarray(traj["residual"])
+        nerr = np.asarray(traj["noise_err"])
+        print(json.dumps({
+            "variant": name, "steps_per_s": round(n_steps / wall, 3),
+            "mean_iters": round(float(it.mean()), 2),
+            "max_iters": int(it.max()),
+            "p90_iters": int(np.percentile(it, 90)),
+            "max_residual": float(res.max()),
+            "mean_noise_err": float(nerr.mean()),
+            "max_noise_err": float(nerr.max()),
+            "rejected": int((res > cfg.max_step_residual).sum()),
+            "compile_s": round(compile_s - wall * 0, 1),
+        }), flush=True)
+        time.sleep(5)
+
+
+if __name__ == "__main__":
+    main()

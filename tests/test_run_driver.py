@@ -131,3 +131,29 @@ def test_mixture_run_and_resume(tmp_path):
     steps2, _, X2, _ = read_trajectory(os.path.join(out_dir, "trajectory.rblt"))
     assert steps2.tolist() == [2, 4, 6, 8, 10, 12, 14, 16]
     assert np.array_equal(X2[:4], X)
+
+
+@pytest.mark.medium
+def test_mesh_run_matches_single_device(tmp_path):
+    """'mesh' config key routes the pair sweep through the sharded path on
+    the 8-virtual-device mesh; the trajectory must match the single-device
+    run (same seed, f64 — only summation order differs)."""
+    cfg_ref, conf_ref = _config(tmp_path, output_dir=str(tmp_path / "ref"))
+    main([cfg_ref])
+    refX = read_trajectory(
+        os.path.join(conf_ref["output_dir"], "trajectory.rblt"))[2]
+
+    for shape in ([8], [2, 4]):
+        out = str(tmp_path / f"mesh{len(shape)}")
+        cfg_m, conf_m = _config(tmp_path, output_dir=out,
+                                mesh={"shape": shape})
+        main([cfg_m])
+        mX = read_trajectory(os.path.join(out, "trajectory.rblt"))[2]
+        np.testing.assert_allclose(mX, refX, atol=1e-8,
+                                   err_msg=f"mesh shape {shape}")
+
+
+def test_mesh_too_many_devices_rejected(tmp_path):
+    cfg_path, _ = _config(tmp_path, mesh={"shape": [64]})
+    with pytest.raises(ValueError, match="64 devices"):
+        main([cfg_path])
