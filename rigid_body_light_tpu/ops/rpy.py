@@ -198,6 +198,10 @@ def _pair_tile(ri, zi_img_unused, rj, row_ids, col_ids, F, inv_a, wall, dtype,
     d = _wrap_xy((ri[:, None, :] - rj[None, :, :]) * inv_a, box_n)  # (T, N, 3)
     r2 = jnp.sum(d * d, axis=-1)
     self_mask = row_ids[:, None] == col_ids[None, :]
+    # gradient safety: the self-pair r²=0 is masked out of the primal below,
+    # but d(r^{-3/2})/dr² at the 1e-24 floor overflows float32 and poisons
+    # reverse-mode AD with inf·0 = NaN — substitute a harmless distance first
+    r2 = jnp.where(self_mask, 4.0, r2)
     alpha, beta = _free_coeffs(r2, dtype)
     alpha = jnp.where(self_mask, 0.0, alpha)
     beta = jnp.where(self_mask, 0.0, beta)
@@ -390,6 +394,7 @@ def mobility_matrix(r, a=1.0, eta=1.0, wall=False, h_floor=WALL_H_FLOOR,
     d = _wrap_xy((r[:, None, :] - r[None, :, :]) * inv_a, box_n)  # (N, N, 3)
     r2 = jnp.sum(d * d, axis=-1)
     eye_n = jnp.eye(n, dtype=bool)
+    r2 = jnp.where(eye_n, 4.0, r2)  # gradient safety — see _pair_tile
     alpha, beta = _free_coeffs(r2, dtype)
     alpha = jnp.where(eye_n, _SELF_COEF, alpha)
     beta = jnp.where(eye_n, 0.0, beta)

@@ -116,17 +116,17 @@ def make_differentiable_solver(cfg: SimulationConfig) -> Callable:
 
     The saddle operator satisfies Aᵀ = S·A·S with S = diag(I, −I) on
     (λ, U), so the adjoint solve is the SAME solver on sign-flipped blocks —
-    no transposed machinery needed.  The operator-vjp uses the XLA mobility
-    path (the Pallas kernel has no autodiff rule), costing one extra matvec
-    per parameter-gradient evaluation.
+    no transposed machinery needed.  The operator-vjp differentiates the
+    regular (Pallas on TPU) mobility path: the kernel carries a custom VJP
+    whose force cotangent is one more kernel sweep (symmetry) and whose
+    position cotangent falls back to the XLA path internally
+    (``rpy_pallas.mobility_apply``).
 
     Differentiable inputs: ``ops`` (positions/orientations via GeometryOps —
     chain through ``geometry_ops`` for ∂/∂X, ∂/∂Q), ``slip`` and ``force``.
     Nothing like this exists in the reference (finite differences over the
     whole C++ solve would be the only option).
     """
-    cfg_xla = cfg.replace(use_pallas=False)
-
     @jax.custom_vjp
     def solve(ops, slip, force):
         res = solve_saddle(ops, cfg, slip, force)
@@ -146,7 +146,7 @@ def make_differentiable_solver(cfg: SimulationConfig) -> Callable:
 
         def operator(o):
             s, f = saddle_mod.apply_saddle(
-                lam, U, o, cfg_xla, saddle_mod.mobility_apply_fn(cfg_xla)
+                lam, U, o, cfg, saddle_mod.mobility_apply_fn(cfg)
             )
             return s, f
 

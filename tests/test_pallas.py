@@ -7,6 +7,8 @@ import numpy as np
 import pytest
 
 import oracle
+import jax
+from rigid_body_light_tpu.ops import rpy
 from rigid_body_light_tpu.ops import rpy_pallas
 
 
@@ -160,3 +162,35 @@ def test_symmetric_kernel_multi_column_tile(nrhs):
     sym = np.stack([np.asarray(out)[3 * i : 3 * i + 3, :n].T
                     for i in range(nrhs)])
     assert np.abs(sym - ref).max() / np.abs(ref).max() < 2e-6
+
+
+def test_pallas_mobility_custom_vjp_matches_xla():
+    """The kernel's custom VJP: force cotangent via the (symmetric) kernel
+    itself, position cotangent via the XLA fallback — both must match the
+    XLA path's autodiff, and stay finite in float32 (the self-pair
+    gradient-safety substitution in ops/rpy.py)."""
+    rng = np.random.default_rng(0)
+    n = 40
+    r = jnp.asarray(rng.uniform(0.5, 5.0, (n, 3)), jnp.float32)
+    F = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
+    Ub = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
+
+    def f_pal(F, r):
+        return jnp.sum(rpy_pallas.mobility_apply(
+            F, r, a=0.3, eta=1.0, wall=True, interpret=True) * Ub)
+
+    def f_xla(F, r):
+        return jnp.sum(rpy.mobility_apply(F, r, a=0.3, eta=1.0, wall=True) * Ub)
+
+    gF_p, gr_p = jax.grad(f_pal, argnums=(0, 1))(F, r)
+    gF_x, gr_x = jax.grad(f_xla, argnums=(0, 1))(F, r)
+    assert jnp.isfinite(gF_p).all() and jnp.isfinite(gr_p).all()
+    np.testing.assert_allclose(np.asarray(gF_p), np.asarray(gF_x), rtol=2e-5,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gr_p), np.asarray(gr_x), rtol=2e-5,
+                               atol=1e-7)
+    # position gradient against finite differences
+    eps = 1e-3
+    e = jnp.zeros_like(r).at[7, 2].set(1.0)
+    fd = (f_xla(F, r + eps * e) - f_xla(F, r - eps * e)) / (2 * eps)
+    assert abs(float(fd) - float(gr_x[7, 2])) < 2e-2 * abs(float(fd))
