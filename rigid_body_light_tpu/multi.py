@@ -33,17 +33,62 @@ from rigid_body_light_tpu.state import BodyState
 
 
 class MultiGeometry(NamedTuple):
-    """Static geometry of an S-species mixture (pytree of RefGeometry)."""
+    """Static geometry of an S-species mixture (pytree of RefGeometry).
+
+    radii: per-species blob radius (None entries fall back to ``cfg.a``).
+    A species with its own radius gets polydisperse RPY in the coupled
+    blob sweep (see ``rpy._free_coeffs_poly``) and exact per-species
+    self/PC/noise factors built at that radius — the standard unequal-aᵢ
+    generalization the reference hardcodes away (one ``a`` in
+    ``setParameters``, ``c_rigid_obj.cpp:183``).
+    """
 
     geoms: Tuple[kin.RefGeometry, ...]
+    radii: Tuple = None
 
     @classmethod
-    def create(cls, ref_cfgs: Sequence, dtype=jnp.float32) -> "MultiGeometry":
-        return cls(geoms=tuple(kin.make_ref_geometry(c, dtype=dtype) for c in ref_cfgs))
+    def create(cls, ref_cfgs: Sequence, dtype=jnp.float32,
+               radii: Sequence = None) -> "MultiGeometry":
+        geoms = tuple(kin.make_ref_geometry(c, dtype=dtype) for c in ref_cfgs)
+        if radii is None:
+            radii = (None,) * len(geoms)
+        else:
+            if len(radii) != len(geoms):
+                raise ValueError(
+                    f"radii has {len(radii)} entries for {len(geoms)} species")
+            radii = tuple(None if r is None else float(r) for r in radii)
+        return cls(geoms=geoms, radii=radii)
 
     @property
     def n_species(self) -> int:
         return len(self.geoms)
+
+    def species_a(self, cfg: SimulationConfig) -> Tuple[float, ...]:
+        radii = self.radii if self.radii is not None else (None,) * len(self.geoms)
+        return tuple(cfg.a if r is None else r for r in radii)
+
+    def is_poly(self) -> bool:
+        radii = self.radii if self.radii is not None else ()
+        return any(r is not None for r in radii)
+
+
+def blob_radii_multi(mgeom: MultiGeometry, opses, cfg: SimulationConfig):
+    """Concatenated (N_total,) per-blob radii, or None when monodisperse."""
+    if not mgeom.is_poly():
+        return None
+    dtype = opses[0].positions.dtype
+    parts = []
+    for o, a_s in zip(opses, mgeom.species_a(cfg)):
+        B, n = o.offsets.shape[0], o.offsets.shape[1]
+        parts.append(jnp.full((B * n,), a_s, dtype))
+    return jnp.concatenate(parts)
+
+
+def _mob_fns(mgeom: MultiGeometry, opses, cfg: SimulationConfig):
+    """(mob_apply, mob_apply_multi) with the mixture's blob radii closed in."""
+    radii = blob_radii_multi(mgeom, opses, cfg)
+    return (saddle_mod.mobility_apply_fn(cfg, radii=radii),
+            saddle_mod.mobility_apply_multi_fn(cfg, radii=radii))
 
 
 def geometry_ops_multi(mgeom: MultiGeometry, states: Sequence[BodyState]):
@@ -96,8 +141,15 @@ def apply_saddle_multi(lam, Us, opses, cfg: SimulationConfig, mob_apply=None):
     return slip, KT_dot_multi(lam, opses)
 
 
-def build_pc_multi(opses, cfg: SimulationConfig):
-    return tuple(saddle_mod.build_pc(o, cfg) for o in opses)
+def build_pc_multi(opses, cfg: SimulationConfig, species_a=None):
+    """Per-species PCs; species_a (from ``MultiGeometry.species_a``) builds
+    each species' factors at its own blob radius."""
+    if species_a is None:
+        return tuple(saddle_mod.build_pc(o, cfg) for o in opses)
+    return tuple(
+        saddle_mod.build_pc(o, cfg if a_s == cfg.a else cfg.replace(a=a_s))
+        for o, a_s in zip(opses, species_a)
+    )
 
 
 def make_noise_preconditioner_multi(mgeom: MultiGeometry, a, eta, dtype=jnp.float32):
@@ -108,9 +160,13 @@ def make_noise_preconditioner_multi(mgeom: MultiGeometry, a, eta, dtype=jnp.floa
     reference mobility; each species contributes its own (L, L⁻¹) pair of
     shape (3n_s, 3n_s), applied to its slice of the Lanczos vectors.
     """
+    species_a = (
+        mgeom.radii if mgeom.radii is not None else (None,) * len(mgeom.geoms)
+    )
     return tuple(
-        lanczos.make_noise_preconditioner(g.ref_cfg, a, eta, dtype)
-        for g in mgeom.geoms
+        lanczos.make_noise_preconditioner(
+            g.ref_cfg, a if a_s is None else a_s, eta, dtype)
+        for g, a_s in zip(mgeom.geoms, species_a)
     )
 
 
@@ -224,13 +280,13 @@ def solve_saddle_multi(
     if opses is None:
         opses = geometry_ops_multi(mgeom, states)
     if mob_apply is None:
-        mob_apply = saddle_mod.mobility_apply_fn(cfg)
+        mob_apply = _mob_fns(mgeom, opses, cfg)[0]
     dtype = opses[0].positions.dtype
     n_total = sum(_blob_counts(opses))
     if slip is None:
         slip = jnp.zeros((n_total, 3), dtype)
     if pcs is None:
-        pcs = build_pc_multi(opses, cfg)
+        pcs = build_pc_multi(opses, cfg, species_a=mgeom.species_a(cfg))
 
     def pc_flat(s, fs):
         lam, Us = apply_pc_multi(pcs, s, fs, opses, cfg)
@@ -318,9 +374,9 @@ def stochastic_step_multi(
     (``pcs``).
     """
     default_mob = mob_apply is None
-    if default_mob:
-        mob_apply = saddle_mod.mobility_apply_fn(cfg)
     opses = geometry_ops_multi(mgeom, states)
+    if default_mob:
+        mob_apply = _mob_fns(mgeom, opses, cfg)[0]
     dtype = opses[0].positions.dtype
     n_total = sum(_blob_counts(opses))
     if slip is None:
@@ -338,7 +394,7 @@ def stochastic_step_multi(
             # per-species body-frame factors (trace-time constants; run_bd_multi
             # precomputes and threads these through the scan)
             noise_pcs = make_noise_preconditioner_multi(mgeom, cfg.a, cfg.eta, dtype)
-        mob_multi = saddle_mod.mobility_apply_multi_fn(cfg) if default_mob else (
+        mob_multi = _mob_fns(mgeom, opses, cfg)[1] if default_mob else (
             lambda xk, r: jnp.stack([mob_apply(x, r) for x in xk])
         )
         if use_split:
@@ -486,7 +542,8 @@ def run_bd_multi(
         elif lagged_pc:
             pcs = lax.cond(
                 i % cfg.pc_refresh == 0,
-                lambda _: build_pc_multi(geometry_ops_multi(mgeom, ss), cfg),
+                lambda _: build_pc_multi(geometry_ops_multi(mgeom, ss), cfg,
+                                         species_a=mgeom.species_a(cfg)),
                 lambda _: pcs_prev,
                 None,
             )
@@ -515,7 +572,8 @@ def run_bd_multi(
         tuple(jnp.zeros((b, 6), dtype) for b in sizes),
     )
     pcs_init = (
-        build_pc_multi(geometry_ops_multi(mgeom, states), cfg)
+        build_pc_multi(geometry_ops_multi(mgeom, states), cfg,
+                       species_a=mgeom.species_a(cfg))
         if (lagged_pc or static_pc) else None
     )
     (final, _, _, _), (Xs, Qs, residuals, iters) = lax.scan(

@@ -96,6 +96,56 @@ def _free_coeffs(r2, dtype):
     return alpha, beta
 
 
+def _free_coeffs_poly(r2, ai, aj, dtype):
+    """Polydisperse free-space RPY coefficients (α, β), M = α·I + β·d⊗d.
+
+    Generalization to unequal blob radii (Zuk, Wajnryb, Mizerski & Szymczak,
+    J. Fluid Mech. 741 (2014) R5): distances AND radii in units of the
+    reference radius ``a`` (output scaled by 1/(8πηa) as everywhere else —
+    all three branches are degree−1 homogeneous so the normalization is
+    exact).  ai: (..., 1) row radii, aj: (..., N) column radii, broadcast
+    against r2.
+
+      r ≥ ai+aj      : α = (1 + (ai²+aj²)/3r²)/r,  β = (1 − (ai²+aj²)/r²)/r³
+      |ai−aj| ≤ r < ai+aj : the RPY overlap form with 1/(6πη·ai·aj) prefactor
+      r < |ai−aj|    : the smaller blob rides inside the larger —
+                       M = I/(6πη·max(ai,aj))
+
+    Equal radii (ai=aj=1) reduces exactly to :func:`_free_coeffs`; the
+    tensor is symmetric under i↔j in every branch, so the ordered-pair
+    mirror assembly and the symmetric Pallas kernel remain valid.
+    """
+    r2s = jnp.maximum(r2, _R2_FLOOR)
+    r = jnp.sqrt(r2s)
+    invr = 1.0 / r
+    invr2 = 1.0 / r2s
+    a2s = ai * ai + aj * aj
+    asum = ai + aj
+    adiff = ai - aj
+    far = r >= asum
+    deep = r < jnp.abs(adiff)
+
+    alpha_far = (1.0 + (a2s / 3.0) * invr2) * invr
+    beta_far = (1.0 - a2s * invr2) * invr2 * invr
+
+    # overlap branch: physical M = 1/(6πη ai aj)·[g_I·I + g_e·ê⊗ê]; with the
+    # global 1/(8πηa) normalization the coefficients pick up a factor
+    # 8/(6 ai aj) = (4/3)/(ai aj), and β multiplies d⊗d = r²·ê⊗ê.
+    pref = (4.0 / 3.0) / jnp.maximum(ai * aj, _R2_FLOOR)
+    invr3 = invr * invr2
+    g_i = (16.0 * r2s * r * asum - (adiff * adiff + 3.0 * r2s) ** 2) * (
+        invr3 / 32.0)
+    g_e = 3.0 * (adiff * adiff - r2s) ** 2 * (invr3 / 32.0)
+    alpha_near = pref * g_i
+    beta_near = pref * g_e * invr2
+
+    alpha_deep = _SELF_COEF / jnp.maximum(jnp.maximum(ai, aj), _R2_FLOOR)
+
+    alpha = jnp.where(far, alpha_far, jnp.where(deep, alpha_deep, alpha_near))
+    beta = jnp.where(far, beta_far, jnp.where(deep, 0.0, beta_near))
+    return alpha.astype(dtype), beta.astype(dtype)
+
+
 def _wall_coeffs(d_img, hj):
     """Swan–Brady finite-size wall correction coefficients (f1..f5).
 
@@ -134,14 +184,24 @@ def _wall_coeffs(d_img, hj):
     return f1, f2, f3, f4, f5, invR
 
 
-def wall_self_diag(z, a, dtype, h_floor=WALL_H_FLOOR):
+def wall_self_diag(z, a, dtype, h_floor=WALL_H_FLOOR, radii=None):
     """Per-blob wall self-correction diagonal, shape (N, 3).
 
     Added to the 4/3 free self term; reference i==j branch of
     ``mobilityUFSingleWallCorrection`` (``c_rigid_obj.cpp:98-104``),
     evaluated at heights floored to ``h_floor``·a (see ``WALL_H_FLOOR``).
+
+    radii: optional (N,) per-blob physical radii.  The Swan–Brady self
+    correction for a sphere of radius aᵢ is the equal-radius expression
+    evaluated at z/aᵢ and scaled by a/aᵢ (exact — the self term depends on
+    one sphere only); heights are floored in units of the blob's OWN radius.
     """
     zn = jnp.asarray(z, dtype) / a
+    scale = 1.0
+    if radii is not None:
+        ahat = jnp.asarray(radii, dtype) / a
+        zn = zn / ahat
+        scale = 1.0 / ahat
     if h_floor > 0:
         zn = jnp.maximum(zn, h_floor)
     invZ = 1.0 / zn
@@ -149,27 +209,33 @@ def wall_self_diag(z, a, dtype, h_floor=WALL_H_FLOOR):
     invZ5 = invZ3 * invZ * invZ
     cxx = -(9.0 * invZ - 2.0 * invZ3 + invZ5) / 12.0
     czz = -(9.0 * invZ - 4.0 * invZ3 + invZ5) / 6.0
-    return jnp.stack([cxx, cxx, czz], axis=-1)
+    return jnp.stack([cxx, cxx, czz], axis=-1) * (
+        scale if radii is None else scale[:, None])
 
 
-def self_mobility_blocks(r, a=1.0, eta=1.0, wall=False, h_floor=WALL_H_FLOOR):
+def self_mobility_blocks(r, a=1.0, eta=1.0, wall=False, h_floor=WALL_H_FLOOR,
+                         radii=None):
     """Per-blob 3×3 self mobility (N, 3, 3), scaled by 1/(8πηa).
 
     Used by the diagonal preconditioner (reference ``diag_invM``,
     ``c_rigid_obj.cpp:489-543``).  Diagonal both with and without wall.
+    radii: optional (N,) per-blob physical radii (self mobility 1/(6πηaᵢ)).
     """
     r = jnp.asarray(r).reshape(-1, 3)
     dtype = r.dtype
     n = r.shape[0]
     diag = jnp.full((n, 3), _SELF_COEF, dtype=dtype)
+    if radii is not None:
+        diag = diag / (jnp.asarray(radii, dtype)[:, None] / a)
     if wall:
-        diag = diag + wall_self_diag(r[:, 2], a, dtype, h_floor=h_floor)
+        diag = diag + wall_self_diag(r[:, 2], a, dtype, h_floor=h_floor,
+                                     radii=radii)
     norm = 1.0 / (8.0 * jnp.pi * eta * a)
     return jnp.einsum("ni,ij->nij", diag * norm, jnp.eye(3, dtype=dtype))
 
 
-def damping_factors(r, a=1.0):
-    """Wall-overlap damping d_i = min(z_i/a, 1), shape (N,).
+def damping_factors(r, a=1.0, radii=None):
+    """Wall-overlap damping d_i = min(z_i/aᵢ, 1), shape (N,).
 
     Reference ``make_damp_mat`` (``c_rigid_obj.cpp:618-639``), citing Balboa
     Usabiaga, Delmotte & Donev (2017) appendix A.  Unlike the reference's
@@ -180,20 +246,30 @@ def damping_factors(r, a=1.0):
     Identical for all valid (z ≥ 0) configurations.
     """
     r = jnp.asarray(r).reshape(-1, 3)
-    return jnp.clip(r[:, 2] / a, 0.0, 1.0).astype(r.dtype)
+    az = a if radii is None else jnp.asarray(radii, r.dtype)
+    return jnp.clip(r[:, 2] / az, 0.0, 1.0).astype(r.dtype)
 
 
 def _pair_tile(ri, zi_img_unused, rj, row_ids, col_ids, F, inv_a, wall, dtype,
-               h_floor=WALL_H_FLOOR, box_n=None):
+               h_floor=WALL_H_FLOOR, box_n=None, ahat_rows=None,
+               ahat_cols=None):
     """Mobility contribution of all column blobs onto a tile of row blobs.
 
     ri: (T, 3) row positions;  rj: (N, 3) all positions;
     F: (N, 3) forces, or (k, N, 3) for a multi-RHS sweep (the pair
     coefficient fields — the expensive part — are shared across RHS).
     row_ids/col_ids: global indices for self-pair masking.
+    ahat_rows/ahat_cols: optional per-blob radii in units of ``a`` (both or
+    neither) — polydisperse RPY (see :func:`_free_coeffs_poly`); the wall
+    pair correction is then evaluated at the pair-geometric-mean radius
+    √(aᵢaⱼ) (exact for aᵢ=aⱼ; the unequal-radii single-wall image system
+    has no published closed form at Swan–Brady order, so the finite-size
+    image terms are an a_eff approximation — the leading point-image term
+    is radius-independent and remains exact).
     Returns (T, 3) / (k, T, 3) = Σ_j M_ij F_j (pair terms only).
     """
     multi = F.ndim == 3
+    poly = ahat_rows is not None
     Fk = F if multi else F[None]
     d = _wrap_xy((ri[:, None, :] - rj[None, :, :]) * inv_a, box_n)  # (T, N, 3)
     r2 = jnp.sum(d * d, axis=-1)
@@ -202,7 +278,11 @@ def _pair_tile(ri, zi_img_unused, rj, row_ids, col_ids, F, inv_a, wall, dtype,
     # but d(r^{-3/2})/dr² at the 1e-24 floor overflows float32 and poisons
     # reverse-mode AD with inf·0 = NaN — substitute a harmless distance first
     r2 = jnp.where(self_mask, 4.0, r2)
-    alpha, beta = _free_coeffs(r2, dtype)
+    if poly:
+        alpha, beta = _free_coeffs_poly(
+            r2, ahat_rows[:, None], ahat_cols[None, :], dtype)
+    else:
+        alpha, beta = _free_coeffs(r2, dtype)
     alpha = jnp.where(self_mask, 0.0, alpha)
     beta = jnp.where(self_mask, 0.0, beta)
     dF = jnp.einsum("tnx,knx->ktn", d, Fk)
@@ -210,13 +290,24 @@ def _pair_tile(ri, zi_img_unused, rj, row_ids, col_ids, F, inv_a, wall, dtype,
         "ktn,tn,tnx->ktx", dF, beta, d
     )
     if wall:
-        zj = rj[:, 2] * inv_a
-        zi = ri[:, 2] * inv_a
-        if h_floor > 0:
-            zj = jnp.maximum(zj, h_floor)
-            zi = jnp.maximum(zi, h_floor)
-        d_img = d.at[:, :, 2].set(zi[:, None] + zj[None, :])
-        f1, f2, f3, f4, f5, invR = _wall_coeffs(d_img, zj[None, :])
+        if poly:
+            inv_ae = 1.0 / jnp.sqrt(ahat_rows[:, None] * ahat_cols[None, :])
+            zj = rj[None, :, 2] * inv_a * inv_ae
+            zi = ri[:, None, 2] * inv_a * inv_ae
+            if h_floor > 0:
+                zj = jnp.maximum(zj, h_floor)
+                zi = jnp.maximum(zi, h_floor)
+            d_img = (d * inv_ae[:, :, None]).at[:, :, 2].set(zi + zj)
+            f1, f2, f3, f4, f5, invR = _wall_coeffs(d_img, zj)
+            f1, f2, f3, f4, f5 = (f * inv_ae for f in (f1, f2, f3, f4, f5))
+        else:
+            zj = rj[:, 2] * inv_a
+            zi = ri[:, 2] * inv_a
+            if h_floor > 0:
+                zj = jnp.maximum(zj, h_floor)
+                zi = jnp.maximum(zi, h_floor)
+            d_img = d.at[:, :, 2].set(zi[:, None] + zj[None, :])
+            f1, f2, f3, f4, f5, invR = _wall_coeffs(d_img, zj[None, :])
         e = d_img * invR[:, :, None]
         keep = jnp.logical_not(self_mask)
         f1 = jnp.where(keep, f1, 0.0).astype(dtype)
@@ -245,6 +336,8 @@ def pair_sum(
     row_tile=512,
     h_floor=WALL_H_FLOOR,
     box=None,
+    radii_rows=None,
+    radii_cols=None,
 ):
     """Σ_j M_ij·F_j over all column blobs, for a set of row blobs.
 
@@ -264,13 +357,22 @@ def pair_sum(
     r_pad = jnp.pad(r_rows, ((0, n_pad - n_rows), (0, 0)))
     # padded rows get id -1 → never match a column id → no self masking issues
     ids_pad = jnp.pad(row_ids.astype(jnp.int32), (0, n_pad - n_rows), constant_values=-1)
+    poly = radii_rows is not None
+    if poly:
+        # radii in units of a; pad with 1.0 (padded rows are dropped anyway,
+        # but 0 would divide by zero inside the coefficient fields)
+        ar_pad = jnp.pad(jnp.asarray(radii_rows, dtype) * inv_a,
+                         (0, n_pad - n_rows), constant_values=1.0)
+        ac = jnp.asarray(radii_cols, dtype) * inv_a
 
     def tile_fn(start):
         ri = lax.dynamic_slice(r_pad, (start, jnp.int32(0)), (tile, 3))
         rid = lax.dynamic_slice(ids_pad, (start,), (tile,))
+        ar = lax.dynamic_slice(ar_pad, (start,), (tile,)) if poly else None
         return _pair_tile(ri, None, r_cols, rid, col_ids.astype(jnp.int32),
                           F_cols, inv_a, wall, dtype, h_floor=h_floor,
-                          box_n=box_n)
+                          box_n=box_n, ahat_rows=ar,
+                          ahat_cols=ac if poly else None)
 
     multi = F_cols.ndim == 3
     if n_tiles == 1:
@@ -295,6 +397,7 @@ def mobility_apply(
     row_tile=512,
     h_floor=WALL_H_FLOOR,
     box=None,
+    radii=None,
 ):
     """Matrix-free U = M(r)·F (optionally B·M·B·F), shapes (N, 3)→(N, 3).
 
@@ -313,17 +416,20 @@ def mobility_apply(
 
     Fd = F
     if use_damp:
-        b = damping_factors(r, a)
+        b = damping_factors(r, a, radii=radii)
         Fd = F * b[:, None]
 
     ids = jnp.arange(n, dtype=jnp.int32)
     U = pair_sum(r, ids, r, ids, Fd, a=a, wall=wall, row_tile=row_tile,
-                 h_floor=h_floor, box=box)
+                 h_floor=h_floor, box=box, radii_rows=radii, radii_cols=radii)
 
     # self term (4/3 + wall self) — diagonal, added outside the pair sweep
     self_diag = jnp.full((n, 3), _SELF_COEF, dtype=dtype)
+    if radii is not None:
+        self_diag = self_diag / (jnp.asarray(radii, dtype)[:, None] / a)
     if wall:
-        self_diag = self_diag + wall_self_diag(r[:, 2], a, dtype, h_floor=h_floor)
+        self_diag = self_diag + wall_self_diag(r[:, 2], a, dtype,
+                                               h_floor=h_floor, radii=radii)
     U = U + self_diag * Fd
 
     norm = jnp.asarray(1.0 / (8.0 * jnp.pi * eta * a), dtype)
@@ -343,6 +449,7 @@ def mobility_apply_multi(
     row_tile=512,
     h_floor=WALL_H_FLOOR,
     box=None,
+    radii=None,
 ):
     """Multi-RHS U_k = M(r)·F_k (damped iff wall), (k, N, 3)×(N, 3)→(k, N, 3).
 
@@ -361,16 +468,19 @@ def mobility_apply_multi(
 
     Fd = Fs
     if use_damp:
-        b = damping_factors(r, a)
+        b = damping_factors(r, a, radii=radii)
         Fd = Fs * b[None, :, None]
 
     ids = jnp.arange(n, dtype=jnp.int32)
     U = pair_sum(r, ids, r, ids, Fd, a=a, wall=wall, row_tile=row_tile,
-                 h_floor=h_floor, box=box)
+                 h_floor=h_floor, box=box, radii_rows=radii, radii_cols=radii)
 
     self_diag = jnp.full((n, 3), _SELF_COEF, dtype=dtype)
+    if radii is not None:
+        self_diag = self_diag / (jnp.asarray(radii, dtype)[:, None] / a)
     if wall:
-        self_diag = self_diag + wall_self_diag(r[:, 2], a, dtype, h_floor=h_floor)
+        self_diag = self_diag + wall_self_diag(r[:, 2], a, dtype,
+                                               h_floor=h_floor, radii=radii)
     U = U + self_diag[None] * Fd
     U = U * jnp.asarray(1.0 / (8.0 * jnp.pi * eta * a), dtype)
     if use_damp:
@@ -379,33 +489,53 @@ def mobility_apply_multi(
 
 
 def mobility_matrix(r, a=1.0, eta=1.0, wall=False, h_floor=WALL_H_FLOOR,
-                    box=None):
+                    box=None, radii=None):
     """Dense (3N, 3N) RPY mobility — small-N reference path and PC blocks.
 
     Parity: ``rotne_prager_tensor`` (``c_rigid_obj.cpp:413-459``), evaluated
     for every ordered pair (valid because the wall block satisfies
-    C_ji = C_ijᵀ — see module docstring).
+    C_ji = C_ijᵀ — see module docstring).  radii: optional (N,) per-blob
+    physical radii — polydisperse RPY (see :func:`_free_coeffs_poly` and the
+    wall a_eff note in :func:`_pair_tile`).
     """
     r = jnp.asarray(r).reshape(-1, 3)
     dtype = r.dtype
     n = r.shape[0]
     inv_a = jnp.asarray(1.0 / a, dtype)
+    poly = radii is not None
+    if poly:
+        ahat = jnp.asarray(radii, dtype) * inv_a
     box_n = None if box is None else (box[0] / a, box[1] / a)
     d = _wrap_xy((r[:, None, :] - r[None, :, :]) * inv_a, box_n)  # (N, N, 3)
     r2 = jnp.sum(d * d, axis=-1)
     eye_n = jnp.eye(n, dtype=bool)
     r2 = jnp.where(eye_n, 4.0, r2)  # gradient safety — see _pair_tile
-    alpha, beta = _free_coeffs(r2, dtype)
-    alpha = jnp.where(eye_n, _SELF_COEF, alpha)
+    if poly:
+        alpha, beta = _free_coeffs_poly(r2, ahat[:, None], ahat[None, :], dtype)
+        alpha = jnp.where(eye_n, _SELF_COEF / ahat[:, None], alpha)
+    else:
+        alpha, beta = _free_coeffs(r2, dtype)
+        alpha = jnp.where(eye_n, _SELF_COEF, alpha)
     beta = jnp.where(eye_n, 0.0, beta)
     eye3 = jnp.eye(3, dtype=dtype)
     M = alpha[:, :, None, None] * eye3 + beta[:, :, None, None] * d[:, :, :, None] * d[:, :, None, :]
     if wall:
-        zj = r[:, 2] * inv_a
-        if h_floor > 0:
-            zj = jnp.maximum(zj, h_floor)
-        d_img = d.at[:, :, 2].set(zj[:, None] + zj[None, :])
-        f1, f2, f3, f4, f5, invR = _wall_coeffs(d_img, zj[None, :])
+        if poly:
+            inv_ae = 1.0 / jnp.sqrt(ahat[:, None] * ahat[None, :])
+            zj = r[:, 2] * inv_a * inv_ae
+            zi = r[:, 2][:, None] * inv_a * inv_ae
+            if h_floor > 0:
+                zj = jnp.maximum(zj, h_floor)
+                zi = jnp.maximum(zi, h_floor)
+            d_img = (d * inv_ae[:, :, None]).at[:, :, 2].set(zi + zj)
+            f1, f2, f3, f4, f5, invR = _wall_coeffs(d_img, zj)
+            f1, f2, f3, f4, f5 = (f * inv_ae for f in (f1, f2, f3, f4, f5))
+        else:
+            zj = r[:, 2] * inv_a
+            if h_floor > 0:
+                zj = jnp.maximum(zj, h_floor)
+            d_img = d.at[:, :, 2].set(zj[:, None] + zj[None, :])
+            f1, f2, f3, f4, f5, invR = _wall_coeffs(d_img, zj[None, :])
         e = d_img * invR[:, :, None]
         zhat = jnp.zeros((3,), dtype).at[2].set(1.0)
         C = (f1[:, :, None, None] * eye3
@@ -414,7 +544,8 @@ def mobility_matrix(r, a=1.0, eta=1.0, wall=False, h_floor=WALL_H_FLOOR,
              + f4[:, :, None, None] * zhat[None, None, :, None] * e[:, :, None, :]
              + f5[:, :, None, None] * zhat[None, None, :, None] * zhat[None, None, None, :])
         # self: diagonal wall correction
-        self_c = wall_self_diag(r[:, 2], a, dtype, h_floor=h_floor)  # (N, 3)
+        self_c = wall_self_diag(r[:, 2], a, dtype, h_floor=h_floor,
+                                radii=radii)  # (N, 3)
         C_self = jnp.einsum("ni,ij->nij", self_c, eye3)
         C = jnp.where(eye_n[:, :, None, None], 0.0, C)
         C = C + eye_n[:, :, None, None] * C_self[:, None, :, :]
@@ -425,12 +556,12 @@ def mobility_matrix(r, a=1.0, eta=1.0, wall=False, h_floor=WALL_H_FLOOR,
 
 
 def apply_M_dense(F, r, a=1.0, eta=1.0, wall=False, h_floor=WALL_H_FLOOR,
-                  box=None):
+                  box=None, radii=None):
     """Dense-path U = B·M·B·F (damping iff wall), for small N / validation."""
     r = jnp.asarray(r).reshape(-1, 3)
     F = jnp.asarray(F, dtype=r.dtype).reshape(-1)
-    M = mobility_matrix(r, a, eta, wall, h_floor=h_floor, box=box)
+    M = mobility_matrix(r, a, eta, wall, h_floor=h_floor, box=box, radii=radii)
     if wall:
-        b = jnp.repeat(damping_factors(r, a), 3)
+        b = jnp.repeat(damping_factors(r, a, radii=radii), 3)
         return (b * (M @ (b * F))).reshape(-1, 3)
     return (M @ F).reshape(-1, 3)

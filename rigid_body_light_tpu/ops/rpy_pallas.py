@@ -80,9 +80,33 @@ def available() -> bool:
     return plat in ("tpu", "axon")
 
 
+def _poly_coeffs(r2, invr, invr2, r, aR, aC):
+    """Polydisperse RPY (α, β) fields — Zuk et al. 2014 branches, radii in
+    units of the reference a (see ``rpy._free_coeffs_poly``)."""
+    a2s = aR * aR + aC * aC
+    asum = aR + aC
+    adiff = aR - aC
+    far = r >= asum
+    deep = r < jnp.abs(adiff)
+    alpha_far = (1.0 + (a2s * (1.0 / 3.0)) * invr2) * invr
+    beta_far = (1.0 - a2s * invr2) * invr2 * invr
+    invr3 = invr * invr2
+    pref = (4.0 / 3.0) / jnp.maximum(aR * aC, _R2_FLOOR)
+    g_i = (16.0 * r2 * r * asum - (adiff * adiff + 3.0 * r2) ** 2) * (
+        invr3 * (1.0 / 32.0))
+    g_e = 3.0 * (adiff * adiff - r2) ** 2 * (invr3 * (1.0 / 32.0))
+    alpha_deep = _SELF_COEF / jnp.maximum(jnp.maximum(aR, aC), _R2_FLOOR)
+    alpha = jnp.where(far, alpha_far,
+                      jnp.where(deep, alpha_deep, pref * g_i))
+    beta = jnp.where(far, beta_far,
+                     jnp.where(deep, 0.0, pref * g_e * invr2))
+    return alpha, beta
+
+
 def _kernel(off_ref, rows_ref, cols_ref, out_ref, *, n_cols_valid: int,
             n_cols_pad: int, wall: bool, nrhs: int, h_floor: float,
-            box_x: float = 0.0, box_y: float = 0.0):
+            box_x: float = 0.0, box_y: float = 0.0, poly: bool = False,
+            ar_row: int = 0):
     i = pl.program_id(0)
     row_start = i * TR
     row_offset = off_ref[0]
@@ -94,6 +118,8 @@ def _kernel(off_ref, rows_ref, cols_ref, out_ref, *, n_cols_valid: int,
     row_ids = row_offset + row_start + jax.lax.broadcasted_iota(
         jnp.int32, (TR, 1), 0
     )
+    aR = (rows_ref[ar_row, pl.ds(row_start, TR)].reshape(TR, 1)
+          if poly else None)
 
     n_col_tiles = n_cols_pad // TC
 
@@ -121,17 +147,21 @@ def _kernel(off_ref, rows_ref, cols_ref, out_ref, *, n_cols_valid: int,
         invr = jax.lax.rsqrt(r2)
         invr2 = invr * invr
         r = r2 * invr  # = sqrt(r2), one less transcendental
-        far = r >= 2.0
-        alpha = jnp.where(
-            far,
-            (1.0 + (2.0 / 3.0) * invr2) * invr,
-            _SELF_COEF * (1.0 - 0.28125 * r),
-        )
-        beta = jnp.where(
-            far,
-            (1.0 - 2.0 * invr2) * invr2 * invr,
-            (_SELF_COEF * 0.09375) * invr,
-        )
+        if poly:
+            aC = cols_ref[ar_row, pl.ds(c0, TC)].reshape(1, TC)
+            alpha, beta = _poly_coeffs(r2, invr, invr2, r, aR, aC)
+        else:
+            far = r >= 2.0
+            alpha = jnp.where(
+                far,
+                (1.0 + (2.0 / 3.0) * invr2) * invr,
+                _SELF_COEF * (1.0 - 0.28125 * r),
+            )
+            beta = jnp.where(
+                far,
+                (1.0 - 2.0 * invr2) * invr2 * invr,
+                (_SELF_COEF * 0.09375) * invr,
+            )
         alpha = jnp.where(live, alpha, 0.0)
         beta = jnp.where(live, beta, 0.0)
 
@@ -141,17 +171,28 @@ def _kernel(off_ref, rows_ref, cols_ref, out_ref, *, n_cols_valid: int,
             # terms diverge as h^-5 and make the damped mobility indefinite
             # for deep wall overlap (see rpy.WALL_H_FLOOR).  All five
             # coefficient fields are RHS-independent — computed once,
-            # applied to every RHS below.
-            if h_floor > 0:
-                zRw = jnp.maximum(zR, h_floor)
-                zCw = jnp.maximum(zC, h_floor)
+            # applied to every RHS below.  Polydisperse: the whole image
+            # system is evaluated in units of the pair-effective radius
+            # √(aᵢaⱼ) and scaled back (see rpy._pair_tile) — the unit image
+            # direction (ex, ey, ez) is scale-invariant.
+            if poly:
+                inv_ae = jax.lax.rsqrt(jnp.maximum(aR * aC, _R2_FLOOR))
+                dxw = dx * inv_ae
+                dyw = dy * inv_ae
+                zRs = zR * inv_ae
+                zCs = zC * inv_ae
             else:
-                zRw, zCw = zR, zC
+                dxw, dyw, zRs, zCs = dx, dy, zR, zC
+            if h_floor > 0:
+                zRw = jnp.maximum(zRs, h_floor)
+                zCw = jnp.maximum(zCs, h_floor)
+            else:
+                zRw, zCw = zRs, zCs
             dzi = zRw + zCw
-            R2 = jnp.maximum(dx * dx + dy * dy + dzi * dzi, _R2_FLOOR)
+            R2 = jnp.maximum(dxw * dxw + dyw * dyw + dzi * dzi, _R2_FLOOR)
             invR = jax.lax.rsqrt(R2)
-            ex = dx * invR
-            ey = dy * invR
+            ex = dxw * invR
+            ey = dyw * invR
             ez = dzi * invR
             ez2 = ez * ez
             invR3 = invR * invR * invR
@@ -171,6 +212,8 @@ def _kernel(off_ref, rows_ref, cols_ref, out_ref, *, n_cols_valid: int,
             f5 = -(3.0 * h_hat * h_hat * ez2 * invR
                    + 3.0 * ez2 * invR3
                    + (2.0 - 15.0 * ez2) * invR5) * (4.0 / 3.0)
+            if poly:
+                f1, f2, f3, f4, f5 = (f * inv_ae for f in (f1, f2, f3, f4, f5))
             f1 = jnp.where(live, f1, 0.0)
             f2 = jnp.where(live, f2, 0.0)
             f3 = jnp.where(live, f3, 0.0)
@@ -215,7 +258,8 @@ def _kernel(off_ref, rows_ref, cols_ref, out_ref, *, n_cols_valid: int,
 
 
 def _kernel_sym(P_ref, out_ref, *, n_pad: int, wall: bool, nrhs: int,
-                h_floor: float, box_x: float = 0.0, box_y: float = 0.0):
+                h_floor: float, box_x: float = 0.0, box_y: float = 0.0,
+                poly: bool = False, ar_row: int = 0):
     """Symmetric (unordered-pair) square sweep: each strict-upper tile's
     coefficient fields are computed ONCE and applied twice — forward
     (M_ij·F_j into rows i) and transposed (M_ijᵀ·F_i into columns j).
@@ -243,6 +287,8 @@ def _kernel_sym(P_ref, out_ref, *, n_pad: int, wall: bool, nrhs: int,
     yR = P_ref[1, pl.ds(row_start, TR)].reshape(TR, 1)
     zR = P_ref[2, pl.ds(row_start, TR)].reshape(TR, 1)
     row_ids = row_start + jax.lax.broadcasted_iota(jnp.int32, (TR, 1), 0)
+    aR = (P_ref[ar_row, pl.ds(row_start, TR)].reshape(TR, 1)
+          if poly else None)
     FR = [
         P_ref[3 + 3 * k + c, pl.ds(row_start, TR)].reshape(TR, 1)
         for k in range(nrhs) for c in range(3)
@@ -275,31 +321,47 @@ def _kernel_sym(P_ref, out_ref, *, n_pad: int, wall: bool, nrhs: int,
         invr = jax.lax.rsqrt(r2)
         invr2 = invr * invr
         r = r2 * invr
-        far = r >= 2.0
-        alpha = jnp.where(
-            far,
-            (1.0 + (2.0 / 3.0) * invr2) * invr,
-            _SELF_COEF * (1.0 - 0.28125 * r),
-        )
-        beta = jnp.where(
-            far,
-            (1.0 - 2.0 * invr2) * invr2 * invr,
-            (_SELF_COEF * 0.09375) * invr,
-        )
+        if poly:
+            aC = P_ref[ar_row, pl.ds(c0, TC)].reshape(1, TC)
+            alpha, beta = _poly_coeffs(r2, invr, invr2, r, aR, aC)
+        else:
+            far = r >= 2.0
+            alpha = jnp.where(
+                far,
+                (1.0 + (2.0 / 3.0) * invr2) * invr,
+                _SELF_COEF * (1.0 - 0.28125 * r),
+            )
+            beta = jnp.where(
+                far,
+                (1.0 - 2.0 * invr2) * invr2 * invr,
+                (_SELF_COEF * 0.09375) * invr,
+            )
         alpha = jnp.where(upper, alpha, 0.0)
         beta = jnp.where(upper, beta, 0.0)
 
         if wall:
-            if h_floor > 0:
-                zRw = jnp.maximum(zR, h_floor)
-                zCw = jnp.maximum(zC, h_floor)
+            # polydisperse: image system in pair-effective-radius units —
+            # see the ordered kernel note; C_ji = C_ijT still holds (the
+            # a_eff scaling is i<->j symmetric), so the transposed apply
+            # below stays exact.
+            if poly:
+                inv_ae = jax.lax.rsqrt(jnp.maximum(aR * aC, _R2_FLOOR))
+                dxw = dx * inv_ae
+                dyw = dy * inv_ae
+                zRs = zR * inv_ae
+                zCs = zC * inv_ae
             else:
-                zRw, zCw = zR, zC
+                dxw, dyw, zRs, zCs = dx, dy, zR, zC
+            if h_floor > 0:
+                zRw = jnp.maximum(zRs, h_floor)
+                zCw = jnp.maximum(zCs, h_floor)
+            else:
+                zRw, zCw = zRs, zCs
             dzi = zRw + zCw
-            R2 = jnp.maximum(dx * dx + dy * dy + dzi * dzi, _R2_FLOOR)
+            R2 = jnp.maximum(dxw * dxw + dyw * dyw + dzi * dzi, _R2_FLOOR)
             invR = jax.lax.rsqrt(R2)
-            ex = dx * invR
-            ey = dy * invR
+            ex = dxw * invR
+            ey = dyw * invR
             ez = dzi * invR
             ez2 = ez * ez
             invR3 = invR * invR * invR
@@ -319,6 +381,8 @@ def _kernel_sym(P_ref, out_ref, *, n_pad: int, wall: bool, nrhs: int,
             f5 = -(3.0 * h_hat * h_hat * ez2 * invR
                    + 3.0 * ez2 * invR3
                    + (2.0 - 15.0 * ez2) * invR5) * (4.0 / 3.0)
+            if poly:
+                f1, f2, f3, f4, f5 = (f * inv_ae for f in (f1, f2, f3, f4, f5))
             f1 = jnp.where(upper, f1, 0.0)
             f2 = jnp.where(upper, f2, 0.0)
             f3 = jnp.where(upper, f3, 0.0)
@@ -381,16 +445,17 @@ def _kernel_sym(P_ref, out_ref, *, n_pad: int, wall: bool, nrhs: int,
 
 @functools.partial(
     jax.jit, static_argnames=("n_pad", "wall", "nrhs", "h_floor", "interpret",
-                              "box_x", "box_y")
+                              "box_x", "box_y", "poly", "ar_row")
 )
 def _pair_sweep_sym(P, n_pad: int, wall: bool, nrhs: int = 1,
                     h_floor: float = 0.0, interpret: bool = False,
-                    box_x: float = 0.0, box_y: float = 0.0):
+                    box_x: float = 0.0, box_y: float = 0.0,
+                    poly: bool = False, ar_row: int = 0):
     n_row_tiles = n_pad // TR
     flops_per_pair = ((60 if wall else 25) + 2 * nrhs * (30 if wall else 15))
     kernel = functools.partial(
         _kernel_sym, n_pad=n_pad, wall=wall, nrhs=nrhs, h_floor=h_floor,
-        box_x=box_x, box_y=box_y,
+        box_x=box_x, box_y=box_y, poly=poly, ar_row=ar_row,
     )
     return pl.pallas_call(
         kernel,
@@ -411,20 +476,22 @@ def _pair_sweep_sym(P, n_pad: int, wall: bool, nrhs: int = 1,
     jax.jit,
     static_argnames=(
         "n_cols_valid", "n_cols_pad", "n_rows_pad", "wall", "nrhs",
-        "h_floor", "interpret", "box_x", "box_y",
+        "h_floor", "interpret", "box_x", "box_y", "poly", "ar_row",
     ),
 )
 def _pair_sweep_packed(
     P_rows, P_cols, row_offset,
     n_cols_valid: int, n_cols_pad: int, n_rows_pad: int,
     wall: bool, nrhs: int = 1, h_floor: float = 0.0, interpret: bool = False,
-    box_x: float = 0.0, box_y: float = 0.0,
+    box_x: float = 0.0, box_y: float = 0.0, poly: bool = False,
+    ar_row: int = 0,
 ):
     n_row_tiles = n_rows_pad // TR
     flops_per_pair = (60 if wall else 25) + nrhs * (30 if wall else 15)
     kernel = functools.partial(
         _kernel, n_cols_valid=n_cols_valid, n_cols_pad=n_cols_pad, wall=wall,
-        nrhs=nrhs, h_floor=h_floor, box_x=box_x, box_y=box_y,
+        nrhs=nrhs, h_floor=h_floor, box_x=box_x, box_y=box_y, poly=poly,
+        ar_row=ar_row,
     )
     return pl.pallas_call(
         kernel,
@@ -445,11 +512,18 @@ def _pair_sweep_packed(
     )(row_offset, P_rows, P_cols)
 
 
-def _pack(r_over_a, Fs, n_pad):
-    """Pack positions + k force sets into (8·ceil((3+3k)/8), n_pad)."""
+def _pack(r_over_a, Fs, n_pad, ahat=None):
+    """Pack positions + k force sets [+ radii] into (8·ceil(rows/8), n_pad).
+
+    Layout: rows 0-2 positions/a, rows 3..3+3k-1 the k force sets, and —
+    polydisperse only — row 3+3k the per-blob radii in units of a (padded
+    entries 1.0 so the coefficient fields stay finite; padded columns carry
+    zero force and contribute nothing regardless).
+    """
     n = r_over_a.shape[0]
     k = Fs.shape[0]
-    rows = 8 * (-(-(3 + 3 * k) // 8))
+    used = 3 + 3 * k + (1 if ahat is not None else 0)
+    rows = 8 * (-(-used // 8))
     P = jnp.zeros((rows, n_pad), jnp.float32)
     P = P.at[0:3, :n].set(r_over_a.astype(jnp.float32).T)
     # padded column heights default to 1.0 (not 0) so the wall branch cannot
@@ -457,16 +531,20 @@ def _pack(r_over_a, Fs, n_pad):
     P = P.at[2, n:].set(1.0)
     for i in range(k):
         P = P.at[3 + 3 * i : 6 + 3 * i, :n].set(Fs[i].astype(jnp.float32).T)
+    if ahat is not None:
+        P = P.at[3 + 3 * k, :n].set(jnp.asarray(ahat, jnp.float32))
+        P = P.at[3 + 3 * k, n:].set(1.0)
     return P
 
 
 def pair_sum(r_over_a, F, wall: bool, h_floor: float = None,
-             interpret: bool = False, box_over_a=None):
+             interpret: bool = False, box_over_a=None, ahat=None):
     """Σ_{j≠i} M_ij F_j (unscaled, undamped pair terms).
 
     F: (N, 3) single RHS, or (k, N, 3) multi-RHS (k ≤ 2 on the compiled
     path) — pair coefficient fields are shared across RHS.
     r_over_a: positions already normalized by the blob radius.
+    ahat: optional (N,) per-blob radii in units of a — polydisperse RPY.
     """
     if h_floor is None:
         h_floor = rpy_xla.WALL_H_FLOOR
@@ -475,19 +553,21 @@ def pair_sum(r_over_a, F, wall: bool, h_floor: float = None,
     k = Fk.shape[0]
     n = r_over_a.shape[0]
     n_pad = -(-n // TC) * TC
-    P = _pack(r_over_a, Fk, n_pad)
+    P = _pack(r_over_a, Fk, n_pad, ahat=ahat)
+    poly = ahat is not None
+    ar_row = 3 + 3 * k if poly else 0
     bx, by = (0.0, 0.0) if box_over_a is None else (
         float(box_over_a[0]), float(box_over_a[1]))
     if box_over_a is not None and (bx <= 0 or by <= 0):
         raise ValueError(f"periodic box lengths must be positive, got {box_over_a}")
     if USE_SYM and (k == 1 or n_pad >= _SYM_K2_MIN_NPAD):
         out = _pair_sweep_sym(P, n_pad, wall, k, h_floor, interpret,
-                              box_x=bx, box_y=by)
+                              box_x=bx, box_y=by, poly=poly, ar_row=ar_row)
     else:
         off = jnp.zeros((2,), jnp.int32)
         out = _pair_sweep_packed(
             P, P, off, n, n_pad, n_pad, wall, k, h_floor, interpret,
-            box_x=bx, box_y=by,
+            box_x=bx, box_y=by, poly=poly, ar_row=ar_row,
         )
     U = jnp.stack([out[3 * i : 3 * i + 3, :n].T for i in range(k)])
     return U if multi else U[0]
@@ -496,7 +576,7 @@ def pair_sum(r_over_a, F, wall: bool, h_floor: float = None,
 def pair_sum_slab(r_rows_over_a, row_offset, r_cols_over_a, F_cols, wall: bool,
                   n_cols_valid: int = None, col_offset=0,
                   h_floor: float = None, interpret: bool = False,
-                  box_over_a=None):
+                  box_over_a=None, ahat_rows=None, ahat_cols=None):
     """Rectangular slab sweep for the sharded paths: local rows × columns.
 
     row_offset / col_offset: global index of the first row / column blob —
@@ -511,8 +591,9 @@ def pair_sum_slab(r_rows_over_a, row_offset, r_cols_over_a, F_cols, wall: bool,
         n_cols_valid = n_cols
     n_rows_pad = -(-n_rows // TR) * TR
     n_cols_pad = -(-n_cols // TC) * TC
-    P_rows = _pack(r_rows_over_a, jnp.zeros_like(r_rows_over_a)[None], n_rows_pad)
-    P_cols = _pack(r_cols_over_a, F_cols[None], n_cols_pad)
+    P_rows = _pack(r_rows_over_a, jnp.zeros_like(r_rows_over_a)[None],
+                   n_rows_pad, ahat=ahat_rows)
+    P_cols = _pack(r_cols_over_a, F_cols[None], n_cols_pad, ahat=ahat_cols)
     off = jnp.stack([
         jnp.asarray(row_offset, jnp.int32).reshape(()),
         jnp.asarray(col_offset, jnp.int32).reshape(()),
@@ -526,12 +607,13 @@ def pair_sum_slab(r_rows_over_a, row_offset, r_cols_over_a, F_cols, wall: bool,
     out = _pair_sweep_packed(
         P_rows, P_cols, off, n_cols_valid, n_cols_pad, n_rows_pad, wall, 1,
         h_floor, interpret, box_x=bx, box_y=by,
+        poly=ahat_rows is not None, ar_row=6,
     )
     return out[0:3, :n_rows].T
 
 
 def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, damp=None,
-                   h_floor=None, interpret=False, box=None):
+                   h_floor=None, interpret=False, box=None, radii=None):
     """Drop-in for :func:`rigid_body_light_tpu.ops.rpy.mobility_apply` on TPU
     (float32): U = M·F, or B·M·B·F when ``wall``.
 
@@ -542,70 +624,84 @@ def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, damp=None,
     back to the XLA path's autodiff (∂M/∂r has no hand-written kernel).
     Force-only gradient flows — the common case in control/inverse problems
     over applied wrenches/slip — never leave the Pallas path.
+
+    radii: optional (N,) per-blob physical radii (polydisperse RPY — see
+    ``rpy._free_coeffs_poly``); treated as a non-differentiated constant
+    (zero cotangent).
     """
     if h_floor is None:
         h_floor = rpy_xla.WALL_H_FLOOR
     box = None if box is None else tuple(box)
     r = jnp.asarray(r, jnp.float32).reshape(-1, 3)
     F = jnp.asarray(F, jnp.float32).reshape(-1, 3)
+    if radii is None:
+        radii = jnp.zeros((0,), jnp.float32)  # sentinel: monodisperse
+    else:
+        radii = jnp.asarray(radii, jnp.float32).reshape(-1)
     params = (float(a), float(eta), bool(wall), damp, float(h_floor),
               bool(interpret), box)
-    return _mobility_apply_diff(F, r, params)
+    return _mobility_apply_diff(F, r, radii, params)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _mobility_apply_diff(F, r, params):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _mobility_apply_diff(F, r, radii, params):
     a, eta, wall, damp, h_floor, interpret, box = params
     return _mobility_apply_impl(F, r, a=a, eta=eta, wall=wall, damp=damp,
-                                h_floor=h_floor, interpret=interpret, box=box)
+                                h_floor=h_floor, interpret=interpret, box=box,
+                                radii=None if radii.shape[0] == 0 else radii)
 
 
-def _mobility_diff_fwd(F, r, params):
-    return _mobility_apply_diff(F, r, params), (F, r)
+def _mobility_diff_fwd(F, r, radii, params):
+    return _mobility_apply_diff(F, r, radii, params), (F, r, radii)
 
 
 def _mobility_diff_bwd(params, res, U_bar):
     a, eta, wall, damp, h_floor, interpret, box = params
-    F, r = res
+    F, r, radii = res
+    rad = None if radii.shape[0] == 0 else radii
     U_bar = jnp.asarray(U_bar, jnp.float32)
     # (B·M·B)ᵀ = B·M·B — the force cotangent is one more kernel sweep
     F_bar = _mobility_apply_impl(U_bar, r, a=a, eta=eta, wall=wall, damp=damp,
-                                 h_floor=h_floor, interpret=interpret, box=box)
+                                 h_floor=h_floor, interpret=interpret,
+                                 box=box, radii=rad)
     _, pull = jax.vjp(
         lambda rr: rpy_xla.mobility_apply(
             F, rr, a=a, eta=eta, wall=wall, damp=damp, h_floor=h_floor,
-            box=box),
+            box=box, radii=rad),
         r,
     )
     (r_bar,) = pull(U_bar)
-    return F_bar, r_bar
+    return F_bar, r_bar, jnp.zeros_like(radii)
 
 
 _mobility_apply_diff.defvjp(_mobility_diff_fwd, _mobility_diff_bwd)
 
 
 def _mobility_apply_impl(F, r, a=1.0, eta=1.0, wall=False, damp=None,
-                         h_floor=None, interpret=False, box=None):
+                         h_floor=None, interpret=False, box=None, radii=None):
     r = jnp.asarray(r, jnp.float32).reshape(-1, 3)
     F = jnp.asarray(F, jnp.float32).reshape(-1, 3)
     use_damp = wall if damp is None else damp
     inv_a = jnp.float32(1.0 / a)
+    ahat = None if radii is None else jnp.asarray(radii, jnp.float32) * inv_a
 
     Fd = F
     if use_damp:
-        b = rpy_xla.damping_factors(r, a)
+        b = rpy_xla.damping_factors(r, a, radii=radii)
         Fd = F * b[:, None]
 
     if h_floor is None:
         h_floor = rpy_xla.WALL_H_FLOOR
     boa = None if box is None else (box[0] / a, box[1] / a)
     U = pair_sum(r * inv_a, Fd, wall, h_floor=h_floor, interpret=interpret,
-                 box_over_a=boa)
+                 box_over_a=boa, ahat=ahat)
 
     self_diag = jnp.full(r.shape, _SELF_COEF, jnp.float32)
+    if radii is not None:
+        self_diag = self_diag / ahat[:, None]
     if wall:
         self_diag = self_diag + rpy_xla.wall_self_diag(
-            r[:, 2], a, jnp.float32, h_floor=h_floor
+            r[:, 2], a, jnp.float32, h_floor=h_floor, radii=radii
         )
     U = U + self_diag * Fd
     U = U * jnp.float32(1.0 / (8.0 * jnp.pi * eta * a))
@@ -615,7 +711,7 @@ def _mobility_apply_impl(F, r, a=1.0, eta=1.0, wall=False, damp=None,
 
 
 def mobility_apply_multi(Fs, r, a=1.0, eta=1.0, wall=False, damp=None,
-                         h_floor=None, interpret=False, box=None):
+                         h_floor=None, interpret=False, box=None, radii=None):
     """Multi-RHS variant: (k, N, 3) forces → (k, N, 3) velocities, sharing
     the pair coefficient fields across RHS (k ≤ 2 on the compiled path)."""
     r = jnp.asarray(r, jnp.float32).reshape(-1, 3)
@@ -624,22 +720,25 @@ def mobility_apply_multi(Fs, r, a=1.0, eta=1.0, wall=False, damp=None,
     Fs = Fs.reshape(k, -1, 3)
     use_damp = wall if damp is None else damp
     inv_a = jnp.float32(1.0 / a)
+    ahat = None if radii is None else jnp.asarray(radii, jnp.float32) * inv_a
 
     Fd = Fs
     if use_damp:
-        b = rpy_xla.damping_factors(r, a)
+        b = rpy_xla.damping_factors(r, a, radii=radii)
         Fd = Fs * b[None, :, None]
 
     if h_floor is None:
         h_floor = rpy_xla.WALL_H_FLOOR
     boa = None if box is None else (box[0] / a, box[1] / a)
     U = pair_sum(r * inv_a, Fd, wall, h_floor=h_floor, interpret=interpret,
-                 box_over_a=boa)
+                 box_over_a=boa, ahat=ahat)
 
     self_diag = jnp.full(r.shape, _SELF_COEF, jnp.float32)
+    if radii is not None:
+        self_diag = self_diag / ahat[:, None]
     if wall:
         self_diag = self_diag + rpy_xla.wall_self_diag(
-            r[:, 2], a, jnp.float32, h_floor=h_floor
+            r[:, 2], a, jnp.float32, h_floor=h_floor, radii=radii
         )
     U = U + self_diag[None] * Fd
     U = U * jnp.float32(1.0 / (8.0 * jnp.pi * eta * a))

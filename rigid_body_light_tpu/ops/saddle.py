@@ -90,12 +90,13 @@ def body_K_blocks(offsets) -> jax.Array:
     return jnp.concatenate([eye, neg_skew], axis=-1)
 
 
-def mobility_apply_fn(cfg: SimulationConfig):
+def mobility_apply_fn(cfg: SimulationConfig, radii=None):
     """The blob-space mobility product used by saddle/PC/noise paths.
 
     Dispatches to the Pallas TPU kernel when enabled and available, else the
     XLA streamed matvec.  Signature: (F (N,3), r (N,3)) → (N,3), with the
-    damping sandwich applied iff ``cfg.wall``.
+    damping sandwich applied iff ``cfg.wall``.  radii: optional (N,)
+    per-blob physical radii closed over the returned fn (polydisperse RPY).
     """
     if cfg.use_pallas and cfg.dtype == jnp.float32:
         try:
@@ -105,7 +106,7 @@ def mobility_apply_fn(cfg: SimulationConfig):
                 def apply_pallas(F, r):
                     return rpy_pallas.mobility_apply(
                         F, r, a=cfg.a, eta=cfg.eta, wall=cfg.wall,
-                        h_floor=cfg.wall_h_floor, box=cfg.box,
+                        h_floor=cfg.wall_h_floor, box=cfg.box, radii=radii,
                     )
 
                 return apply_pallas
@@ -116,13 +117,13 @@ def mobility_apply_fn(cfg: SimulationConfig):
         return rpy.mobility_apply(
             F, r, a=cfg.a, eta=cfg.eta, wall=cfg.wall,
             row_tile=cfg.matvec_row_tile, h_floor=cfg.wall_h_floor,
-            box=cfg.box,
+            box=cfg.box, radii=radii,
         )
 
     return apply_xla
 
 
-def mobility_apply_multi_fn(cfg: SimulationConfig):
+def mobility_apply_multi_fn(cfg: SimulationConfig, radii=None):
     """Multi-RHS mobility product (Fs (k,N,3), r (N,3)) → (k,N,3).
 
     Shares pair coefficient fields across RHS — used to fuse the stochastic
@@ -136,7 +137,7 @@ def mobility_apply_multi_fn(cfg: SimulationConfig):
                 def apply_pallas(Fs, r):
                     return rpy_pallas.mobility_apply_multi(
                         Fs, r, a=cfg.a, eta=cfg.eta, wall=cfg.wall,
-                        h_floor=cfg.wall_h_floor, box=cfg.box,
+                        h_floor=cfg.wall_h_floor, box=cfg.box, radii=radii,
                     )
 
                 return apply_pallas
@@ -147,7 +148,7 @@ def mobility_apply_multi_fn(cfg: SimulationConfig):
         return rpy.mobility_apply_multi(
             Fs, r, a=cfg.a, eta=cfg.eta, wall=cfg.wall,
             row_tile=cfg.matvec_row_tile, h_floor=cfg.wall_h_floor,
-            box=cfg.box,
+            box=cfg.box, radii=radii,
         )
 
     return apply_xla

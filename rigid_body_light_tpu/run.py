@@ -14,8 +14,11 @@ Config schema (JSON):
       // "species": [
       //   {"structure": "shell_N_642", "n_bodies": 12,
       //    "placement": {...}, "forces": [...]},        // per-species opts
-      //   {"structure": "shell_N_162", "n_bodies": 16, "scale": 0.5}
+      //   {"structure": "shell_N_162", "n_bodies": 16, "scale": 0.5,
+      //    "blob_radius": 0.2}
       // ]   // "scale" scales the blob geometry (smaller bodies, same a);
+      //     // "blob_radius" gives the species its own blob radius —
+      //     // polydisperse RPY in the coupled sweep (default: global a);
       //     // species-level "placement"/"forces" override the global ones
   "placement": {"type": "grid", "spacing": 2.5, "z0": 2.0}   // or "random"
       // or {"type": "file", "path": "init.npz"}  (arrays X (B,3), Q (B,4))
@@ -198,7 +201,9 @@ def main_multi(conf, args):
         all_params.append(params)
     a = conf.get("a") or all_params[0]["sep"] / 2
     cfg = _build_cfg(conf, a, dtype)
-    mgeom = multi.MultiGeometry.create(ref_cfgs, dtype=dtype)
+    mgeom = multi.MultiGeometry.create(
+        ref_cfgs, dtype=dtype,
+        radii=[sp.get("blob_radius") for sp in species])
 
     out_dir = conf.get("output_dir", "out")
     os.makedirs(out_dir, exist_ok=True)
