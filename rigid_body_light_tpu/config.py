@@ -54,7 +54,9 @@ class SimulationConfig:
     dt: float = 1.0
     kBT: float = 0.0
     wall: bool = False
-    box: Any = None  # None (open domain) or (Lx, Ly): pseudo-periodic boundaries in the plane via minimum-image wrapping of pair displacements (z stays open).  The standard production-multiblob approximation for wall-bounded suspensions, where the wall-corrected pair mobility decays ~1/r³ and the truncation error is small for box ≫ body size; in free space the bare 1/r decay makes it much cruder.  The minimum-image mobility is not guaranteed SPD at high density — the Lanczos sampler clamps negative modes, but validate equilibrium statistics for your workload.  Requires box[i] > 2×(body diameter) or intra-body distances would wrap.  Trajectories keep unwrapped coordinates; only pair interactions see the wrap.
+    box: Any = None  # None (open domain); (Lx, Ly): pseudo-periodic in the plane via minimum-image wrapping (z open — the wall geometry; not guaranteed SPD at high density); or (Lx, Ly, Lz): TRUE triply-periodic RPY via positively-split Ewald (ops/ewald.py) — exact periodic operator, SPD for every splitting, validated against Hasimoto's lattice constants.  3-D boxes require wall=False and are incompatible with per-blob radii for now.  Trajectories keep unwrapped coordinates; only pair interactions see the wrap.
+    ewald_xi: float = 0.0  # Ewald splitting parameter for 3-D boxes; 0 = auto (real-space error ~ewald_tol at min(L)/2, so the real sweep needs no image loop)
+    ewald_tol: float = 1.0e-6  # truncation tolerance of both Ewald parts (sets xi and kmax)
     block_diag_pc: bool = False
     pc_mode: str = ""  # "", "diag", "block", "block_free" — "" derives from block_diag_pc
     pc_refresh: int = 1  # rebuild the preconditioner every k steps in run_bd (k>1 = lagged PC)
@@ -82,9 +84,16 @@ class SimulationConfig:
     def __post_init__(self):
         if self.box is not None:
             box = tuple(float(b) for b in self.box)
-            if len(box) != 2 or box[0] <= 0 or box[1] <= 0:
+            if len(box) not in (2, 3) or any(b <= 0 for b in box):
                 raise ValueError(
-                    f"box must be None or a positive (Lx, Ly) pair, got {self.box!r}"
+                    f"box must be None, a positive (Lx, Ly) pair or a "
+                    f"positive (Lx, Ly, Lz) triple, got {self.box!r}"
+                )
+            if len(box) == 3 and self.wall:
+                raise ValueError(
+                    "a 3-D (triply periodic Ewald) box is incompatible with "
+                    "wall=True — use a 2-D (Lx, Ly) box for wall-bounded "
+                    "pseudo-periodicity"
                 )
             # normalized tuple keeps the frozen dataclass hashable/jit-static
             object.__setattr__(self, "box", box)

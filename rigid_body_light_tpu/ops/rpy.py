@@ -64,14 +64,21 @@ def _wrap_xy(d, box_n):
     """
     if box_n is None:
         return d
-    lx, ly = box_n
-    if lx <= 0 or ly <= 0:
+    if any(b <= 0 for b in box_n):
         raise ValueError(f"periodic box lengths must be positive, got {box_n}")
+    lx, ly = box_n[0], box_n[1]
     dx = d[..., 0]
     dy = d[..., 1]
+    dz = d[..., 2]
     dx = dx - lx * jnp.round(dx / lx)
     dy = dy - ly * jnp.round(dy / ly)
-    return jnp.stack([dx, dy, d[..., 2]], axis=-1)
+    if len(box_n) == 3:
+        # 3-D minimum image (used by PC blocks / pair forces when the
+        # simulation box is triply periodic; the exact periodic mobility
+        # itself lives in ops/ewald.py)
+        lz = box_n[2]
+        dz = dz - lz * jnp.round(dz / lz)
+    return jnp.stack([dx, dy, dz], axis=-1)
 
 
 def _free_coeffs(r2, dtype):
@@ -349,7 +356,7 @@ def pair_sum(
     """
     dtype = r_rows.dtype
     inv_a = jnp.asarray(1.0 / a, dtype)
-    box_n = None if box is None else (box[0] / a, box[1] / a)
+    box_n = None if box is None else tuple(b / a for b in box)
     n_rows = r_rows.shape[0]
     tile = min(row_tile, n_rows)
     n_tiles = -(-n_rows // tile)
@@ -505,7 +512,7 @@ def mobility_matrix(r, a=1.0, eta=1.0, wall=False, h_floor=WALL_H_FLOOR,
     poly = radii is not None
     if poly:
         ahat = jnp.asarray(radii, dtype) * inv_a
-    box_n = None if box is None else (box[0] / a, box[1] / a)
+    box_n = None if box is None else tuple(b / a for b in box)
     d = _wrap_xy((r[:, None, :] - r[None, :, :]) * inv_a, box_n)  # (N, N, 3)
     r2 = jnp.sum(d * d, axis=-1)
     eye_n = jnp.eye(n, dtype=bool)

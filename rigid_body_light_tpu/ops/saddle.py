@@ -97,7 +97,11 @@ def mobility_apply_fn(cfg: SimulationConfig, radii=None):
     XLA streamed matvec.  Signature: (F (N,3), r (N,3)) → (N,3), with the
     damping sandwich applied iff ``cfg.wall``.  radii: optional (N,)
     per-blob physical radii closed over the returned fn (polydisperse RPY).
+    A 3-D ``cfg.box`` routes to the triply-periodic Ewald operator
+    (:mod:`rigid_body_light_tpu.ops.ewald`).
     """
+    if cfg.box is not None and len(cfg.box) == 3:
+        return _ewald_apply_fn(cfg, radii, multi=False)
     if cfg.use_pallas and cfg.dtype == jnp.float32:
         try:
             from rigid_body_light_tpu.ops import rpy_pallas
@@ -123,12 +127,40 @@ def mobility_apply_fn(cfg: SimulationConfig, radii=None):
     return apply_xla
 
 
+def _ewald_apply_fn(cfg: SimulationConfig, radii, multi: bool):
+    from rigid_body_light_tpu.ops import ewald
+
+    if radii is not None:
+        raise NotImplementedError(
+            "polydisperse radii are not supported with a triply-periodic "
+            "(Ewald) box yet"
+        )
+    params = ewald.make_params(
+        cfg.box, cfg.a, cfg.eta,
+        xi=cfg.ewald_xi if cfg.ewald_xi > 0 else None, tol=cfg.ewald_tol,
+    )
+    if multi:
+        def apply_multi(Fs, r):
+            return ewald.mobility_apply_multi(
+                Fs, r, params, row_tile=cfg.matvec_row_tile)
+
+        return apply_multi
+
+    def apply(F, r):
+        return ewald.mobility_apply(F, r, params,
+                                    row_tile=cfg.matvec_row_tile)
+
+    return apply
+
+
 def mobility_apply_multi_fn(cfg: SimulationConfig, radii=None):
     """Multi-RHS mobility product (Fs (k,N,3), r (N,3)) → (k,N,3).
 
     Shares pair coefficient fields across RHS — used to fuse the stochastic
     stepper's two M^{1/2}W Lanczos recurrences into one sweep per iteration.
     """
+    if cfg.box is not None and len(cfg.box) == 3:
+        return _ewald_apply_fn(cfg, radii, multi=True)
     if cfg.use_pallas and cfg.dtype == jnp.float32:
         try:
             from rigid_body_light_tpu.ops import rpy_pallas

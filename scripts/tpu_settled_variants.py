@@ -20,7 +20,7 @@ sys.path.insert(0, ".")
 
 def main():
     ckpt_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/settled_642.npz"
-    n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     import jax
     import jax.numpy as jnp
 
@@ -42,20 +42,23 @@ def main():
         gmres_tol=1e-4, gmres_restart=20, gmres_maxiter=60,
         matvec_row_tile=512, pc_mode="block_free",
     )
-    variants = {
+    all_variants = {
         "shipped_r20": {},
         "restart60": dict(gmres_restart=60),
+        "restart60_adaptive_noise": dict(
+            gmres_restart=60, lanczos_max_iters=14, lanczos_err_tol=1e-3),
     }
-    for arg in sys.argv[3:]:
-        if arg == "--adaptive-noise":
-            variants["restart60_adaptive_noise"] = dict(
-                gmres_restart=60, lanczos_max_iters=14, lanczos_err_tol=1e-3)
+    # run one variant per process (the axon tunnel wedges on long-lived
+    # clients issuing several distinct compile RPCs back to back)
+    names = [a for a in sys.argv[3:] if not a.startswith("-")] or list(all_variants)
+    variants = {n: all_variants[n] for n in names}
 
     for name, kw in variants.items():
         cfg = SimulationConfig(**dict(base, **kw))
         runner = jax.jit(functools.partial(
             run_bd, geom, cfg, n_steps=n_steps, force_fn=force_fn,
             save_every=1))
+        print(f"{name}: compiling...", flush=True)
         t0 = time.perf_counter()
         s, traj = runner(state, key)
         _ = float(jnp.sum(s.X))

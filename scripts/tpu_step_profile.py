@@ -52,14 +52,25 @@ def main():
     xs = np.array([[2.5 * (i % 4), 2.5 * (i // 4), 2.0 + 0.2 * (i % 3)]
                    for i in range(B)])
     qs = np.tile([1.0, 0, 0, 0], (B, 1))
+    restart = 20
+    if "--settled" in sys.argv:
+        restart = 60
     cfg = SimulationConfig(
         a=params["sep"] / 2, dt=0.01, kBT=1.0, wall=True,
         dtype=jnp.float32, lanczos_iters=6, lanczos_precond=True,
-        gmres_tol=1e-4, gmres_restart=20, gmres_maxiter=60,
+        gmres_tol=1e-4, gmres_restart=restart, gmres_maxiter=60,
         matvec_row_tile=512, pc_mode="block_free",
     )
     geom = kin.make_ref_geometry(cfgb, dtype=jnp.float32)
     state = make_state(xs, qs, dtype=jnp.float32)
+    if "--settled" in sys.argv:
+        # profile at the REAL settled soak state (dense near-wall layer,
+        # 22-24 GMRES iters) instead of the dispersed lattice
+        from rigid_body_light_tpu.utils import checkpoint as ckpt
+
+        state, _, _, _ = ckpt.load_checkpoint("/tmp/settled_642.npz",
+                                              dtype=jnp.float32)
+        print("profiling at settled checkpoint (restart=60)", flush=True)
     ops = saddle_mod.geometry_ops(geom, state)
     n = B * params["N"]
     force = jnp.zeros((B, 6), jnp.float32).at[:, 2].set(-1.0)

@@ -1,0 +1,156 @@
+"""Triply-periodic Ewald RPY (ops/ewald.py) — correctness anchors.
+
+The two Ewald parts have disjoint code paths (closed-form screened pair
+sweep vs wave-space matmuls), so ξ-independence of their sum validates
+both at once; Hasimoto's cubic-lattice constants pin the absolute
+normalization; fluctuation–dissipation ties the Lanczos sampler to the
+deterministic periodic solve.
+"""
+import functools
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from rigid_body_light_tpu import SimulationConfig, load_structure
+from rigid_body_light_tpu.dynamics import run_bd, stochastic_step
+from rigid_body_light_tpu.ops import ewald, kinematics as kin, saddle, solvers
+from rigid_body_light_tpu.state import make_state
+
+A, ETA = 0.25, 1.3
+BOX = (10.0, 10.0, 10.0)
+
+
+def _config(n=16, seed=0):
+    rng = np.random.default_rng(seed)
+    r = jnp.asarray(rng.uniform(0, BOX[0], (n, 3)))
+    F = jnp.asarray(rng.standard_normal((n, 3)))
+    return r, F
+
+
+def test_xi_independence():
+    r, F = _config()
+    outs = []
+    for xi in (0.744, 1.1):
+        p = ewald.make_params(BOX, A, ETA, xi=xi, tol=1e-9)
+        outs.append(np.asarray(ewald.mobility_apply(F, r, p)))
+    rel = np.abs(outs[0] - outs[1]).max() / np.abs(outs[1]).max()
+    assert rel < 1e-6, rel
+
+
+def test_hasimoto_self_mobility():
+    for L in (20.0, 40.0):
+        p = ewald.make_params((L, L, L), A, ETA, tol=1e-9)
+        U = ewald.mobility_apply(jnp.asarray([[0.0, 0, 1.0]]),
+                                 jnp.asarray([[1.2, 3.4, 5.6]]), p)
+        mu = float(np.asarray(U)[0, 2])
+        mu0 = 1 / (6 * np.pi * ETA * A)
+        pred = mu0 * (1 - 2.837297 * A / L + 4 * np.pi / 3 * (A / L) ** 3)
+        assert abs(mu - pred) / pred < 1e-6
+
+
+def test_dense_symmetric_spd_translation_invariant():
+    r, F = _config(n=12, seed=1)
+    p = ewald.make_params(BOX, A, ETA, tol=1e-8)
+    M = np.asarray(ewald.mobility_matrix(r, p))
+    np.testing.assert_allclose(M, M.T, atol=1e-14)
+    assert np.linalg.eigvalsh((M + M.T) / 2).min() > 0
+    U1 = np.asarray(ewald.mobility_apply(F, r, p))
+    U2 = np.asarray(ewald.mobility_apply(F, r + jnp.asarray([1.7, -2.3, 11.9]),
+                                         p))
+    np.testing.assert_allclose(U1, U2, atol=1e-12)
+
+
+def test_multi_rhs_matches_single():
+    r, F = _config(n=10, seed=2)
+    p = ewald.make_params(BOX, A, ETA)
+    Fs = jnp.stack([F, 2 * F])
+    Um = np.asarray(ewald.mobility_apply_multi(Fs, r, p))
+    Us = np.asarray(ewald.mobility_apply(F, r, p))
+    np.testing.assert_allclose(Um[0], Us, atol=1e-13)
+    np.testing.assert_allclose(Um[1], 2 * Us, atol=1e-13)
+
+
+def test_config_dispatch_and_guards():
+    with pytest.raises(ValueError, match="incompatible with"):
+        SimulationConfig(box=(8.0, 8.0, 8.0), wall=True)
+    cfg = SimulationConfig(a=A, eta=ETA, box=BOX, dtype=jnp.float64)
+    mob = saddle.mobility_apply_fn(cfg)
+    r, F = _config(n=8, seed=3)
+    p = ewald.make_params(BOX, A, ETA, tol=cfg.ewald_tol)
+    np.testing.assert_allclose(np.asarray(mob(F, r)),
+                               np.asarray(ewald.mobility_apply(F, r, p)),
+                               atol=1e-13)
+
+
+@pytest.mark.medium
+def test_periodic_bd_step_and_solve():
+    """Saddle solve + full stochastic step through the Ewald operator."""
+    params, cfgb = load_structure("shell_N_12")
+    geom = kin.make_ref_geometry(cfgb, dtype=jnp.float64)
+    B = 3
+    state = make_state(np.array([[1.0, 1.0, 1.0], [5.0, 5.0, 5.0],
+                                 [8.0, 2.0, 6.0]]),
+                       np.tile([1.0, 0, 0, 0], (B, 1)), dtype=jnp.float64)
+    cfg = SimulationConfig(a=params["sep"] / 2, eta=1.0, dt=0.01, kBT=0.8,
+                           box=(12.0, 12.0, 12.0), dtype=jnp.float64,
+                           lanczos_iters=10, use_pallas=False, gmres_tol=1e-7,
+                           pc_mode="block_free")
+    F = jnp.zeros((B, 6), jnp.float64).at[:, 2].set(-1.0)
+    ops = saddle.geometry_ops(geom, state)
+    res = solvers.solve_saddle(ops, cfg, jnp.zeros((B * 12, 3), jnp.float64),
+                               F)
+    assert float(res.residual) < 1e-6
+    # periodic self-mobility of the shell must be BELOW the open-domain one
+    cfg_open = cfg.replace(box=None)
+    res_open = solvers.solve_saddle(ops, cfg_open,
+                                    jnp.zeros((B * 12, 3), jnp.float64), F)
+    assert float(-res.U[1, 2]) < float(-res_open.U[1, 2])
+
+    s2, aux = stochastic_step(geom, cfg, state, jax.random.key(0), F)
+    assert np.isfinite(np.asarray(s2.X)).all()
+    assert float(aux.residual) < 1e-6
+
+
+@pytest.mark.slow
+def test_periodic_fluctuation_dissipation():
+    """Free diffusion in a periodic box: MSD-measured D must match
+    kBT x (deterministic periodic mobility solve) — ties the Lanczos noise
+    to the Ewald operator through the fluctuation-dissipation theorem,
+    finite-size (Hasimoto) correction included."""
+    params, cfgb = load_structure("shell_N_12")
+    geom = kin.make_ref_geometry(cfgb, dtype=jnp.float64)
+    kBT, dt, L = 0.5, 0.05, 8.0
+    cfg = SimulationConfig(a=params["sep"] / 2, dt=dt, kBT=kBT,
+                           box=(L, L, L), dtype=jnp.float64, lanczos_iters=12,
+                           use_pallas=False, gmres_tol=1e-6,
+                           pc_mode="block_free")
+    state = make_state([[0.0, 0.0, 0.0]], [[1.0, 0, 0, 0]],
+                       dtype=jnp.float64)
+    ops = saddle.geometry_ops(geom, state)
+    F = jnp.zeros((1, 6), jnp.float64).at[0, 2].set(-1.0)
+    mu = -float(solvers.solve_saddle(
+        ops, cfg, jnp.zeros((12, 3), jnp.float64), F).U[0, 2])
+    D_pred = kBT * mu
+
+    n_steps = 1200
+    runner = jax.jit(functools.partial(run_bd, geom, cfg, n_steps=n_steps))
+    Ds = []
+    for seed in range(8):
+        _, traj = runner(state, jax.random.key(seed))
+        X = np.asarray(traj["X"])[:, 0, :]
+        lags = np.arange(1, 60)
+        msd = np.array([((X[l:] - X[:-l]) ** 2).sum(-1).mean() for l in lags])
+        Ds.append(np.polyfit(lags * dt, msd, 1)[0] / 6.0)
+    Ds = np.asarray(Ds)
+    sem = Ds.std() / np.sqrt(len(Ds))
+    # measured (round 3): rel bias +8.4% +/- 5.2% over 8 runs — pure
+    # statistics; the tolerance is ~3 sigma of this ensemble size
+    assert abs(Ds.mean() - D_pred) < max(3.2 * sem, 0.16 * D_pred)
+    # and the periodic correction itself is visible: D_pred differs from the
+    # open-domain value by >5%
+    mu_open = -float(solvers.solve_saddle(
+        ops, cfg.replace(box=None), jnp.zeros((12, 3), jnp.float64),
+        F).U[0, 2])
+    assert abs(mu - mu_open) / mu_open > 0.05
