@@ -85,11 +85,13 @@ def deterministic_step(
     force,
     slip=None,
     mob_apply: Callable = None,
+    axis_name=None,
 ):
     """One deterministic step: solve the mobility problem, advance by U·dt.
 
     force: (B, 6) applied body force/torque; slip: optional (N, 3) active
-    slip on blobs.  Returns (new_state, StepAux).
+    slip on blobs.  axis_name: distributed mode (see stochastic_step).
+    Returns (new_state, StepAux).
     """
     if mob_apply is None:
         mob_apply = saddle_mod.mobility_apply_fn(cfg)
@@ -98,7 +100,8 @@ def deterministic_step(
     if slip is None:
         B, n, _ = ops.offsets.shape
         slip = jnp.zeros((B * n, 3), dtype)
-    res = solvers.solve_saddle(ops, cfg, slip, force, mob_apply=mob_apply)
+    res = solvers.solve_saddle(ops, cfg, slip, force, mob_apply=mob_apply,
+                               axis_name=axis_name)
     ok = res.residual < jnp.asarray(cfg.max_step_residual, dtype)
     dU = jnp.where(ok, res.U, 0.0) * jnp.asarray(cfg.dt, dtype)
     new_state = _commit(geom, cfg, state, dU)
@@ -118,6 +121,7 @@ def stochastic_step(
     x0=None,
     pc=None,
     noise_pc=None,
+    axis_name=None,
 ):
     """One fluctuating BD step (EM–midpoint with RFD drift).
 
@@ -136,11 +140,29 @@ def stochastic_step(
     step's StepAux fields; configurations move little per step, so this cuts
     GMRES iterations substantially in long runs.
 
+    axis_name: distributed mode — ``state``/``force`` are the LOCAL body
+    shard inside ``shard_map`` over a device mesh, ``mob_apply`` must be the
+    ring-pipelined local sweep
+    (:func:`rigid_body_light_tpu.parallel.ring_mobility_apply_fn`), every
+    Krylov/Lanczos reduction psums over the axis, and the PRNG key is
+    folded with the device index so each shard draws independent noise.
+    Kinematics, preconditioner and commits are per-body-local already.
+
     Returns (new_state, StepAux).
     """
     default_mob = mob_apply is None
     if default_mob:
+        if axis_name is not None:
+            raise ValueError(
+                "distributed stochastic_step needs an explicit ring "
+                "mob_apply (parallel.ring_mobility_apply_fn)")
         mob_apply = saddle_mod.mobility_apply_fn(cfg)
+    if axis_name is not None:
+        if cfg.drift_mode == "em_exact":
+            raise NotImplementedError(
+                "distributed stepping supports the default midpoint scheme "
+                "only (em_exact's inner RFD solves are not yet axis-aware)")
+        key = jax.random.fold_in(key, lax.axis_index(axis_name))
     dtype = state.X.dtype
     ops = saddle_mod.geometry_ops(geom, state)
     B, n, _ = ops.offsets.shape
@@ -166,6 +188,7 @@ def stochastic_step(
         lz_kw = dict(
             iters=cfg.lanczos_iters, max_iters=cfg.lanczos_max_iters,
             err_tol=cfg.lanczos_err_tol, return_err=True,
+            axis_name=axis_name,
         )
         if use_split and default_mob:
             # fused two-draw Lanczos: both recurrences share one pair-field
@@ -241,7 +264,8 @@ def stochastic_step(
         noise_err = jnp.zeros((), dtype)
 
     res = solvers.solve_saddle(
-        ops_solve, cfg, slip_eff, force, mob_apply=mob_apply, x0=x0, pc=pc
+        ops_solve, cfg, slip_eff, force, mob_apply=mob_apply, x0=x0, pc=pc,
+        axis_name=axis_name,
     )
     U_total = res.U if drift_U is None else res.U + drift_U
     # reject the whole step if the Krylov solve failed — committing a
@@ -305,6 +329,7 @@ def run_bd(
     slip_fn: Callable = None,
     mob_apply: Callable = None,
     save_every: int = 1,
+    axis_name=None,
 ):
     """Run a whole BD trajectory as one ``lax.scan`` — zero host round-trips.
 
@@ -356,7 +381,7 @@ def run_bd(
             pc = None
         s_new, aux = stochastic_step(
             geom, cfg, s, sub, force, slip=slip, mob_apply=mob_apply,
-            x0=x_prev, pc=pc, noise_pc=noise_pc,
+            x0=x_prev, pc=pc, noise_pc=noise_pc, axis_name=axis_name,
         )
         out = (s_new.X, s_new.Q, aux.residual, aux.iters, aux.noise_err)
         # a failed solve's (λ, U) would poison the next step's warm start

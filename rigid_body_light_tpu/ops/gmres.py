@@ -23,6 +23,13 @@ implementation:
 Left preconditioning: the operator passed in is P∘A and the RHS is P·b;
 the convergence test uses the preconditioned residual (same convention as
 scipy's default used by drivers of the reference library).
+
+Distributed mode: with ``axis_name`` set, vectors are the LOCAL shard of a
+mesh-sharded unknown (inside ``shard_map``) and every inner product / norm
+closes over the mesh with a ``psum`` — the basis, Hessenberg updates and
+triangular solve run redundantly-replicated on scalars, the O(n) state
+stays sharded.  This is what lets the Krylov memory scale with the number
+of chips instead of being replicated (SURVEY §5's distribution target).
 """
 
 from __future__ import annotations
@@ -42,16 +49,23 @@ class GmresResult(NamedTuple):
                          # are skipped and not counted)
 
 
-def _cycle(matvec: Callable, x0, r0, m: int, atol):
+def _make_reducers(axis_name):
+    if axis_name is None:
+        return (lambda x: x)
+    return lambda x: lax.psum(x, axis_name)
+
+
+def _cycle(matvec: Callable, x0, r0, m: int, atol, axis_name=None):
     """One GMRES(m) cycle from residual r0.
 
     Returns (x_new, n_exec) where n_exec is the number of inner iterations
     actually executed (the rest were skipped after the Givens residual
     estimate fell below ``atol``).
     """
+    psum = _make_reducers(axis_name)
     n = r0.shape[0]
     dtype = r0.dtype
-    beta = jnp.linalg.norm(r0)
+    beta = jnp.sqrt(psum(jnp.sum(r0 * r0)))
     tiny = jnp.asarray(1e-30, dtype)
     v0 = r0 / jnp.maximum(beta, tiny)
     V = jnp.zeros((m + 1, n), dtype).at[0].set(v0)
@@ -70,12 +84,12 @@ def _cycle(matvec: Callable, x0, r0, m: int, atol):
             w = matvec(V[j])
             # CGS2: project twice against the whole basis (unset rows are
             # zero, so they contribute nothing — no masking needed)
-            h1 = V @ w
+            h1 = psum(V @ w)
             w = w - h1 @ V
-            h2 = V @ w
+            h2 = psum(V @ w)
             w = w - h2 @ V
             col = h1 + h2
-            hn = jnp.linalg.norm(w)
+            hn = jnp.sqrt(psum(jnp.sum(w * w)))
             V_new = V.at[j + 1].set(w / jnp.maximum(hn, tiny))
             col = col.at[j + 1].set(hn)
 
@@ -129,24 +143,32 @@ def gmres(
     tol: float = 1e-6,
     restart: int = 40,
     max_restarts: int = 5,
+    axis_name=None,
 ) -> GmresResult:
-    """Solve matvec(x) = b for flat vectors; restarted, early-exiting."""
+    """Solve matvec(x) = b for flat vectors; restarted, early-exiting.
+
+    axis_name: distributed mode — ``b``/``x0`` are local shards inside
+    ``shard_map`` and reductions psum over the named mesh axis.
+    """
+    psum = _make_reducers(axis_name)
     b = b.reshape(-1)
     dtype = b.dtype
     n = b.shape[0]
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    b_norm = jnp.maximum(jnp.linalg.norm(b), jnp.asarray(1e-30, dtype))
+    b_norm = jnp.maximum(jnp.sqrt(psum(jnp.sum(b * b))),
+                         jnp.asarray(1e-30, dtype))
     atol = jnp.asarray(tol, dtype) * b_norm
     atol2 = atol * atol
 
     def cond(carry):
         x, r, k, it = carry
-        return jnp.logical_and(k < max_restarts, jnp.sum(r * r) > atol2)
+        return jnp.logical_and(k < max_restarts, psum(jnp.sum(r * r)) > atol2)
 
     def step(carry):
         x, r, k, it = carry
-        x_new, n_exec = _cycle(matvec, x, r, restart, atol)
+        x_new, n_exec = _cycle(matvec, x, r, restart, atol,
+                               axis_name=axis_name)
         r_new = b - matvec(x_new)
         return x_new, r_new, k + 1, it + n_exec
 
@@ -154,5 +176,5 @@ def gmres(
     x, r, k, it = lax.while_loop(
         cond, step, (x0, r0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
     )
-    res = jnp.linalg.norm(r) / b_norm
+    res = jnp.sqrt(psum(jnp.sum(r * r))) / b_norm
     return GmresResult(x=x, residual=res, iters=it)

@@ -71,6 +71,7 @@ def sqrt_matvec_batched(
     max_iters: int = 0,
     err_tol: float = 0.0,
     return_err: bool = False,
+    axis_name=None,
 ):
     """Approximate A^{1/2}·w_k for a batch of vectors with a *joint* matvec.
 
@@ -91,12 +92,18 @@ def sqrt_matvec_batched(
 
     Eigenvalues of each tridiagonal T are clamped at 0 so float32 round-off
     on near-singular modes cannot produce NaN.
+
+    axis_name: distributed mode — ``W`` rows are local shards inside
+    ``shard_map``; inner products close with a ``psum`` over the mesh, the
+    Lanczos basis stays sharded (O(m·3N/D) per chip).
     """
+    psum = (lambda x: x) if axis_name is None else (
+        lambda x: lax.psum(x, axis_name))
     k, sz = W.shape
     dtype = W.dtype
     adaptive = max_iters > iters and err_tol > 0.0
     m = max_iters if adaptive else iters
-    norm_w = jnp.linalg.norm(W, axis=1)  # (k,)
+    norm_w = jnp.sqrt(psum(jnp.sum(W * W, axis=1)))  # (k,)
     v1 = W / jnp.maximum(norm_w, 1e-30)[:, None]
 
     V0 = jnp.zeros((k, m, sz), dtype=dtype).at[:, 0].set(v1)
@@ -104,14 +111,14 @@ def sqrt_matvec_batched(
     def step(i, V, alphas, betas, v_prev, beta_prev):
         v = V[:, i]
         av = matvec(v)
-        alpha = jnp.einsum("ks,ks->k", v, av)
+        alpha = psum(jnp.einsum("ks,ks->k", v, av))
         r = av - alpha[:, None] * v - beta_prev[:, None] * v_prev
         # full reorthogonalization against the basis built so far (rows ≥ i+1
         # are still zero, so no masking needed) — keeps the small-m
         # approximation accurate in float32
-        proj = jnp.einsum("kms,ks->km", V, r)
+        proj = psum(jnp.einsum("kms,ks->km", V, r))
         r = r - jnp.einsum("km,kms->ks", proj, V)
-        beta = jnp.linalg.norm(r, axis=1)
+        beta = jnp.sqrt(psum(jnp.sum(r * r, axis=1)))
         v_next = r / jnp.maximum(beta, 1e-30)[:, None]
         V = lax.cond(
             i + 1 < m,
@@ -177,6 +184,7 @@ def m_half_w(
     max_iters: int = 0,
     err_tol: float = 0.0,
     return_err: bool = False,
+    axis_name=None,
 ):
     """Draw W ~ N(0, I) and return M^{1/2}W on the blob space, shape (N, 3).
 
@@ -198,7 +206,7 @@ def m_half_w(
 
     out = sqrt_matvec_batched(
         mv_batched, w[None], iters=iters, max_iters=max_iters,
-        err_tol=err_tol, return_err=return_err,
+        err_tol=err_tol, return_err=return_err, axis_name=axis_name,
     )
     if return_err:
         out, err = out
@@ -248,6 +256,7 @@ def m_half_w_precond(
     max_iters: int = 0,
     err_tol: float = 0.0,
     return_err: bool = False,
+    axis_name=None,
 ):
     """Preconditioned M^{1/2}W draws; ``keys`` is one key (multi=False) or a
     pair of keys (multi=True, fused 2-RHS sweep).  Returns (N, 3) or a tuple
@@ -298,7 +307,7 @@ def m_half_w_precond(
 
     g = sqrt_matvec_batched(
         mv, w, iters=iters, max_iters=max_iters, err_tol=err_tol,
-        return_err=return_err,
+        return_err=return_err, axis_name=axis_name,
     )  # (k, sz) = G^{1/2} W
     err = None
     if return_err:
@@ -325,6 +334,7 @@ def m_half_w_pair(
     max_iters: int = 0,
     err_tol: float = 0.0,
     return_err: bool = False,
+    axis_name=None,
 ):
     """Two independent M^{1/2}W draws with fused matvecs.
 
@@ -345,7 +355,7 @@ def m_half_w_pair(
 
     out = sqrt_matvec_batched(
         mv2, jnp.stack([w1, w2]), iters=iters, max_iters=max_iters,
-        err_tol=err_tol, return_err=return_err,
+        err_tol=err_tol, return_err=return_err, axis_name=axis_name,
     )
     if return_err:
         out, err = out

@@ -40,6 +40,7 @@ def solve_saddle(
     x0=None,
     mob_apply: Callable = None,
     true_residual: bool = False,
+    axis_name=None,
 ) -> SolveResult:
     """Solve [M −K; Kᵀ 0][λ; U] = [slip; F] with preconditioned GMRES.
 
@@ -47,6 +48,12 @@ def solve_saddle(
     *unpreconditioned* saddle system (one extra mobility matvec) — the
     convergence test itself stays on the preconditioned residual (scipy
     convention, matching the external drivers the reference implies).
+
+    axis_name: distributed mode — ``ops``/``slip``/``force`` are the LOCAL
+    body shard inside ``shard_map`` (bodies sharded over the mesh),
+    ``mob_apply`` must be the ring-pipelined local sweep, and all Krylov
+    reductions psum over the axis.  No device ever materializes a global
+    (N, 3) array.
 
     slip: (N, 3) prescribed slip on blobs (RHS upper block).
     force: (B, 6) applied body force/torque; the RHS lower block is +force,
@@ -88,6 +95,7 @@ def solve_saddle(
         tol=cfg.gmres_tol,
         restart=cfg.gmres_restart,
         max_restarts=max_restarts,
+        axis_name=axis_name,
     )
     lam = result.x[:nb].reshape(-1, 3)
     U = result.x[nb:].reshape(-1, 6)
@@ -96,9 +104,15 @@ def solve_saddle(
         s, f = saddle_mod.apply_saddle(lam, U, ops, cfg, mob_apply)
         rvec = jnp.concatenate([(slip - s).reshape(-1), (force - f).reshape(-1)])
         bvec = jnp.concatenate([slip.reshape(-1), force.reshape(-1)])
-        tr = jnp.linalg.norm(rvec) / jnp.maximum(
-            jnp.linalg.norm(bvec), jnp.asarray(1e-30, dtype)
-        )
+        rr = jnp.sum(rvec * rvec)
+        bb = jnp.sum(bvec * bvec)
+        if axis_name is not None:
+            from jax import lax
+
+            rr = lax.psum(rr, axis_name)
+            bb = lax.psum(bb, axis_name)
+        tr = jnp.sqrt(rr) / jnp.maximum(jnp.sqrt(bb),
+                                        jnp.asarray(1e-30, dtype))
     return SolveResult(
         lam=lam, U=U, residual=result.residual, iters=result.iters,
         true_residual=tr,

@@ -1,16 +1,24 @@
 """Multi-chip sharding of the mobility matvec and BD step."""
 
 from rigid_body_light_tpu.parallel.sharding import (
+    make_distributed_run_bd,
+    make_distributed_step,
     make_mesh,
     make_mesh_2d,
+    ring_mobility_apply_fn,
+    ring_pair_sum_local,
     sharded_mobility_apply_fn,
     sharded_pair_sum,
     sharded_pair_sum_2d,
 )
 
 __all__ = [
+    "make_distributed_run_bd",
+    "make_distributed_step",
     "make_mesh",
     "make_mesh_2d",
+    "ring_mobility_apply_fn",
+    "ring_pair_sum_local",
     "sharded_mobility_apply_fn",
     "sharded_pair_sum",
     "sharded_pair_sum_2d",

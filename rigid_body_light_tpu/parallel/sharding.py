@@ -221,3 +221,213 @@ def sharded_mobility_apply_fn(
         return U
 
     return apply
+
+
+def ring_pair_sum_local(
+    r_l, F_l, n_devices: int, axis_name: str, a=1.0, wall=False, row_tile=512,
+    h_floor=None, box=None, use_pallas=False,
+):
+    """Ring-pipelined Σ_j M_ij F_j for the LOCAL row shard (inside shard_map).
+
+    Memory-scaling distribution: each device holds only its (N/D, 3) shard
+    plus one in-flight block — no ``all_gather`` of the full arrays (the 1-D
+    path's wall at large N).  The D-step ring rotates (positions, forces)
+    blocks with ``ppermute`` while the current block's slab is computed —
+    the ppermute for step s+1 is issued BEFORE step s's compute, so XLA's
+    latency-hiding scheduler overlaps ICI transfer with the O(N²/D²) slab
+    (the ring-attention pattern applied to the RPY pair sweep, SURVEY §5).
+
+    r_l, F_l: (N_local, 3) local shard; returns (N_local, 3) pair terms
+    (no self term / scaling / damping — same contract as ``rpy.pair_sum``).
+    """
+    n_l = r_l.shape[0]
+    idx = lax.axis_index(axis_name)
+    row_ids = idx * n_l + jnp.arange(n_l, dtype=jnp.int32)
+    perm = [(i, (i + 1) % n_devices) for i in range(n_devices)]
+    if use_pallas:
+        from rigid_body_light_tpu.ops import rpy_pallas
+
+        use_pallas = rpy_pallas.available() and r_l.dtype == jnp.float32
+
+    acc = jnp.zeros_like(F_l)
+    blk_r, blk_F = r_l, F_l
+    for s in range(n_devices):
+        if s < n_devices - 1:
+            nxt_r = lax.ppermute(blk_r, axis_name, perm)
+            nxt_F = lax.ppermute(blk_F, axis_name, perm)
+        src = (idx - s) % n_devices
+        if use_pallas:
+            from rigid_body_light_tpu.ops import rpy_pallas
+
+            inv_a = jnp.float32(1.0 / a)
+            boa = None if box is None else tuple(b / a for b in box)
+            part = rpy_pallas.pair_sum_slab(
+                r_l * inv_a, idx * n_l, blk_r * inv_a, blk_F, wall,
+                col_offset=src * n_l, h_floor=h_floor, box_over_a=boa,
+            )
+        else:
+            col_ids = src * n_l + jnp.arange(n_l, dtype=jnp.int32)
+            part = rpy.pair_sum(
+                r_l, row_ids, blk_r, col_ids, blk_F, a=a, wall=wall,
+                row_tile=row_tile, box=box,
+                **({} if h_floor is None else {"h_floor": h_floor}),
+            )
+        acc = acc + part
+        if s < n_devices - 1:
+            blk_r, blk_F = nxt_r, nxt_F
+    return acc
+
+
+def ring_mobility_apply_fn(cfg: SimulationConfig, n_devices: int,
+                           axis_name: str = "bodies") -> Callable:
+    """Local-view ``mob_apply(F_l, r_l) → U_l`` for use INSIDE ``shard_map``.
+
+    The elementwise pieces (damping sandwich, self term, scaling) are
+    per-blob-local; only the pair sweep rides the ring.  Drop-in for the
+    ``mob_apply`` argument of the solver/stepper entry points when they run
+    in distributed (``axis_name``) mode.
+    """
+
+    def apply(F, r):
+        r = r.reshape(-1, 3)
+        F = F.reshape(-1, 3)
+        dtype = r.dtype
+        Fd = F
+        if cfg.wall:
+            b = rpy.damping_factors(r, cfg.a)
+            Fd = F * b[:, None]
+        U = ring_pair_sum_local(
+            r, Fd, n_devices, axis_name, a=cfg.a, wall=cfg.wall,
+            row_tile=cfg.matvec_row_tile, h_floor=cfg.wall_h_floor,
+            box=cfg.box, use_pallas=cfg.use_pallas,
+        )
+        self_diag = jnp.full(r.shape, 4.0 / 3.0, dtype=dtype)
+        if cfg.wall:
+            self_diag = self_diag + rpy.wall_self_diag(
+                r[:, 2], cfg.a, dtype, h_floor=cfg.wall_h_floor
+            )
+        U = U + self_diag * Fd
+        U = U * jnp.asarray(1.0 / (8.0 * jnp.pi * cfg.eta * cfg.a), dtype)
+        if cfg.wall:
+            U = U * b[:, None]
+        return U
+
+    return apply
+
+
+def make_distributed_step(geom, cfg: SimulationConfig, mesh: Mesh,
+                          axis_name: str = None, deterministic: bool = False):
+    """Fully-sharded BD step over a 1-D mesh: bodies sharded, NOTHING global.
+
+    Unlike :func:`sharded_mobility_apply_fn` (which all_gathers the full
+    (N, 3) arrays per matvec, so memory does not scale), every O(N) object —
+    positions, forces, λ, the GMRES basis, the Lanczos basis — lives as a
+    body shard; cross-device coupling is exactly the ring pair sweep plus
+    scalar psums in the Krylov recurrences.  Max N therefore scales with
+    the number of chips.
+
+    Requires B % D == 0 (whole bodies per device — kinematics, PC blocks
+    and commits stay device-local).  Returns
+    ``step(state, key, force) → (state', StepAux)`` operating on GLOBAL
+    arrays (shard_map handles the partitioning); the PRNG key is folded
+    with the device index inside, so a distributed trajectory is valid but
+    not bit-identical to the single-device one (deterministic=True runs
+    kBT=0 steps, which ARE comparable to single-device runs directly).
+    """
+    if axis_name is None:
+        axis_name = mesh.axis_names[0]
+    D = mesh.shape[axis_name]
+    mob_local = ring_mobility_apply_fn(cfg, D, axis_name)
+
+    from rigid_body_light_tpu.dynamics import stepper as stepper_mod
+    from rigid_body_light_tpu.state import BodyState
+
+    def local_step(X, Q, key, force):
+        B_l = X.shape[0]
+        state_l = BodyState(X=X, Q=Q)
+        if deterministic:
+            s2, aux = stepper_mod.deterministic_step(
+                geom, cfg, state_l, force, mob_apply=mob_local,
+                axis_name=axis_name,
+            )
+        else:
+            s2, aux = stepper_mod.stochastic_step(
+                geom, cfg, state_l, key, force, mob_apply=mob_local,
+                axis_name=axis_name,
+            )
+        return (s2.X, s2.Q, aux.U, aux.lam, aux.residual, aux.iters,
+                jnp.zeros(()) if aux.noise_err is None else aux.noise_err)
+
+    ax = axis_name
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(ax), P(ax), P(), P(ax)),
+        out_specs=(P(ax), P(ax), P(ax), P(ax), P(), P(), P()),
+        check_vma=False,
+    )
+
+    def step(state, key, force):
+        B = state.X.shape[0]
+        if B % D != 0:
+            raise ValueError(
+                f"distributed step needs n_bodies divisible by the mesh "
+                f"size: B={B}, D={D}")
+        X, Q, U, lam, res, iters, nerr = sharded(state.X, state.Q, key, force)
+        return BodyState(X=X, Q=Q), stepper_mod.StepAux(
+            U=U, lam=lam, residual=res, iters=iters, noise_err=nerr)
+
+    return step
+
+
+def make_distributed_run_bd(geom, cfg: SimulationConfig, mesh: Mesh,
+                            n_steps: int, force_fn=None, save_every: int = 1,
+                            axis_name: str = None):
+    """Whole-trajectory distributed ``run_bd``: one ``lax.scan`` inside one
+    ``shard_map`` — bodies sharded, Krylov/Lanczos bases sharded, ring pair
+    sweep, per-chunk trajectory output sharded too.
+
+    force_fn must be per-body-local (gravity, wall repulsion, traps); pair
+    forces between bodies on different devices would need their own ring —
+    gather body CENTERS (B, 3) yourself in a custom force_fn if needed
+    (body count is tiny compared to blobs).
+    """
+    if axis_name is None:
+        axis_name = mesh.axis_names[0]
+    D = mesh.shape[axis_name]
+    mob_local = ring_mobility_apply_fn(cfg, D, axis_name)
+
+    from rigid_body_light_tpu.dynamics import stepper as stepper_mod
+    from rigid_body_light_tpu.state import BodyState
+
+    def local_run(X, Q, key):
+        state_l = BodyState(X=X, Q=Q)
+        final, traj = stepper_mod.run_bd(
+            geom, cfg, state_l, key, n_steps, force_fn=force_fn,
+            mob_apply=mob_local, save_every=save_every, axis_name=axis_name,
+        )
+        return (final.X, final.Q, traj["X"], traj["Q"], traj["residual"],
+                traj["iters"], traj["noise_err"])
+
+    ax = axis_name
+    sharded = shard_map(
+        local_run,
+        mesh=mesh,
+        in_specs=(P(ax), P(ax), P()),
+        out_specs=(P(ax), P(ax), P(None, ax), P(None, ax), P(), P(), P()),
+        check_vma=False,
+    )
+
+    def run(state, key):
+        B = state.X.shape[0]
+        if B % D != 0:
+            raise ValueError(
+                f"distributed run needs n_bodies divisible by the mesh "
+                f"size: B={B}, D={D}")
+        X, Q, Xs, Qs, res, iters, nerr = sharded(state.X, state.Q, key)
+        return BodyState(X=X, Q=Q), {
+            "X": Xs, "Q": Qs, "residual": res, "iters": iters,
+            "noise_err": nerr,
+        }
+
+    return run

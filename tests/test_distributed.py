@@ -1,0 +1,125 @@
+"""Memory-scaling distributed BD: ring pair sweep + fully-sharded steps.
+
+Unlike tests/test_sharding.py (1-D all_gather / 2-D SUMMA paths, where each
+device still materializes global arrays), everything here keeps bodies —
+positions, λ, Krylov and Lanczos bases — sharded over the 8-virtual-device
+mesh; cross-device coupling is the ring ppermute plus scalar psums.
+"""
+import functools
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from rigid_body_light_tpu import SimulationConfig, forces, load_structure, parallel
+from rigid_body_light_tpu.dynamics import deterministic_step, run_bd
+from rigid_body_light_tpu.ops import kinematics as kin, rpy, saddle
+from rigid_body_light_tpu.state import make_state
+
+AX = "bodies"
+
+
+def _setup(B=8, kBT=0.0):
+    params, cfgb = load_structure("shell_N_12")
+    geom = kin.make_ref_geometry(cfgb, dtype=jnp.float64)
+    xs = np.array([[2.5 * (i % 4), 2.5 * (i // 4), 2.0 + 0.2 * (i % 3)]
+                   for i in range(B)])
+    rng = np.random.default_rng(0)
+    qs = rng.standard_normal((B, 4))
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    state = make_state(xs, qs, dtype=jnp.float64)
+    cfg = SimulationConfig(a=params["sep"] / 2, dt=0.01, kBT=kBT, wall=True,
+                           dtype=jnp.float64, lanczos_iters=8,
+                           use_pallas=False, gmres_tol=1e-8,
+                           pc_mode="block_free")
+    mesh = parallel.make_mesh(8, axis_name=AX)
+    return geom, cfg, state, mesh
+
+
+def test_ring_pair_sum_matches_single_device():
+    geom, cfg, state, mesh = _setup()
+    ops = saddle.geometry_ops(geom, state)
+    pos = ops.flat_positions
+    F = jnp.asarray(np.random.default_rng(1).standard_normal(pos.shape))
+    ids = jnp.arange(pos.shape[0], dtype=jnp.int32)
+    ref = rpy.pair_sum(pos, ids, pos, ids, F, a=cfg.a, wall=True)
+    ring = shard_map(
+        functools.partial(parallel.ring_pair_sum_local, n_devices=8,
+                          axis_name=AX, a=cfg.a, wall=True),
+        mesh=mesh, in_specs=(P(AX), P(AX)), out_specs=P(AX),
+        check_vma=False)(pos, F)
+    np.testing.assert_allclose(np.asarray(ring), np.asarray(ref), atol=1e-13)
+
+
+def test_distributed_deterministic_step_matches_single_device():
+    """Exact parity: same physics, same GMRES iteration count — the sharded
+    Krylov recurrence psums reproduce the replicated arithmetic."""
+    geom, cfg, state, mesh = _setup()
+    F = jnp.zeros((8, 6), jnp.float64).at[:, 2].set(-1.0)
+    s_ref, aux_ref = deterministic_step(geom, cfg, state, F)
+    step_d = jax.jit(parallel.make_distributed_step(geom, cfg, mesh,
+                                                    deterministic=True))
+    s_sh, aux_sh = step_d(state, jax.random.key(0), F)
+    np.testing.assert_allclose(np.asarray(s_sh.X), np.asarray(s_ref.X),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(aux_sh.U), np.asarray(aux_ref.U),
+                               atol=1e-10)
+    assert int(aux_sh.iters) == int(aux_ref.iters)
+
+
+def test_distributed_stochastic_step_runs_and_reproduces():
+    geom, cfg, state, mesh = _setup(kBT=1.0)
+    F = jnp.zeros((8, 6), jnp.float64).at[:, 2].set(-1.0)
+    step = jax.jit(parallel.make_distributed_step(geom, cfg, mesh))
+    s1, a1 = step(state, jax.random.key(3), F)
+    s2, _ = step(state, jax.random.key(3), F)
+    assert np.isfinite(np.asarray(s1.X)).all()
+    assert float(a1.residual) < 1e-7
+    assert float(a1.noise_err) > 0
+    assert np.array_equal(np.asarray(s1.X), np.asarray(s2.X))
+    # different key → different step
+    s3, _ = step(state, jax.random.key(4), F)
+    assert not np.allclose(np.asarray(s1.X), np.asarray(s3.X))
+
+
+def test_distributed_body_count_must_divide():
+    geom, cfg, state, mesh = _setup(B=8)
+    step = parallel.make_distributed_step(geom, cfg, mesh)
+    bad = make_state(np.zeros((6, 3)) + [0, 0, 2.0],
+                     np.tile([1.0, 0, 0, 0], (6, 1)), dtype=jnp.float64)
+    with pytest.raises(ValueError, match="divisible"):
+        step(bad, jax.random.key(0), jnp.zeros((6, 6), jnp.float64))
+
+
+@pytest.mark.medium
+def test_distributed_run_bd_trajectory():
+    """Whole sharded trajectory: finite, converged, bodies sedimenting, and
+    the kBT=0 limit matches the single-device scan exactly."""
+    geom, cfg, state, mesh = _setup(kBT=0.0)
+    force_fn = forces.sum_forces(
+        forces.gravity(np.array([0, 0, -1.0, 0, 0, 0])),
+        forces.wall_repulsion(strength=2.0, debye_length=0.5, radius=1.0),
+    )
+    n_steps = 4
+    run_sh = jax.jit(parallel.make_distributed_run_bd(
+        geom, cfg, mesh, n_steps=n_steps, force_fn=force_fn))
+    s_sh, traj_sh = run_sh(state, jax.random.key(0))
+    s_ref, traj_ref = jax.jit(functools.partial(
+        run_bd, geom, cfg, n_steps=n_steps, force_fn=force_fn))(
+        state, jax.random.key(0))
+    np.testing.assert_allclose(np.asarray(s_sh.X), np.asarray(s_ref.X),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(traj_sh["residual"]),
+                               np.asarray(traj_ref["residual"]), atol=1e-9)
+
+    # stochastic run: statistically sane (sediments towards the wall)
+    cfg_t = cfg.replace(kBT=0.5, gmres_tol=1e-6)
+    run_t = jax.jit(parallel.make_distributed_run_bd(
+        geom, cfg_t, mesh, n_steps=6, force_fn=force_fn))
+    s_t, traj_t = run_t(state, jax.random.key(1))
+    assert np.isfinite(np.asarray(s_t.X)).all()
+    assert np.asarray(traj_t["residual"]).max() < 1e-5
+    assert np.asarray(traj_t["noise_err"]).max() > 0
