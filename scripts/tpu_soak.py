@@ -32,7 +32,7 @@ def main():
     cfg = SimulationConfig(
         a=params["sep"] / 2, dt=0.01, kBT=1.0, wall=True,
         dtype=jnp.float32, lanczos_iters=6, lanczos_precond=True,
-        gmres_tol=1e-4, gmres_restart=20, gmres_maxiter=60,
+        gmres_tol=1e-4, gmres_restart=60, gmres_maxiter=60,
         matvec_row_tile=512, pc_mode="block_free",
     )
     geom = kin.make_ref_geometry(cfgb, dtype=jnp.float32)
