@@ -80,36 +80,50 @@ def _j_odd(j_fn, al, xi):
     return jnp.sign(al) * j_fn(jnp.abs(al), xi)
 
 
-def _s0(r, a, xi, eta):
-    c = 1.0 / (8.0 * jnp.pi**2 * eta * a**2)
-    return c / r * (2.0 * _j3(r, xi) - _j3(r + 2 * a, xi)
-                    - _j_odd(_j3, r - 2 * a, xi))
+def _s0(r, a, xi, eta, ai=None, aj=None):
+    if ai is None:
+        c = 1.0 / (8.0 * jnp.pi**2 * eta * a**2)
+        return c / r * (2.0 * _j3(r, xi) - _j3(r + 2 * a, xi)
+                        - _j_odd(_j3, r - 2 * a, xi))
+    # polydisperse: sin(ka_i)sin(ka_j)sin(kr) product-to-sum — the same
+    # J-cascade with shifts r±(a_i−a_j), r±(a_i+a_j)
+    c = 1.0 / (8.0 * jnp.pi**2 * eta * ai * aj)
+    d, sm = ai - aj, ai + aj
+    return c / r * (_j_odd(_j3, r + d, xi) + _j_odd(_j3, r - d, xi)
+                    - _j3(r + sm, xi) - _j_odd(_j3, r - sm, xi))
 
 
-def _s(r, a, xi, eta):
-    c = 1.0 / (8.0 * jnp.pi**2 * eta * a**2)
-    return c / r * (2.0 * _j5(r, xi) - _j5(r + 2 * a, xi)
-                    - _j_odd(_j5, r - 2 * a, xi))
+def _s(r, a, xi, eta, ai=None, aj=None):
+    if ai is None:
+        c = 1.0 / (8.0 * jnp.pi**2 * eta * a**2)
+        return c / r * (2.0 * _j5(r, xi) - _j5(r + 2 * a, xi)
+                        - _j_odd(_j5, r - 2 * a, xi))
+    c = 1.0 / (8.0 * jnp.pi**2 * eta * ai * aj)
+    d, sm = ai - aj, ai + aj
+    return c / r * (_j_odd(_j5, r + d, xi) + _j_odd(_j5, r - d, xi)
+                    - _j5(r + sm, xi) - _j_odd(_j5, r - sm, xi))
 
 
-def real_space_ab(r, a, xi, eta=1.0):
+def real_space_ab(r, a, xi, eta=1.0, ai=None, aj=None):
     """Real-space Ewald scalars (A, B) with M_real = A·I + B·r̂r̂.
 
     Elementwise over any-shape ``r`` (physical units).  S'/S'' via
     forward-mode AD of the closed-form S — exact, fuses to elementwise XLA.
+    ai, aj: optional per-pair radii (broadcast against r) — polydisperse
+    RPY, exact (the Fourier symbol becomes sinc(ka_i)sinc(ka_j)/(ηk²)).
     """
-    s_fn = lambda rr: _s(rr, a, xi, eta)
+    s_fn = lambda rr: _s(rr, a, xi, eta, ai=ai, aj=aj)
     sp_fn = lambda rr: jax.jvp(s_fn, (rr,), (jnp.ones_like(rr),))[1]
     sp = sp_fn(r)
     spp = jax.jvp(sp_fn, (r,), (jnp.ones_like(r),))[1]
-    A = _s0(r, a, xi, eta) + sp / r
+    A = _s0(r, a, xi, eta, ai=ai, aj=aj) + sp / r
     B = spp - sp / r
     return A, B
 
 
 def self_coeff(a, xi, eta=1.0):
     """A_self = lim_{r→0} A(r) — the screened periodic self mobility's
-    real-space part."""
+    real-space part.  Vectorizes over per-blob radii ``a``."""
     return ((1.0 - erf(2.0 * a * xi)) / (6.0 * jnp.pi * eta * a)
             + (1.0 - jnp.exp(-4.0 * a**2 * xi**2))
             / (24.0 * jnp.pi**1.5 * a**2 * eta * xi))
@@ -120,6 +134,8 @@ class EwaldParams(NamedTuple):
 
     kvecs: (K, 3) wavevectors (k ≠ 0, |k| ≤ kmax).
     wk: (K,) positive wave weights H(k)·sinc²(ka)/(η V k²).
+    wk_raw: (K,) the same without the sinc² factor — the polydisperse path
+      applies per-blob sinc(|k|aᵢ) weights at spread/interpolate instead.
     """
 
     box: tuple
@@ -128,6 +144,60 @@ class EwaldParams(NamedTuple):
     xi: float
     kvecs: np.ndarray
     wk: np.ndarray
+    wk_raw: np.ndarray = None
+    # f64 host-built radial tables of the monodisperse real-space scalars —
+    # the float32 path MUST interpolate these: the closed forms evaluate
+    # J-combination second differences whose cancellation is catastrophic in
+    # f32 at r >> a (measured: the f32 closed-form operator carries 1e-2-
+    # level errors that diverge GMRES and break M^{1/2} sampling entirely).
+    r_table: np.ndarray = None
+    A_table: np.ndarray = None
+    B_table: np.ndarray = None
+
+
+def _np_j3(al, xi):
+    from scipy.special import erfc
+
+    e = np.exp(-(al * xi) ** 2)
+    return (np.sqrt(np.pi) * al / (4.0 * xi) * e
+            - np.pi * al**2 / 4.0 * erfc(al * xi))
+
+
+def _np_j5(al, xi):
+    from scipy.special import erf, erfc
+
+    e = np.exp(-(al * xi) ** 2)
+    return (np.pi * al**4 / 48.0 * erfc(al * xi)
+            - np.sqrt(np.pi) * al**3 / (48.0 * xi) * e
+            + np.sqrt(np.pi) * al / (96.0 * xi**3) * e
+            + np.pi / (64.0 * xi**4) * erf(al * xi))
+
+
+def _np_j_odd(j_fn, al, xi):
+    return np.sign(al) * j_fn(np.abs(al), xi)
+
+
+def _build_tables(a, eta, xi, rmax, n=8192, oversample=8):
+    """f64 radial tables of (A, B) on [rmin, rmax] (host, numpy).
+
+    S'/S'' by central differences on an ``oversample``-finer grid —
+    truncation ~ (Δr)² ≈ 1e-8·curvature, far below the f32 target.
+    """
+    m = oversample * n
+    r = np.linspace(rmax / m, rmax, m)
+    c = 1.0 / (8.0 * np.pi**2 * eta * a**2)
+    g3 = (2.0 * _np_j3(r, xi) - _np_j3(r + 2 * a, xi)
+          - _np_j_odd(_np_j3, r - 2 * a, xi))
+    g5 = (2.0 * _np_j5(r, xi) - _np_j5(r + 2 * a, xi)
+          - _np_j_odd(_np_j5, r - 2 * a, xi))
+    s0 = c / r * g3
+    S = c / r * g5
+    sp = np.gradient(S, r)
+    spp = np.gradient(sp, r)
+    A = s0 + sp / r
+    B = spp - sp / r
+    sl = slice(oversample - 1, None, oversample)
+    return r[sl], A[sl], B[sl]
 
 
 def make_params(box, a, eta=1.0, xi=None, tol=1e-6) -> EwaldParams:
@@ -159,10 +229,16 @@ def make_params(box, a, eta=1.0, xi=None, tol=1e-6) -> EwaldParams:
     ka = k * a
     sinc = np.sin(ka) / ka
     H = (1 + k2 / (4 * xi**2)) * np.exp(-k2 / (4 * xi**2))
-    wk = H * sinc**2 / (eta * V * k2)
+    wk_raw = H / (eta * V * k2)
+    wk = wk_raw * sinc**2
+    # table covers every minimum-image distance (half the box diagonal)
+    rmax = 0.5 * float(np.linalg.norm(box)) * 1.001
+    r_t, A_t, B_t = _build_tables(float(a), float(eta), xi, rmax)
     return EwaldParams(box=box, a=float(a), eta=float(eta), xi=xi,
                        kvecs=kvecs.astype(np.float64),
-                       wk=wk.astype(np.float64))
+                       wk=wk.astype(np.float64),
+                       wk_raw=wk_raw.astype(np.float64),
+                       r_table=r_t, A_table=A_t, B_table=B_t)
 
 
 def _wrap3(d, box):
@@ -173,10 +249,11 @@ def _wrap3(d, box):
     return jnp.stack([dx, dy, dz], axis=-1)
 
 
-def real_space_apply(F, r, params: EwaldParams, row_tile=512):
+def real_space_apply(F, r, params: EwaldParams, row_tile=512, radii=None):
     """Streamed U_real = Σ_{j≠i} [A·I + B·r̂r̂]·F_j with 3-D minimum image.
 
     No cutoff mask: A, B ≤ tol beyond min(L)/2 by the ξ choice.
+    radii: optional (N,) per-blob physical radii (polydisperse, exact).
     """
     dtype = r.dtype
     n = r.shape[0]
@@ -188,6 +265,10 @@ def real_space_apply(F, r, params: EwaldParams, row_tile=512):
     n_pad = n_tiles * tile
     r_pad = jnp.pad(r, ((0, n_pad - n), (0, 0)))
     ids = jnp.arange(n_pad, dtype=jnp.int32)
+    poly = radii is not None
+    if poly:
+        rad = jnp.asarray(radii, dtype)
+        rad_pad = jnp.pad(rad, (0, n_pad - n), constant_values=1.0)
 
     def tile_fn(start):
         ri = lax.dynamic_slice(r_pad, (start, jnp.int32(0)), (tile, 3))
@@ -196,7 +277,23 @@ def real_space_apply(F, r, params: EwaldParams, row_tile=512):
         r2 = jnp.sum(d * d, axis=-1)
         self_mask = rid[:, None] == ids[None, :n]
         rr = jnp.sqrt(jnp.where(self_mask, 1.0, jnp.maximum(r2, 1e-24)))
-        A, B = real_space_ab(rr, a, xi, eta)
+        if poly:
+            ai = lax.dynamic_slice(rad_pad, (start,), (tile,))[:, None]
+            A, B = real_space_ab(rr, a, xi, eta, ai=ai, aj=rad[None, :])
+        elif dtype == jnp.float32:
+            # f32 MUST use the f64-built tables (see EwaldParams note)
+            rt = jnp.asarray(params.r_table, dtype)
+            At = jnp.asarray(params.A_table, dtype)
+            Bt = jnp.asarray(params.B_table, dtype)
+            npts = rt.shape[0]
+            dr_inv = (npts - 1) / (rt[-1] - rt[0])
+            x = jnp.clip((rr - rt[0]) * dr_inv, 0.0, npts - 1.001)
+            i0 = x.astype(jnp.int32)
+            f = x - i0
+            A = jnp.take(At, i0) * (1.0 - f) + jnp.take(At, i0 + 1) * f
+            B = jnp.take(Bt, i0) * (1.0 - f) + jnp.take(Bt, i0 + 1) * f
+        else:
+            A, B = real_space_ab(rr, a, xi, eta)
         A = jnp.where(self_mask, 0.0, A)
         B = jnp.where(self_mask, 0.0, B)
         e = d / rr[..., None]
@@ -212,20 +309,31 @@ def real_space_apply(F, r, params: EwaldParams, row_tile=512):
     return U[:n]
 
 
-def wave_space_apply(F, r, params: EwaldParams):
+def wave_space_apply(F, r, params: EwaldParams, radii=None):
     """U_wave = Σ_{k≠0} w(k)(I − k̂k̂) e^{ik·(r_i−r_j)} F_j as MXU matmuls.
 
     Phases: C/S = cos/sin(r·kᵀ) (N, K); the k-sum includes the i=j term
     (the wave part of the self mobility) — the full Ewald identity is
     M_per = M_real(pairs) + A_self·I(self) + M_wave(everything).
+    radii: polydisperse — per-blob sinc(|k|aᵢ) weights fold into the
+    spread/interpolate phases (wk_raw carries the weight without sinc²).
     """
     dtype = r.dtype
     kv = jnp.asarray(params.kvecs, dtype)      # (K, 3)
-    wk = jnp.asarray(params.wk, dtype)         # (K,)
+    if radii is None:
+        wk = jnp.asarray(params.wk, dtype)     # (K,)
+    else:
+        wk = jnp.asarray(params.wk_raw, dtype)
     khat = kv / jnp.linalg.norm(kv, axis=1, keepdims=True)
     theta = r @ kv.T                           # (N, K)
     C = jnp.cos(theta)
     S = jnp.sin(theta)
+    if radii is not None:
+        ka = jnp.linalg.norm(kv, axis=1)[None, :] * jnp.asarray(
+            radii, dtype)[:, None]             # (N, K)
+        sinc = jnp.sin(ka) / ka
+        C = C * sinc
+        S = S * sinc
     ReF = C.T @ F                              # (K, 3) = Re Σ e^{-ikr} F
     ImF = -(S.T @ F)
     # transverse projection + weight
@@ -234,33 +342,38 @@ def wave_space_apply(F, r, params: EwaldParams):
     return C @ ReP - S @ ImP
 
 
-def mobility_apply(F, r, params: EwaldParams, row_tile=512):
-    """Full periodic RPY product U = M_per(r)·F, SPD by construction."""
+def mobility_apply(F, r, params: EwaldParams, row_tile=512, radii=None):
+    """Full periodic RPY product U = M_per(r)·F, SPD by construction.
+
+    radii: optional (N,) per-blob physical radii — exact polydisperse
+    periodic RPY (sinc(kaᵢ)sinc(kaⱼ) symbol; real-space shifts r±(aᵢ∓aⱼ)).
+    """
     r = jnp.asarray(r).reshape(-1, 3)
     F = jnp.asarray(F, r.dtype).reshape(-1, 3)
     dtype = r.dtype
-    a = jnp.asarray(params.a, dtype)
     xi = jnp.asarray(params.xi, dtype)
     eta = jnp.asarray(params.eta, dtype)
-    U = real_space_apply(F, r, params, row_tile=row_tile)
-    U = U + self_coeff(a, xi, eta) * F
-    U = U + wave_space_apply(F, r, params)
+    a_self = (jnp.asarray(params.a, dtype) if radii is None
+              else jnp.asarray(radii, dtype)[:, None])
+    U = real_space_apply(F, r, params, row_tile=row_tile, radii=radii)
+    U = U + self_coeff(a_self, xi, eta) * F
+    U = U + wave_space_apply(F, r, params, radii=radii)
     return U
 
 
-def mobility_apply_multi(Fs, r, params: EwaldParams, row_tile=512):
+def mobility_apply_multi(Fs, r, params: EwaldParams, row_tile=512, radii=None):
     """Multi-RHS variant (k, N, 3) — vmapped (the pair fields are not yet
     shared across RHS; adequate for the 2-RHS noise fusion at current N)."""
-    return jax.vmap(lambda F: mobility_apply(F, r, params,
-                                             row_tile=row_tile))(Fs)
+    return jax.vmap(lambda F: mobility_apply(F, r, params, row_tile=row_tile,
+                                             radii=radii))(Fs)
 
 
-def mobility_matrix(r, params: EwaldParams):
+def mobility_matrix(r, params: EwaldParams, radii=None):
     """Dense (3N, 3N) periodic mobility — tests/PC blocks only."""
     r = jnp.asarray(r).reshape(-1, 3)
     n = r.shape[0]
     eye = jnp.eye(3 * n, dtype=r.dtype)
-    cols = jax.vmap(lambda e: mobility_apply(e.reshape(n, 3), r,
-                                             params).reshape(-1),
+    cols = jax.vmap(lambda e: mobility_apply(e.reshape(n, 3), r, params,
+                                             radii=radii).reshape(-1),
                     in_axes=1, out_axes=1)(eye)
     return cols

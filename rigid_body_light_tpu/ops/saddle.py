@@ -130,11 +130,6 @@ def mobility_apply_fn(cfg: SimulationConfig, radii=None):
 def _ewald_apply_fn(cfg: SimulationConfig, radii, multi: bool):
     from rigid_body_light_tpu.ops import ewald
 
-    if radii is not None:
-        raise NotImplementedError(
-            "polydisperse radii are not supported with a triply-periodic "
-            "(Ewald) box yet"
-        )
     params = ewald.make_params(
         cfg.box, cfg.a, cfg.eta,
         xi=cfg.ewald_xi if cfg.ewald_xi > 0 else None, tol=cfg.ewald_tol,
@@ -142,13 +137,13 @@ def _ewald_apply_fn(cfg: SimulationConfig, radii, multi: bool):
     if multi:
         def apply_multi(Fs, r):
             return ewald.mobility_apply_multi(
-                Fs, r, params, row_tile=cfg.matvec_row_tile)
+                Fs, r, params, row_tile=cfg.matvec_row_tile, radii=radii)
 
         return apply_multi
 
     def apply(F, r):
         return ewald.mobility_apply(F, r, params,
-                                    row_tile=cfg.matvec_row_tile)
+                                    row_tile=cfg.matvec_row_tile, radii=radii)
 
     return apply
 

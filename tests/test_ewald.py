@@ -193,3 +193,49 @@ def test_periodic_gibbs_boltzmann_equilibrium():
     # measured (round 3): +1.4% at this config; ~160 correlation times
     assert abs(mean_r2 - pred) / pred < 0.08, (mean_r2, pred)
     assert np.asarray(traj["residual"]).max() < 1e-5
+
+
+def test_polydisperse_ewald():
+    """Polydisperse periodic RPY: sinc(ka_i)sinc(ka_j) symbol — equal-radii
+    reduction exact, xi-independent, per-radius Hasimoto self mobility, and
+    far pairs in a big box match the open-domain Zuk tensor to O(1/L)."""
+    rng = np.random.default_rng(5)
+    n = 12
+    r = jnp.asarray(rng.uniform(0, BOX[0], (n, 3)))
+    F = jnp.asarray(rng.standard_normal((n, 3)))
+    radii = jnp.asarray(rng.uniform(0.15, 0.5, (n,)))
+
+    p = ewald.make_params(BOX, A, ETA, tol=1e-9)
+    U0 = np.asarray(ewald.mobility_apply(F, r, p))
+    U1 = np.asarray(ewald.mobility_apply(F, r, p, radii=jnp.full((n,), A)))
+    np.testing.assert_allclose(U1, U0, atol=1e-14)
+
+    outs = []
+    for xi in (0.744, 1.1):
+        pp = ewald.make_params(BOX, A, ETA, xi=xi, tol=1e-9)
+        outs.append(np.asarray(ewald.mobility_apply(F, r, pp, radii=radii)))
+    assert np.abs(outs[0] - outs[1]).max() / np.abs(outs[1]).max() < 1e-6
+
+    L = 30.0
+    pp = ewald.make_params((L, L, L), A, ETA, tol=1e-9)
+    for av in (0.15, 0.4):
+        U = ewald.mobility_apply(jnp.asarray([[0.0, 0, 1.0]]),
+                                 jnp.asarray([[2.0, 3.0, 4.0]]), pp,
+                                 radii=jnp.asarray([av]))
+        mu = float(np.asarray(U)[0, 2])
+        pred = (1 / (6 * np.pi * ETA * av)
+                - 2.837297 / (6 * np.pi * ETA * L))
+        assert abs(mu - pred) / pred < 3e-5
+
+    # close pair in a big box vs the (oracle-validated) open-domain tensor
+    from rigid_body_light_tpu.ops import rpy
+    Lb = 120.0
+    pb = ewald.make_params((Lb, Lb, Lb), A, ETA, tol=1e-7)
+    r2 = jnp.asarray([[0.0, 0, 0], [1.1, 0.4, 0.2]])
+    rad2 = jnp.asarray([0.2, 0.45])
+    Mp = np.asarray(ewald.mobility_matrix(r2, pb, radii=rad2))
+    Mo = np.asarray(rpy.mobility_matrix(r2, a=A, eta=ETA, wall=False,
+                                        radii=rad2))
+    # periodic corrections are O(1/L) ~ 1e-3 absolute at this scale
+    np.testing.assert_allclose(Mp, Mo, atol=2.5e-3)
+    assert np.linalg.eigvalsh((Mp + Mp.T) / 2).min() > 0
