@@ -177,19 +177,24 @@ def _np_j_odd(j_fn, al, xi):
     return np.sign(al) * j_fn(np.abs(al), xi)
 
 
-def _build_tables(a, eta, xi, rmax, n=8192, oversample=8):
+def _build_tables(a, eta, xi, rmax, n=8192, oversample=8, ai=None, aj=None):
     """f64 radial tables of (A, B) on [rmin, rmax] (host, numpy).
 
     S'/S'' by central differences on an ``oversample``-finer grid —
     truncation ~ (Δr)² ≈ 1e-8·curvature, far below the f32 target.
+    ai, aj: per-pair radii (polydisperse); default is the monodisperse
+    ``a`` (the poly shifts r±(ai−aj), r±(ai+aj) reduce to it exactly).
     """
     m = oversample * n
     r = np.linspace(rmax / m, rmax, m)
-    c = 1.0 / (8.0 * np.pi**2 * eta * a**2)
-    g3 = (2.0 * _np_j3(r, xi) - _np_j3(r + 2 * a, xi)
-          - _np_j_odd(_np_j3, r - 2 * a, xi))
-    g5 = (2.0 * _np_j5(r, xi) - _np_j5(r + 2 * a, xi)
-          - _np_j_odd(_np_j5, r - 2 * a, xi))
+    if ai is None:
+        ai = aj = a
+    c = 1.0 / (8.0 * np.pi**2 * eta * ai * aj)
+    d, sm = ai - aj, ai + aj
+    g3 = (_np_j_odd(_np_j3, r + d, xi) + _np_j_odd(_np_j3, r - d, xi)
+          - _np_j3(r + sm, xi) - _np_j_odd(_np_j3, r - sm, xi))
+    g5 = (_np_j_odd(_np_j5, r + d, xi) + _np_j_odd(_np_j5, r - d, xi)
+          - _np_j5(r + sm, xi) - _np_j_odd(_np_j5, r - sm, xi))
     s0 = c / r * g3
     S = c / r * g5
     sp = np.gradient(S, r)
@@ -198,6 +203,49 @@ def _build_tables(a, eta, xi, rmax, n=8192, oversample=8):
     B = spp - sp / r
     sl = slice(oversample - 1, None, oversample)
     return r[sl], A[sl], B[sl]
+
+
+class PolyTables(NamedTuple):
+    """Species-pair f64 radial tables for the float32 polydisperse path.
+
+    The f32 closed forms are unusable (same catastrophic J-cascade
+    cancellation as monodisperse — see ``EwaldParams``), so each unique
+    (aᵢ, aⱼ) radius pair gets its own host-built f64 table; blobs carry an
+    int species index and pairs gather from the (S², npts) stack.
+    """
+
+    sidx: np.ndarray       # (N,) int32 species index per blob
+    n_species: int
+    r_table: np.ndarray    # (npts,) shared radial grid
+    A_tables: np.ndarray   # (S², npts)
+    B_tables: np.ndarray
+
+
+def make_poly_tables(params: "EwaldParams", radii) -> PolyTables:
+    """Build per-species-pair (A, B) tables for concrete per-blob radii."""
+    try:
+        rad = np.asarray(radii, np.float64)
+    except Exception as e:  # jax tracer — cannot build tables at trace time
+        raise TypeError(
+            "float32 polydisperse Ewald needs concrete per-blob radii to "
+            "build f64 pair tables (or pass poly_tables=make_poly_tables(...) "
+            "built outside the trace, or use float64)"
+        ) from e
+    uniq, sidx = np.unique(rad, return_inverse=True)
+    S = len(uniq)
+    rmax = 0.5 * float(np.linalg.norm(params.box)) * 1.001
+    A_all, B_all = [], []
+    r_t = None
+    for i in range(S):
+        for j in range(S):
+            r_t, A_t, B_t = _build_tables(
+                params.a, params.eta, params.xi, rmax,
+                ai=float(uniq[i]), aj=float(uniq[j]))
+            A_all.append(A_t)
+            B_all.append(B_t)
+    return PolyTables(sidx=sidx.astype(np.int32), n_species=S,
+                      r_table=r_t, A_tables=np.stack(A_all),
+                      B_tables=np.stack(B_all))
 
 
 def make_params(box, a, eta=1.0, xi=None, tol=1e-6) -> EwaldParams:
@@ -249,11 +297,15 @@ def _wrap3(d, box):
     return jnp.stack([dx, dy, dz], axis=-1)
 
 
-def real_space_apply(F, r, params: EwaldParams, row_tile=512, radii=None):
+def real_space_apply(F, r, params: EwaldParams, row_tile=512, radii=None,
+                     poly_tables: PolyTables = None):
     """Streamed U_real = Σ_{j≠i} [A·I + B·r̂r̂]·F_j with 3-D minimum image.
 
     No cutoff mask: A, B ≤ tol beyond min(L)/2 by the ξ choice.
     radii: optional (N,) per-blob physical radii (polydisperse, exact).
+    In float32 the polydisperse scalars come from species-pair f64 tables
+    (built on the fly from concrete radii unless ``poly_tables`` is given)
+    — the closed forms are mono/poly alike unusable in f32.
     """
     dtype = r.dtype
     n = r.shape[0]
@@ -269,6 +321,15 @@ def real_space_apply(F, r, params: EwaldParams, row_tile=512, radii=None):
     if poly:
         rad = jnp.asarray(radii, dtype)
         rad_pad = jnp.pad(rad, (0, n_pad - n), constant_values=1.0)
+        if dtype == jnp.float32 and poly_tables is None:
+            poly_tables = make_poly_tables(params, radii)
+
+    def _lerp_idx(rt, rr):
+        npts = rt.shape[0]
+        dr_inv = (npts - 1) / (rt[-1] - rt[0])
+        x = jnp.clip((rr - rt[0]) * dr_inv, 0.0, npts - 1.001)
+        i0 = x.astype(jnp.int32)
+        return i0, x - i0
 
     def tile_fn(start):
         ri = lax.dynamic_slice(r_pad, (start, jnp.int32(0)), (tile, 3))
@@ -277,7 +338,21 @@ def real_space_apply(F, r, params: EwaldParams, row_tile=512, radii=None):
         r2 = jnp.sum(d * d, axis=-1)
         self_mask = rid[:, None] == ids[None, :n]
         rr = jnp.sqrt(jnp.where(self_mask, 1.0, jnp.maximum(r2, 1e-24)))
-        if poly:
+        if poly and dtype == jnp.float32:
+            pt = poly_tables
+            rt = jnp.asarray(pt.r_table, dtype)
+            At = jnp.asarray(pt.A_tables, dtype).reshape(-1)
+            Bt = jnp.asarray(pt.B_tables, dtype).reshape(-1)
+            npts = pt.r_table.shape[0]
+            sidx = jnp.asarray(pt.sidx, jnp.int32)
+            sidx_pad = jnp.pad(sidx, (0, n_pad - n))
+            si = lax.dynamic_slice(sidx_pad, (start,), (tile,))[:, None]
+            pair = (si * pt.n_species + sidx[None, :n]) * npts
+            i0, f = _lerp_idx(rt, rr)
+            idx = pair + i0
+            A = jnp.take(At, idx) * (1.0 - f) + jnp.take(At, idx + 1) * f
+            B = jnp.take(Bt, idx) * (1.0 - f) + jnp.take(Bt, idx + 1) * f
+        elif poly:
             ai = lax.dynamic_slice(rad_pad, (start,), (tile,))[:, None]
             A, B = real_space_ab(rr, a, xi, eta, ai=ai, aj=rad[None, :])
         elif dtype == jnp.float32:
@@ -285,11 +360,7 @@ def real_space_apply(F, r, params: EwaldParams, row_tile=512, radii=None):
             rt = jnp.asarray(params.r_table, dtype)
             At = jnp.asarray(params.A_table, dtype)
             Bt = jnp.asarray(params.B_table, dtype)
-            npts = rt.shape[0]
-            dr_inv = (npts - 1) / (rt[-1] - rt[0])
-            x = jnp.clip((rr - rt[0]) * dr_inv, 0.0, npts - 1.001)
-            i0 = x.astype(jnp.int32)
-            f = x - i0
+            i0, f = _lerp_idx(rt, rr)
             A = jnp.take(At, i0) * (1.0 - f) + jnp.take(At, i0 + 1) * f
             B = jnp.take(Bt, i0) * (1.0 - f) + jnp.take(Bt, i0 + 1) * f
         else:
@@ -342,7 +413,8 @@ def wave_space_apply(F, r, params: EwaldParams, radii=None):
     return C @ ReP - S @ ImP
 
 
-def mobility_apply(F, r, params: EwaldParams, row_tile=512, radii=None):
+def mobility_apply(F, r, params: EwaldParams, row_tile=512, radii=None,
+                   poly_tables: PolyTables = None):
     """Full periodic RPY product U = M_per(r)·F, SPD by construction.
 
     radii: optional (N,) per-blob physical radii — exact polydisperse
@@ -355,25 +427,31 @@ def mobility_apply(F, r, params: EwaldParams, row_tile=512, radii=None):
     eta = jnp.asarray(params.eta, dtype)
     a_self = (jnp.asarray(params.a, dtype) if radii is None
               else jnp.asarray(radii, dtype)[:, None])
-    U = real_space_apply(F, r, params, row_tile=row_tile, radii=radii)
+    U = real_space_apply(F, r, params, row_tile=row_tile, radii=radii,
+                         poly_tables=poly_tables)
     U = U + self_coeff(a_self, xi, eta) * F
     U = U + wave_space_apply(F, r, params, radii=radii)
     return U
 
 
-def mobility_apply_multi(Fs, r, params: EwaldParams, row_tile=512, radii=None):
+def mobility_apply_multi(Fs, r, params: EwaldParams, row_tile=512, radii=None,
+                         poly_tables: PolyTables = None):
     """Multi-RHS variant (k, N, 3) — vmapped (the pair fields are not yet
     shared across RHS; adequate for the 2-RHS noise fusion at current N)."""
     return jax.vmap(lambda F: mobility_apply(F, r, params, row_tile=row_tile,
-                                             radii=radii))(Fs)
+                                             radii=radii,
+                                             poly_tables=poly_tables))(Fs)
 
 
-def mobility_matrix(r, params: EwaldParams, radii=None):
+def mobility_matrix(r, params: EwaldParams, radii=None,
+                    poly_tables: PolyTables = None):
     """Dense (3N, 3N) periodic mobility — tests/PC blocks only."""
     r = jnp.asarray(r).reshape(-1, 3)
     n = r.shape[0]
     eye = jnp.eye(3 * n, dtype=r.dtype)
     cols = jax.vmap(lambda e: mobility_apply(e.reshape(n, 3), r, params,
-                                             radii=radii).reshape(-1),
+                                             radii=radii,
+                                             poly_tables=poly_tables
+                                             ).reshape(-1),
                     in_axes=1, out_axes=1)(eye)
     return cols

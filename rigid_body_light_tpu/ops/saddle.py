@@ -134,16 +134,22 @@ def _ewald_apply_fn(cfg: SimulationConfig, radii, multi: bool):
         cfg.box, cfg.a, cfg.eta,
         xi=cfg.ewald_xi if cfg.ewald_xi > 0 else None, tol=cfg.ewald_tol,
     )
+    # build the f32 polydisperse species-pair tables once per closure (radii
+    # here are concrete species constants, never tracers)
+    pt = (ewald.make_poly_tables(params, radii)
+          if radii is not None and cfg.dtype == jnp.float32 else None)
     if multi:
         def apply_multi(Fs, r):
             return ewald.mobility_apply_multi(
-                Fs, r, params, row_tile=cfg.matvec_row_tile, radii=radii)
+                Fs, r, params, row_tile=cfg.matvec_row_tile, radii=radii,
+                poly_tables=pt)
 
         return apply_multi
 
     def apply(F, r):
         return ewald.mobility_apply(F, r, params,
-                                    row_tile=cfg.matvec_row_tile, radii=radii)
+                                    row_tile=cfg.matvec_row_tile, radii=radii,
+                                    poly_tables=pt)
 
     return apply
 

@@ -239,3 +239,105 @@ def test_polydisperse_ewald():
     # periodic corrections are O(1/L) ~ 1e-3 absolute at this scale
     np.testing.assert_allclose(Mp, Mo, atol=2.5e-3)
     assert np.linalg.eigvalsh((Mp + Mp.T) / 2).min() > 0
+
+
+def test_f32_polydisperse_tables():
+    """f32 polydisperse real-space scalars come from species-pair f64
+    tables — the closed forms' J-cascade cancellation is catastrophic in
+    f32 (measured ~1e-2 operator errors that ran BD diffusion 11x hot).
+    The table path must track the f64 closed forms to f32 round-off and
+    stay SPD; a tracer-radii f32 call without prebuilt tables must raise."""
+    rng = np.random.default_rng(11)
+    n = 40
+    r = rng.uniform(0, BOX[0], (n, 3))
+    F = rng.standard_normal((n, 3))
+    radii = np.where(rng.random(n) < 0.5, 0.146, 0.244)
+    p = ewald.make_params(BOX, A, ETA, tol=1e-6)
+
+    U64 = np.asarray(ewald.mobility_apply(jnp.asarray(F), jnp.asarray(r), p,
+                                          radii=jnp.asarray(radii)))
+    U32 = np.asarray(ewald.mobility_apply(
+        jnp.asarray(F, jnp.float32), jnp.asarray(r, jnp.float32), p,
+        radii=jnp.asarray(radii, jnp.float32)))
+    rel = np.abs(U32 - U64).max() / np.abs(U64).max()
+    assert rel < 1e-5, rel
+
+    M32 = np.asarray(ewald.mobility_matrix(
+        jnp.asarray(r[:14], jnp.float32), p,
+        radii=jnp.asarray(radii[:14], jnp.float32)))
+    assert np.abs(M32 - M32.T).max() / np.abs(M32).max() < 1e-6
+    assert np.linalg.eigvalsh((M32 + M32.T) / 2).min() > 0
+
+    # prebuilt tables thread through jit; tracer radii without them raise
+    pt = ewald.make_poly_tables(p, radii)
+    fn = jax.jit(lambda Fj, rj: ewald.mobility_apply(
+        Fj, rj, p, radii=jnp.asarray(radii, jnp.float32), poly_tables=pt))
+    U32j = np.asarray(fn(jnp.asarray(F, jnp.float32),
+                         jnp.asarray(r, jnp.float32)))
+    np.testing.assert_allclose(U32j, U32, atol=1e-6)
+    with pytest.raises(TypeError, match="concrete"):
+        jax.jit(lambda rad: ewald.mobility_apply(
+            jnp.asarray(F, jnp.float32), jnp.asarray(r, jnp.float32), p,
+            radii=rad))(jnp.asarray(radii, jnp.float32))
+
+
+def test_f32_poly_stepper_covariance():
+    """One-step rigid displacement covariance of the f32 polydisperse
+    periodic stepper matches 2·kBT·dt·N (N from the f64 deterministic
+    solve) — the end-to-end fluctuation–dissipation pin for the path the
+    broken f32 closed forms used to blow up."""
+    from rigid_body_light_tpu import multi
+
+    _, cfg_small = load_structure("shell_N_12")
+    cfg = SimulationConfig(a=0.3, eta=ETA, dt=0.004, kBT=0.4, box=BOX,
+                           dtype=jnp.float32, lanczos_iters=12,
+                           gmres_tol=1e-5, pc_mode="block_free",
+                           use_pallas=False)
+    mgeom = multi.MultiGeometry.create([cfg_small, cfg_small * 0.5],
+                                       dtype=jnp.float32,
+                                       radii=[None, 0.18])
+    states = (make_state(np.array([[2.0, 2.0, 2.0]]),
+                         np.array([[1.0, 0, 0, 0]]), dtype=jnp.float32),
+              make_state(np.array([[7.0, 7.0, 7.0]]),
+                         np.array([[1.0, 0, 0, 0]]), dtype=jnp.float32))
+
+    zero_f = tuple(jnp.zeros((1, 6), jnp.float32) for _ in states)
+
+    def one(key):
+        sts, aux = multi.stochastic_step_multi(mgeom, cfg, states, key,
+                                               zero_f)
+        return jnp.concatenate([sts[0].X - states[0].X,
+                                sts[1].X - states[1].X], axis=0)
+
+    n_samp = 384
+    dX = np.asarray(jax.vmap(one)(jax.random.split(jax.random.key(7),
+                                                   n_samp)))
+    var = (dX ** 2).mean(axis=0)          # (2, 3) per-body displacement var
+
+    # f64 per-body mobility DIAGONAL: force ONE body at a time (forcing both
+    # at once would fold the cross-mobility N_01 — negative periodic
+    # backflow — into the prediction, which the per-body variance excludes)
+    cfg64 = cfg.replace(dtype=jnp.float64, gmres_tol=1e-9)
+    mgeom64 = multi.MultiGeometry.create([cfg_small, cfg_small * 0.5],
+                                         dtype=jnp.float64,
+                                         radii=[None, 0.18])
+    states64 = tuple(make_state(np.asarray(s.X), np.asarray(s.Q),
+                                dtype=jnp.float64) for s in states)
+    mu = np.zeros((2, 3))
+    for body in range(2):
+        for axis in range(3):
+            forces = tuple(
+                jnp.zeros((1, 6), jnp.float64).at[:, axis].set(
+                    1.0 if s == body else 0.0)
+                for s in range(2))
+            res = multi.solve_saddle_multi(mgeom64, cfg64, states64, None,
+                                           forces)
+            mu[body, axis] = float(res.Us[body][0, axis])
+    pred = 2 * cfg.kBT * cfg.dt * mu                 # (2, 3)
+    # per-body mean over components: sampling σ ≈ √(2/(3·384)) ≈ 4%; the
+    # 12% gate is ~3σ yet catches the old broken-f32 path (11x hot) cold.
+    # (Deterministic key: variance estimates are χ²-skewed — a 3σ-high draw
+    # was observed at other seeds, so this is a pinned-sample regression
+    # gate, not an ensemble guarantee.)
+    ratio = (var / pred).mean(axis=1)
+    assert np.abs(ratio - 1).max() < 0.12, (var, pred, ratio)
