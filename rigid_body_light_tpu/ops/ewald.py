@@ -136,6 +136,15 @@ class EwaldParams(NamedTuple):
     wk: (K,) positive wave weights H(k)·sinc²(ka)/(η V k²).
     wk_raw: (K,) the same without the sinc² factor — the polydisperse path
       applies per-blob sinc(|k|aᵢ) weights at spread/interpolate instead.
+    cheb_bounds/cheb_A/cheb_B: host-fitted f64 piecewise-Chebyshev
+      representation of the monodisperse real-space scalars — the float32
+      path MUST evaluate these instead of the closed forms: the closed
+      forms take J-combination differences whose cancellation is
+      catastrophic in f32 (measured: ~1e-2 operator errors that diverge
+      GMRES and break M^{1/2} sampling entirely).  Chebyshev (not a lookup
+      table): Clenshaw is a pure FMA chain the VPU runs at full rate,
+      while the 8k-entry table gather this replaces both lowered poorly
+      and reproducibly kernel-faulted the TPU runtime.
     """
 
     box: tuple
@@ -145,14 +154,9 @@ class EwaldParams(NamedTuple):
     kvecs: np.ndarray
     wk: np.ndarray
     wk_raw: np.ndarray = None
-    # f64 host-built radial tables of the monodisperse real-space scalars —
-    # the float32 path MUST interpolate these: the closed forms evaluate
-    # J-combination second differences whose cancellation is catastrophic in
-    # f32 at r >> a (measured: the f32 closed-form operator carries 1e-2-
-    # level errors that diverge GMRES and break M^{1/2} sampling entirely).
-    r_table: np.ndarray = None
-    A_table: np.ndarray = None
-    B_table: np.ndarray = None
+    cheb_bounds: np.ndarray = None   # (4,) segment edges
+    cheb_A: np.ndarray = None        # (3, D+1) per-segment coefficients
+    cheb_B: np.ndarray = None
 
 
 def _np_j3(al, xi):
@@ -177,75 +181,132 @@ def _np_j_odd(j_fn, al, xi):
     return np.sign(al) * j_fn(np.abs(al), xi)
 
 
-def _build_tables(a, eta, xi, rmax, n=8192, oversample=8, ai=None, aj=None):
-    """f64 radial tables of (A, B) on [rmin, rmax] (host, numpy).
+_CHEB_DEG = 48     # fit degree per segment (long-segment fit ≈ 4e-9 abs)
+_CHEB_DEG_S = 96   # degree of the intermediate S-series (derivative source)
 
-    S'/S'' by central differences on an ``oversample``-finer grid —
-    truncation ~ (Δr)² ≈ 1e-8·curvature, far below the f32 target.
-    ai, aj: per-pair radii (polydisperse); default is the monodisperse
-    ``a`` (the poly shifts r±(ai−aj), r±(ai+aj) reduce to it exactly).
+
+def _fit_pair_cheb(eta, xi, rmax, ai, aj, deg=_CHEB_DEG, deg_s=_CHEB_DEG_S):
+    """Host f64 piecewise-Chebyshev fit of A(r), B(r) for one radius pair.
+
+    Segments split at the kink radii r = |aᵢ−aⱼ| and r = aᵢ+aⱼ (the
+    α|α|-type terms of the odd J-extension make the scalars non-smooth
+    exactly there).  S', S'' come from differentiating a degree-``deg_s``
+    Chebyshev series of S analytically (``chebder``) — no finite-difference
+    noise, unlike a gradient-on-grid table build.
+
+    Returns bounds (4,), coefA (3, deg+1), coefB (3, deg+1).
     """
-    m = oversample * n
-    r = np.linspace(rmax / m, rmax, m)
-    if ai is None:
-        ai = aj = a
+    cheb = np.polynomial.chebyshev
     c = 1.0 / (8.0 * np.pi**2 * eta * ai * aj)
     d, sm = ai - aj, ai + aj
-    g3 = (_np_j_odd(_np_j3, r + d, xi) + _np_j_odd(_np_j3, r - d, xi)
-          - _np_j3(r + sm, xi) - _np_j_odd(_np_j3, r - sm, xi))
-    g5 = (_np_j_odd(_np_j5, r + d, xi) + _np_j_odd(_np_j5, r - d, xi)
-          - _np_j5(r + sm, xi) - _np_j_odd(_np_j5, r - sm, xi))
-    s0 = c / r * g3
-    S = c / r * g5
-    sp = np.gradient(S, r)
-    spp = np.gradient(sp, r)
-    A = s0 + sp / r
-    B = spp - sp / r
-    sl = slice(oversample - 1, None, oversample)
-    return r[sl], A[sl], B[sl]
+
+    def g(r, j_fn):
+        return (_np_j_odd(j_fn, r + d, xi) + _np_j_odd(j_fn, r - d, xi)
+                - j_fn(r + sm, xi) - _np_j_odd(j_fn, r - sm, xi))
+
+    rlo = 0.05 * min(ai, aj)   # below: clamp (A,B smooth and ~flat at 0)
+    edges = [rlo, max(abs(d), rlo * (1 + 1e-9)), sm, rmax]
+    edges = list(np.maximum.accumulate(edges))
+    coefA, coefB = [], []
+    for seg in range(3):
+        lo, hi = edges[seg], edges[seg + 1]
+        if hi <= lo * (1 + 1e-9):   # degenerate (equal radii): never chosen
+            hi = lo * (1 + 1e-6)
+        ks = np.arange(deg_s + 1)
+        xs = np.cos(np.pi * (ks + 0.5) / (deg_s + 1))
+        rs = lo + (hi - lo) * (xs + 1) / 2
+        cS = cheb.chebfit(xs, c / rs * g(rs, _np_j5), deg_s)
+        scale = 2.0 / (hi - lo)
+        cSp = cheb.chebder(cS) * scale
+        cSpp = cheb.chebder(cSp) * scale
+        kf = np.arange(deg + 1)
+        xf = np.cos(np.pi * (kf + 0.5) / (deg + 1))
+        rf = lo + (hi - lo) * (xf + 1) / 2
+        sp = cheb.chebval(xf, cSp)
+        spp = cheb.chebval(xf, cSpp)
+        s0 = c / rf * g(rf, _np_j3)
+        coefA.append(cheb.chebfit(xf, s0 + sp / rf, deg))
+        coefB.append(cheb.chebfit(xf, spp - sp / rf, deg))
+    return (np.asarray(edges), np.stack(coefA), np.stack(coefB))
+
+
+def _cheb_ab(rr, bounds, coefA, coefB):
+    """Evaluate the piecewise fit elementwise (jittable, gather-free).
+
+    Segment choice and per-slot coefficient picks are 3-way selects on
+    broadcast scalars; the two Clenshaw recurrences are FMA chains — XLA
+    fuses the whole thing into the surrounding pair sweep.
+    """
+    dtype = rr.dtype
+    b = [jnp.asarray(float(v), dtype) for v in bounds]
+    in1 = rr >= b[1]
+    in2 = rr >= b[2]
+    lo = jnp.where(in2, b[2], jnp.where(in1, b[1], b[0]))
+    hi = jnp.where(in2, b[3], jnp.where(in1, b[2], b[1]))
+    x = jnp.clip(2.0 * (rr - lo) / (hi - lo) - 1.0, -1.0, 1.0)
+    cA = jnp.asarray(coefA, dtype)
+    cB = jnp.asarray(coefB, dtype)
+
+    def sel(c3):
+        return jnp.where(in2, c3[2], jnp.where(in1, c3[1], c3[0]))
+
+    def clenshaw(coef):
+        two_x = 2.0 * x
+        bk1 = jnp.zeros_like(x)
+        bk2 = jnp.zeros_like(x)
+        for j in range(coef.shape[1] - 1, 0, -1):
+            bk1, bk2 = sel(coef[:, j]) + two_x * bk1 - bk2, bk1
+        return sel(coef[:, 0]) + x * bk1 - bk2
+
+    return clenshaw(cA), clenshaw(cB)
 
 
 class PolyTables(NamedTuple):
-    """Species-pair f64 radial tables for the float32 polydisperse path.
+    """Species-pair Chebyshev fits for the float32 polydisperse path.
 
     The f32 closed forms are unusable (same catastrophic J-cascade
     cancellation as monodisperse — see ``EwaldParams``), so each unique
-    (aᵢ, aⱼ) radius pair gets its own host-built f64 table; blobs carry an
-    int species index and pairs gather from the (S², npts) stack.
+    unordered (aᵢ, aⱼ) radius pair gets its own host-fitted piecewise
+    Chebyshev; blobs carry an int species index and ``pair_map`` assigns
+    each (sᵢ, sⱼ) its fit, applied by masked Clenshaw sweeps (no gather).
     """
 
     sidx: np.ndarray       # (N,) int32 species index per blob
     n_species: int
-    r_table: np.ndarray    # (npts,) shared radial grid
-    A_tables: np.ndarray   # (S², npts)
-    B_tables: np.ndarray
+    pair_map: np.ndarray   # (S, S) int32 → pair-fit index (symmetric)
+    bounds: np.ndarray     # (P, 4)
+    coefA: np.ndarray      # (P, 3, D+1)
+    coefB: np.ndarray
 
 
 def make_poly_tables(params: "EwaldParams", radii) -> PolyTables:
-    """Build per-species-pair (A, B) tables for concrete per-blob radii."""
+    """Build per-species-pair Chebyshev fits for concrete per-blob radii."""
     try:
         rad = np.asarray(radii, np.float64)
-    except Exception as e:  # jax tracer — cannot build tables at trace time
+    except Exception as e:  # jax tracer — cannot fit at trace time
         raise TypeError(
             "float32 polydisperse Ewald needs concrete per-blob radii to "
-            "build f64 pair tables (or pass poly_tables=make_poly_tables(...) "
+            "build f64 pair fits (or pass poly_tables=make_poly_tables(...) "
             "built outside the trace, or use float64)"
         ) from e
     uniq, sidx = np.unique(rad, return_inverse=True)
     S = len(uniq)
     rmax = 0.5 * float(np.linalg.norm(params.box)) * 1.001
-    A_all, B_all = [], []
-    r_t = None
+    pair_map = np.zeros((S, S), np.int32)
+    bounds, coefA, coefB = [], [], []
+    p = 0
     for i in range(S):
-        for j in range(S):
-            r_t, A_t, B_t = _build_tables(
-                params.a, params.eta, params.xi, rmax,
-                ai=float(uniq[i]), aj=float(uniq[j]))
-            A_all.append(A_t)
-            B_all.append(B_t)
+        for j in range(i, S):
+            b, cA, cB = _fit_pair_cheb(params.eta, params.xi, rmax,
+                                       float(uniq[i]), float(uniq[j]))
+            bounds.append(b)
+            coefA.append(cA)
+            coefB.append(cB)
+            pair_map[i, j] = pair_map[j, i] = p
+            p += 1
     return PolyTables(sidx=sidx.astype(np.int32), n_species=S,
-                      r_table=r_t, A_tables=np.stack(A_all),
-                      B_tables=np.stack(B_all))
+                      pair_map=pair_map, bounds=np.stack(bounds),
+                      coefA=np.stack(coefA), coefB=np.stack(coefB))
 
 
 def make_params(box, a, eta=1.0, xi=None, tol=1e-6) -> EwaldParams:
@@ -279,14 +340,14 @@ def make_params(box, a, eta=1.0, xi=None, tol=1e-6) -> EwaldParams:
     H = (1 + k2 / (4 * xi**2)) * np.exp(-k2 / (4 * xi**2))
     wk_raw = H / (eta * V * k2)
     wk = wk_raw * sinc**2
-    # table covers every minimum-image distance (half the box diagonal)
+    # fit covers every minimum-image distance (half the box diagonal)
     rmax = 0.5 * float(np.linalg.norm(box)) * 1.001
-    r_t, A_t, B_t = _build_tables(float(a), float(eta), xi, rmax)
+    b, cA, cB = _fit_pair_cheb(float(eta), xi, rmax, float(a), float(a))
     return EwaldParams(box=box, a=float(a), eta=float(eta), xi=xi,
                        kvecs=kvecs.astype(np.float64),
                        wk=wk.astype(np.float64),
                        wk_raw=wk_raw.astype(np.float64),
-                       r_table=r_t, A_table=A_t, B_table=B_t)
+                       cheb_bounds=b, cheb_A=cA, cheb_B=cB)
 
 
 def _wrap3(d, box):
@@ -303,9 +364,10 @@ def real_space_apply(F, r, params: EwaldParams, row_tile=512, radii=None,
 
     No cutoff mask: A, B ≤ tol beyond min(L)/2 by the ξ choice.
     radii: optional (N,) per-blob physical radii (polydisperse, exact).
-    In float32 the polydisperse scalars come from species-pair f64 tables
-    (built on the fly from concrete radii unless ``poly_tables`` is given)
-    — the closed forms are mono/poly alike unusable in f32.
+    In float32 the scalars come from host-fitted piecewise-Chebyshev
+    representations (species-pair fits for polydisperse, built on the fly
+    from concrete radii unless ``poly_tables`` is given) — the closed
+    forms are mono/poly alike unusable in f32.
     """
     dtype = r.dtype
     n = r.shape[0]
@@ -324,12 +386,7 @@ def real_space_apply(F, r, params: EwaldParams, row_tile=512, radii=None,
         if dtype == jnp.float32 and poly_tables is None:
             poly_tables = make_poly_tables(params, radii)
 
-    def _lerp_idx(rt, rr):
-        npts = rt.shape[0]
-        dr_inv = (npts - 1) / (rt[-1] - rt[0])
-        x = jnp.clip((rr - rt[0]) * dr_inv, 0.0, npts - 1.001)
-        i0 = x.astype(jnp.int32)
-        return i0, x - i0
+    multi_rhs = F.ndim == 3  # (k, N, 3) — shared pair fields across RHS
 
     def tile_fn(start):
         ri = lax.dynamic_slice(r_pad, (start, jnp.int32(0)), (tile, 3))
@@ -339,44 +396,53 @@ def real_space_apply(F, r, params: EwaldParams, row_tile=512, radii=None,
         self_mask = rid[:, None] == ids[None, :n]
         rr = jnp.sqrt(jnp.where(self_mask, 1.0, jnp.maximum(r2, 1e-24)))
         if poly and dtype == jnp.float32:
+            # masked per-pair-type Chebyshev sweeps (see PolyTables)
             pt = poly_tables
-            rt = jnp.asarray(pt.r_table, dtype)
-            At = jnp.asarray(pt.A_tables, dtype).reshape(-1)
-            Bt = jnp.asarray(pt.B_tables, dtype).reshape(-1)
-            npts = pt.r_table.shape[0]
             sidx = jnp.asarray(pt.sidx, jnp.int32)
             sidx_pad = jnp.pad(sidx, (0, n_pad - n))
             si = lax.dynamic_slice(sidx_pad, (start,), (tile,))[:, None]
-            pair = (si * pt.n_species + sidx[None, :n]) * npts
-            i0, f = _lerp_idx(rt, rr)
-            idx = pair + i0
-            A = jnp.take(At, idx) * (1.0 - f) + jnp.take(At, idx + 1) * f
-            B = jnp.take(Bt, idx) * (1.0 - f) + jnp.take(Bt, idx + 1) * f
+            pmap = jnp.asarray(pt.pair_map, jnp.int32)
+            pair = pmap[si, sidx[None, :n]]
+            A = jnp.zeros_like(rr)
+            B = jnp.zeros_like(rr)
+            for p in range(pt.bounds.shape[0]):
+                Ap, Bp = _cheb_ab(rr, pt.bounds[p], pt.coefA[p],
+                                  pt.coefB[p])
+                m = pair == p
+                A = jnp.where(m, Ap, A)
+                B = jnp.where(m, Bp, B)
         elif poly:
             ai = lax.dynamic_slice(rad_pad, (start,), (tile,))[:, None]
             A, B = real_space_ab(rr, a, xi, eta, ai=ai, aj=rad[None, :])
         elif dtype == jnp.float32:
-            # f32 MUST use the f64-built tables (see EwaldParams note)
-            rt = jnp.asarray(params.r_table, dtype)
-            At = jnp.asarray(params.A_table, dtype)
-            Bt = jnp.asarray(params.B_table, dtype)
-            i0, f = _lerp_idx(rt, rr)
-            A = jnp.take(At, i0) * (1.0 - f) + jnp.take(At, i0 + 1) * f
-            B = jnp.take(Bt, i0) * (1.0 - f) + jnp.take(Bt, i0 + 1) * f
+            # f32 MUST use the f64 Chebyshev fit (see EwaldParams note)
+            A, B = _cheb_ab(rr, params.cheb_bounds, params.cheb_A,
+                            params.cheb_B)
         else:
             A, B = real_space_ab(rr, a, xi, eta)
         A = jnp.where(self_mask, 0.0, A)
         B = jnp.where(self_mask, 0.0, B)
         e = d / rr[..., None]
+        if multi_rhs:
+            eF = jnp.einsum("tnx,knx->ktn", e, F)
+            return (jnp.einsum("tn,knx->ktx", A, F)
+                    + jnp.einsum("ktn,tn,tnx->ktx", eF, B, e))
         eF = jnp.einsum("tnx,nx->tn", e, F)
         return (jnp.einsum("tn,nx->tx", A, F)
                 + jnp.einsum("tn,tn,tnx->tx", B, eF, e))
 
     if n_tiles == 1:
         U = tile_fn(jnp.int32(0))
+        if multi_rhs:
+            return U[:, :n]
     else:
         starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile
-        U = lax.map(tile_fn, starts).reshape(n_pad, 3)
+        U = lax.map(tile_fn, starts)
+        if multi_rhs:
+            # (n_tiles, k, tile, 3) -> (k, n_pad, 3)
+            return U.transpose(1, 0, 2, 3).reshape(F.shape[0], n_pad,
+                                                   3)[:, :n]
+        U = U.reshape(n_pad, 3)
     return U[:n]
 
 
@@ -405,6 +471,15 @@ def wave_space_apply(F, r, params: EwaldParams, radii=None):
         sinc = jnp.sin(ka) / ka
         C = C * sinc
         S = S * sinc
+    if F.ndim == 3:                            # (k, N, 3): shared phases
+        ReF = jnp.einsum("nK,qnx->qKx", C, F)
+        ImF = -jnp.einsum("nK,qnx->qKx", S, F)
+        ReP = wk[:, None] * (ReF - khat * jnp.sum(khat * ReF, axis=-1,
+                                                  keepdims=True))
+        ImP = wk[:, None] * (ImF - khat * jnp.sum(khat * ImF, axis=-1,
+                                                  keepdims=True))
+        return (jnp.einsum("nK,qKx->qnx", C, ReP)
+                - jnp.einsum("nK,qKx->qnx", S, ImP))
     ReF = C.T @ F                              # (K, 3) = Re Σ e^{-ikr} F
     ImF = -(S.T @ F)
     # transverse projection + weight
@@ -436,11 +511,22 @@ def mobility_apply(F, r, params: EwaldParams, row_tile=512, radii=None,
 
 def mobility_apply_multi(Fs, r, params: EwaldParams, row_tile=512, radii=None,
                          poly_tables: PolyTables = None):
-    """Multi-RHS variant (k, N, 3) — vmapped (the pair fields are not yet
-    shared across RHS; adequate for the 2-RHS noise fusion at current N)."""
-    return jax.vmap(lambda F: mobility_apply(F, r, params, row_tile=row_tile,
-                                             radii=radii,
-                                             poly_tables=poly_tables))(Fs)
+    """Multi-RHS periodic product (k, N, 3) → (k, N, 3) with SHARED pair
+    fields: the real-space (A, B) coefficient sweep and the wave-space
+    phase matrices are computed once and applied to every RHS — the fused
+    2-RHS Lanczos noise pays ~half the single-RHS×k cost."""
+    r = jnp.asarray(r).reshape(-1, 3)
+    Fs = jnp.asarray(Fs, r.dtype)
+    dtype = r.dtype
+    xi = jnp.asarray(params.xi, dtype)
+    eta = jnp.asarray(params.eta, dtype)
+    a_self = (jnp.asarray(params.a, dtype) if radii is None
+              else jnp.asarray(radii, dtype)[:, None])
+    U = real_space_apply(Fs, r, params, row_tile=row_tile, radii=radii,
+                         poly_tables=poly_tables)
+    U = U + self_coeff(a_self, xi, eta) * Fs
+    U = U + wave_space_apply(Fs, r, params, radii=radii)
+    return U
 
 
 def mobility_matrix(r, params: EwaldParams, radii=None,
