@@ -194,7 +194,12 @@ def _fit_pair_cheb(eta, xi, rmax, ai, aj, deg=_CHEB_DEG, deg_s=_CHEB_DEG_S):
     Chebyshev series of S analytically (``chebder``) — no finite-difference
     noise, unlike a gradient-on-grid table build.
 
-    Returns bounds (4,), coefA (3, deg+1), coefB (3, deg+1).
+    The required degree grows with ξ·(segment length) (≈ const for cubic
+    boxes, larger for anisotropic ones), so each fit is validated against
+    a deg+16 refit at off-node points and escalated until they agree to
+    3e-6 of the scalar's scale.
+
+    Returns bounds (4,), coefA (3, D+1), coefB (3, D+1).
     """
     cheb = np.polynomial.chebyshev
     c = 1.0 / (8.0 * np.pi**2 * eta * ai * aj)
@@ -204,14 +209,7 @@ def _fit_pair_cheb(eta, xi, rmax, ai, aj, deg=_CHEB_DEG, deg_s=_CHEB_DEG_S):
         return (_np_j_odd(j_fn, r + d, xi) + _np_j_odd(j_fn, r - d, xi)
                 - j_fn(r + sm, xi) - _np_j_odd(j_fn, r - sm, xi))
 
-    rlo = 0.05 * min(ai, aj)   # below: clamp (A,B smooth and ~flat at 0)
-    edges = [rlo, max(abs(d), rlo * (1 + 1e-9)), sm, rmax]
-    edges = list(np.maximum.accumulate(edges))
-    coefA, coefB = [], []
-    for seg in range(3):
-        lo, hi = edges[seg], edges[seg + 1]
-        if hi <= lo * (1 + 1e-9):   # degenerate (equal radii): never chosen
-            hi = lo * (1 + 1e-6)
+    def fit_seg(lo, hi, deg, deg_s):
         ks = np.arange(deg_s + 1)
         xs = np.cos(np.pi * (ks + 0.5) / (deg_s + 1))
         rs = lo + (hi - lo) * (xs + 1) / 2
@@ -225,8 +223,49 @@ def _fit_pair_cheb(eta, xi, rmax, ai, aj, deg=_CHEB_DEG, deg_s=_CHEB_DEG_S):
         sp = cheb.chebval(xf, cSp)
         spp = cheb.chebval(xf, cSpp)
         s0 = c / rf * g(rf, _np_j3)
-        coefA.append(cheb.chebfit(xf, s0 + sp / rf, deg))
-        coefB.append(cheb.chebfit(xf, spp - sp / rf, deg))
+        return (cheb.chebfit(xf, s0 + sp / rf, deg),
+                cheb.chebfit(xf, spp - sp / rf, deg))
+
+    rlo = 0.05 * min(ai, aj)   # below: clamp (A,B smooth and ~flat at 0)
+    edges = [rlo, max(abs(d), rlo * (1 + 1e-9)), sm, rmax]
+    edges = list(np.maximum.accumulate(edges))
+    a_scale = 1.0 / (6.0 * np.pi * eta * max(ai, aj))
+    coefA, coefB = [None] * 3, [None] * 3
+    deg_out = deg
+    for seg in (2, 1, 0):      # reverse: degenerate segs copy their right
+        lo, hi = edges[seg], edges[seg + 1]
+        if hi <= lo * (1 + 1e-8):
+            # zero-width (equal radii): constant = next segment's left edge
+            # (chosen only for r below the clamp radius)
+            coefA[seg] = np.asarray([cheb.chebval(-1.0, coefA[seg + 1])])
+            coefB[seg] = np.asarray([cheb.chebval(-1.0, coefB[seg + 1])])
+            continue
+        # initial degree tracks the segment's screened length (the
+        # Gaussian-decay bandwidth); cubic boxes land at the default
+        dcur = max(deg, int(10 + 7.5 * xi * (hi - lo)))
+        dscur = 2 * dcur
+        prev_err = np.inf
+        for _ in range(4):
+            cA, cB = fit_seg(lo, hi, dcur, dscur)
+            cA2, cB2 = fit_seg(lo, hi, dcur + 16, dscur + 32)
+            xv = np.linspace(-1, 1, 257)
+            err = max(np.abs(cheb.chebval(xv, cA) -
+                             cheb.chebval(xv, cA2)).max(),
+                      np.abs(cheb.chebval(xv, cB) -
+                             cheb.chebval(xv, cB2)).max())
+            # stop on convergence OR plateau (short overlap segments are
+            # S''-sample-noise limited at ~1e-5·scale — more degree only
+            # fits noise; deep-overlap pairs are physically pathological)
+            if err <= 3e-6 * a_scale or err > 0.5 * prev_err:
+                break
+            prev_err = err
+            dcur, dscur = dcur + 16, dscur + 32
+        coefA[seg] = cA
+        coefB[seg] = cB
+        deg_out = max(deg_out, len(cA) - 1)
+    # pad all segments to the common escalated degree
+    coefA = [np.pad(ca, (0, deg_out + 1 - len(ca))) for ca in coefA]
+    coefB = [np.pad(cb, (0, deg_out + 1 - len(cb))) for cb in coefB]
     return (np.asarray(edges), np.stack(coefA), np.stack(coefB))
 
 
@@ -304,6 +343,10 @@ def make_poly_tables(params: "EwaldParams", radii) -> PolyTables:
             coefB.append(cB)
             pair_map[i, j] = pair_map[j, i] = p
             p += 1
+    # degree escalation is per pair — pad to the common maximum
+    dmax = max(c.shape[1] for c in coefA)
+    coefA = [np.pad(c, ((0, 0), (0, dmax - c.shape[1]))) for c in coefA]
+    coefB = [np.pad(c, ((0, 0), (0, dmax - c.shape[1]))) for c in coefB]
     return PolyTables(sidx=sidx.astype(np.int32), n_species=S,
                       pair_map=pair_map, bounds=np.stack(bounds),
                       coefA=np.stack(coefA), coefB=np.stack(coefB))
