@@ -134,6 +134,25 @@ def _ewald_apply_fn(cfg: SimulationConfig, radii, multi: bool):
         cfg.box, cfg.a, cfg.eta,
         xi=cfg.ewald_xi if cfg.ewald_xi > 0 else None, tol=cfg.ewald_tol,
     )
+    # monodisperse f32: real-space sweep on the Pallas kernel (in-kernel
+    # Clenshaw — same piecewise-Chebyshev fit, no VJP; see ops/ewald_pallas)
+    if cfg.use_pallas and cfg.dtype == jnp.float32 and radii is None:
+        try:
+            from rigid_body_light_tpu.ops import ewald_pallas
+
+            if ewald_pallas.available():
+                if multi:
+                    def apply_multi_k(Fs, r):
+                        return ewald_pallas.mobility_apply_multi(Fs, r, params)
+
+                    return apply_multi_k
+
+                def apply_k(F, r):
+                    return ewald_pallas.mobility_apply(F, r, params)
+
+                return apply_k
+        except ImportError:
+            pass
     # build the f32 polydisperse species-pair tables once per closure (radii
     # here are concrete species constants, never tracers)
     pt = (ewald.make_poly_tables(params, radii)

@@ -31,7 +31,8 @@ def main():
 
     from rigid_body_light_tpu import SimulationConfig, load_structure
     from rigid_body_light_tpu.dynamics import run_bd
-    from rigid_body_light_tpu.ops import ewald, kinematics as kin, rpy_pallas
+    from rigid_body_light_tpu.ops import (ewald, ewald_pallas,
+                                          kinematics as kin, rpy_pallas)
     from rigid_body_light_tpu.state import make_state
 
     a, eta = 0.243553, 1.0
@@ -50,6 +51,12 @@ def main():
             return jax.lax.fori_loop(0, REPS, body, F)
 
         @jax.jit
+        def ewk_chain(F):
+            def body(_, v):
+                return ewald_pallas.mobility_apply(v, r, params)
+            return jax.lax.fori_loop(0, REPS, body, F)
+
+        @jax.jit
         def mi_chain(F):
             def body(_, v):
                 return rpy_pallas.mobility_apply(v, r, a=a, eta=eta,
@@ -58,7 +65,9 @@ def main():
 
         out = {"n_blobs": n, "box": L, "k_vectors": int(len(params.kvecs)),
                "xi": round(params.xi, 3)}
-        for label, chain in (("ewald_ms", ew_chain), ("minimage_ms", mi_chain)):
+        for label, chain in (("ewald_ms", ew_chain),
+                             ("ewald_pallas_ms", ewk_chain),
+                             ("minimage_ms", mi_chain)):
             t0 = time.perf_counter()
             _sync(chain(F))
             comp = time.perf_counter() - t0
@@ -67,6 +76,7 @@ def main():
             out[label] = round((time.perf_counter() - t0) / REPS * 1e3, 2)
             out[label + "_compile_s"] = round(comp, 0)
         out["ewald_over_minimage"] = round(out["ewald_ms"] / out["minimage_ms"], 2)
+        out["pallas_speedup"] = round(out["ewald_ms"] / out["ewald_pallas_ms"], 2)
         print(json.dumps(out), flush=True)
         time.sleep(10)
 
