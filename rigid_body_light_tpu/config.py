@@ -57,6 +57,8 @@ class SimulationConfig:
     box: Any = None  # None (open domain); (Lx, Ly): pseudo-periodic in the plane via minimum-image wrapping (z open — the wall geometry; not guaranteed SPD at high density); or (Lx, Ly, Lz): TRUE triply-periodic RPY via positively-split Ewald (ops/ewald.py) — exact periodic operator, SPD for every splitting, validated against Hasimoto's lattice constants.  3-D boxes require wall=False and are incompatible with per-blob radii for now.  Trajectories keep unwrapped coordinates; only pair interactions see the wrap.
     ewald_xi: float = 0.0  # Ewald splitting parameter for 3-D boxes; 0 = auto (real-space error ~ewald_tol at min(L)/2, so the real sweep needs no image loop)
     ewald_tol: float = 1.0e-6  # truncation tolerance of both Ewald parts (sets xi and kmax)
+    ewald_rc: float = 0.0  # balanced splitting: real-space cutoff (2a < rc < min(L)/2).  Shifts cost from the O(N²) real sweep to MXU wave matmuls and runs the real part over a sorted-tile neighbor structure at O(N·ρ·rc³) — the at-scale periodic mode (ops/ewald_cells.py).  0 = off (classic min(L)/2 split).  Monodisperse only; incompatible with ewald_xi.
+    ewald_nbr_tiles: int = 0  # balanced splitting: static neighbor-list width (tiles of 128 sorted blobs per row tile).  0 = auto (4× the uniform-density estimate + 8).  Overflow NaN-poisons the step (caught by the stepper's rejection guards) — raise for extreme density contrast.
     block_diag_pc: bool = False
     pc_mode: str = ""  # "", "diag", "block", "block_free" — "" derives from block_diag_pc
     pc_refresh: int = 1  # rebuild the preconditioner every k steps in run_bd (k>1 = lagged PC)
@@ -97,6 +99,14 @@ class SimulationConfig:
                 )
             # normalized tuple keeps the frozen dataclass hashable/jit-static
             object.__setattr__(self, "box", box)
+        if self.ewald_rc > 0:
+            if self.ewald_xi > 0:
+                raise ValueError(
+                    "pass either ewald_rc (balanced splitting) or ewald_xi, "
+                    "not both — rc determines xi"
+                )
+            if self.box is None or len(self.box) != 3:
+                raise ValueError("ewald_rc needs a 3-D (Lx, Ly, Lz) box")
         if self.drift_mode not in ("midpoint_slip", "em_exact"):
             raise ValueError(
                 f"unknown drift_mode {self.drift_mode!r}; use 'midpoint_slip' "

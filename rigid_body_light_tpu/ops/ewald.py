@@ -157,6 +157,10 @@ class EwaldParams(NamedTuple):
     cheb_bounds: np.ndarray = None   # (4,) segment edges
     cheb_A: np.ndarray = None        # (3, D+1) per-segment coefficients
     cheb_B: np.ndarray = None
+    # balanced splitting: rc < min(L)/2 routes the real sweep through the
+    # sorted-tile neighbor structure (ops/ewald_cells.py); rc=None keeps
+    # the original all-pairs choice (real part spans min(L)/2).
+    rc: float = None
 
 
 def _np_j3(al, xi):
@@ -352,18 +356,35 @@ def make_poly_tables(params: "EwaldParams", radii) -> PolyTables:
                       coefA=np.stack(coefA), coefB=np.stack(coefB))
 
 
-def make_params(box, a, eta=1.0, xi=None, tol=1e-6) -> EwaldParams:
+def make_params(box, a, eta=1.0, xi=None, tol=1e-6, rc=None) -> EwaldParams:
     """Choose ξ and build the wavevector lattice for a (Lx, Ly, Lz) box.
 
     Default ξ puts the real-space truncation error at ``tol`` for the
     minimum-image radius min(L)/2 (so the real sweep needs no image loop),
     and kmax puts the wave truncation at the same ``tol``.
+
+    rc: optional balanced-splitting real-space cutoff (2a < rc < min(L)/2).
+    Shifts work from the O(N²) real sweep to the MXU wave sum: ξ = s/rc so
+    the real part truncates at ``tol`` by ``rc``, pairs beyond rc are
+    EXCLUDED (not just small), and the real sweep runs over linked cells
+    (:mod:`rigid_body_light_tpu.ops.ewald_cells`) at O(N·ρ·rc³) cost.
+    The split stays exact/SPD for every rc — only the truncation tolerance
+    is shared.  Explicit ``xi`` is incompatible with ``rc``.
     """
     box = tuple(float(b) for b in box)
     if len(box) != 3:
         raise ValueError(f"Ewald needs a 3-D box, got {box!r}")
     s = float(np.sqrt(-np.log(tol)))
     rcut = min(box) / 2.0
+    if rc is not None:
+        if xi is not None:
+            raise ValueError("pass either rc= (balanced split) or xi=, not both")
+        rc = float(rc)
+        if not 2.0 * a < rc <= rcut:
+            raise ValueError(
+                f"ewald rc must satisfy 2a = {2 * a:.4g} < rc <= min(L)/2 = "
+                f"{rcut:.4g}, got {rc:.4g}")
+        xi = s / rc
     if xi is None:
         xi = s / rcut
     xi = float(xi)
@@ -383,14 +404,16 @@ def make_params(box, a, eta=1.0, xi=None, tol=1e-6) -> EwaldParams:
     H = (1 + k2 / (4 * xi**2)) * np.exp(-k2 / (4 * xi**2))
     wk_raw = H / (eta * V * k2)
     wk = wk_raw * sinc**2
-    # fit covers every minimum-image distance (half the box diagonal)
-    rmax = 0.5 * float(np.linalg.norm(box)) * 1.001
+    # fit covers every distance the sweep can see: rc with cells, else
+    # half the box diagonal (minimum image)
+    rmax = (rc if rc is not None
+            else 0.5 * float(np.linalg.norm(box))) * 1.001
     b, cA, cB = _fit_pair_cheb(float(eta), xi, rmax, float(a), float(a))
     return EwaldParams(box=box, a=float(a), eta=float(eta), xi=xi,
                        kvecs=kvecs.astype(np.float64),
                        wk=wk.astype(np.float64),
                        wk_raw=wk_raw.astype(np.float64),
-                       cheb_bounds=b, cheb_A=cA, cheb_B=cB)
+                       cheb_bounds=b, cheb_A=cA, cheb_B=cB, rc=rc)
 
 
 def _wrap3(d, box):
@@ -465,6 +488,12 @@ def real_space_apply(F, r, params: EwaldParams, row_tile=512, radii=None,
             A, B = real_space_ab(rr, a, xi, eta)
         A = jnp.where(self_mask, 0.0, A)
         B = jnp.where(self_mask, 0.0, B)
+        if params.rc is not None:
+            # balanced split: pairs beyond rc are excluded by contract
+            # (matches the linked-cell sweep exactly)
+            cut = rr <= params.rc
+            A = jnp.where(cut, A, 0.0)
+            B = jnp.where(cut, B, 0.0)
         e = d / rr[..., None]
         if multi_rhs:
             eF = jnp.einsum("tnx,knx->ktn", e, F)
@@ -497,7 +526,40 @@ def wave_space_apply(F, r, params: EwaldParams, radii=None):
     M_per = M_real(pairs) + A_self·I(self) + M_wave(everything).
     radii: polydisperse — per-blob sinc(|k|aᵢ) weights fold into the
     spread/interpolate phases (wk_raw carries the weight without sinc²).
+
+    Balanced-splitting params (``rc=``) grow K by ~(rcut/rc)³; above a
+    memory threshold the k-sum is evaluated in scanned K-chunks so the
+    (N, K) phase matrices never materialize whole.
     """
+    n = r.shape[0]
+    K = len(params.kvecs)
+    if K * n > 2**27 and K > 4096:
+        return _wave_space_chunked(F, r, params, radii=radii)
+    return _wave_space_dense(F, r, params, radii=radii)
+
+
+def _wave_space_chunked(F, r, params: EwaldParams, radii=None, kc=4096):
+    """Scan the k-sum in chunks of ``kc`` wavevectors (zero-weight pad)."""
+    K = len(params.kvecs)
+    pad = (-K) % kc
+    kvp = np.concatenate(
+        [params.kvecs, np.tile([[1.0, 0, 0]], (pad, 1))]).reshape(-1, kc, 3)
+    wk_np = params.wk if radii is None else params.wk_raw
+    wkp = np.concatenate([wk_np, np.zeros(pad)]).reshape(-1, kc)
+    dtype = r.dtype
+
+    def body(acc, kw):
+        kv, wk = kw
+        sub = params._replace(kvecs=kv, wk=wk, wk_raw=wk)
+        return acc + _wave_space_dense(F, r, sub, radii=radii), None
+
+    acc0 = jnp.zeros(jnp.shape(F), dtype)
+    U, _ = lax.scan(body, acc0,
+                    (jnp.asarray(kvp, dtype), jnp.asarray(wkp, dtype)))
+    return U
+
+
+def _wave_space_dense(F, r, params: EwaldParams, radii=None):
     dtype = r.dtype
     kv = jnp.asarray(params.kvecs, dtype)      # (K, 3)
     if radii is None:
@@ -532,7 +594,7 @@ def wave_space_apply(F, r, params: EwaldParams, radii=None):
 
 
 def mobility_apply(F, r, params: EwaldParams, row_tile=512, radii=None,
-                   poly_tables: PolyTables = None):
+                   poly_tables: PolyTables = None, max_nbr=None):
     """Full periodic RPY product U = M_per(r)·F, SPD by construction.
 
     radii: optional (N,) per-blob physical radii — exact polydisperse
@@ -545,15 +607,20 @@ def mobility_apply(F, r, params: EwaldParams, row_tile=512, radii=None,
     eta = jnp.asarray(params.eta, dtype)
     a_self = (jnp.asarray(params.a, dtype) if radii is None
               else jnp.asarray(radii, dtype)[:, None])
-    U = real_space_apply(F, r, params, row_tile=row_tile, radii=radii,
-                         poly_tables=poly_tables)
+    if params.rc is not None and radii is None:
+        from rigid_body_light_tpu.ops import ewald_cells
+
+        U = ewald_cells.real_space_apply_cells(F, r, params, max_nbr=max_nbr)
+    else:
+        U = real_space_apply(F, r, params, row_tile=row_tile, radii=radii,
+                             poly_tables=poly_tables)
     U = U + self_coeff(a_self, xi, eta) * F
     U = U + wave_space_apply(F, r, params, radii=radii)
     return U
 
 
 def mobility_apply_multi(Fs, r, params: EwaldParams, row_tile=512, radii=None,
-                         poly_tables: PolyTables = None):
+                         poly_tables: PolyTables = None, max_nbr=None):
     """Multi-RHS periodic product (k, N, 3) → (k, N, 3) with SHARED pair
     fields: the real-space (A, B) coefficient sweep and the wave-space
     phase matrices are computed once and applied to every RHS — the fused
@@ -565,8 +632,13 @@ def mobility_apply_multi(Fs, r, params: EwaldParams, row_tile=512, radii=None,
     eta = jnp.asarray(params.eta, dtype)
     a_self = (jnp.asarray(params.a, dtype) if radii is None
               else jnp.asarray(radii, dtype)[:, None])
-    U = real_space_apply(Fs, r, params, row_tile=row_tile, radii=radii,
-                         poly_tables=poly_tables)
+    if params.rc is not None and radii is None:
+        from rigid_body_light_tpu.ops import ewald_cells
+
+        U = ewald_cells.real_space_apply_cells(Fs, r, params, max_nbr=max_nbr)
+    else:
+        U = real_space_apply(Fs, r, params, row_tile=row_tile, radii=radii,
+                             poly_tables=poly_tables)
     U = U + self_coeff(a_self, xi, eta) * Fs
     U = U + wave_space_apply(Fs, r, params, radii=radii)
     return U

@@ -133,10 +133,18 @@ def _ewald_apply_fn(cfg: SimulationConfig, radii, multi: bool):
     params = ewald.make_params(
         cfg.box, cfg.a, cfg.eta,
         xi=cfg.ewald_xi if cfg.ewald_xi > 0 else None, tol=cfg.ewald_tol,
+        rc=cfg.ewald_rc if cfg.ewald_rc > 0 else None,
     )
+    max_nbr = cfg.ewald_nbr_tiles if cfg.ewald_nbr_tiles > 0 else None
+    if params.rc is not None and radii is not None:
+        raise ValueError("ewald_rc (balanced splitting) does not support "
+                         "per-blob radii yet — use the classic split")
     # monodisperse f32: real-space sweep on the Pallas kernel (in-kernel
-    # Clenshaw — same piecewise-Chebyshev fit, no VJP; see ops/ewald_pallas)
-    if cfg.use_pallas and cfg.dtype == jnp.float32 and radii is None:
+    # Clenshaw — same piecewise-Chebyshev fit, no VJP; see ops/ewald_pallas).
+    # Balanced-splitting (rc) configs skip it: the linked-cell sweep beats
+    # the all-pairs kernel once pairs are cutoff-limited.
+    if (cfg.use_pallas and cfg.dtype == jnp.float32 and radii is None
+            and params.rc is None):
         try:
             from rigid_body_light_tpu.ops import ewald_pallas
 
@@ -161,14 +169,14 @@ def _ewald_apply_fn(cfg: SimulationConfig, radii, multi: bool):
         def apply_multi(Fs, r):
             return ewald.mobility_apply_multi(
                 Fs, r, params, row_tile=cfg.matvec_row_tile, radii=radii,
-                poly_tables=pt)
+                poly_tables=pt, max_nbr=max_nbr)
 
         return apply_multi
 
     def apply(F, r):
         return ewald.mobility_apply(F, r, params,
                                     row_tile=cfg.matvec_row_tile, radii=radii,
-                                    poly_tables=pt)
+                                    poly_tables=pt, max_nbr=max_nbr)
 
     return apply
 
