@@ -1,0 +1,305 @@
+"""Proxy-grid far field for the open-domain RPY matvec (single level).
+
+The open/wall-bounded pair sweeps are O(N²); the measured low-rank study
+(BENCH_NOTES "Low-rank far-field") showed well-separated tile blocks are
+numerically low-rank and, on TPU, essentially free once expressed as
+matmuls.  This module is the GO recommendation from that study: a
+black-box-FMM-style single-level scheme on a uniform supercell grid.
+
+    M ≈ M_near (exact pairs, adjacent cells)  +  Pᵀ · K · P  (far)
+
+  - P (anterpolation): each blob spreads onto the p³ tensor-Chebyshev
+    nodes of its cell — separable Lagrange weights, two dense einsums
+    per application, O(N·p³).
+  - K (M2L): node→node RPY blocks between NON-adjacent cells.  On a
+    uniform grid K depends only on the cell OFFSET, so the whole far
+    field is a 3-D convolution over the cell grid — evaluated by FFT:
+    Û(q) = K̂(q)·Q̂(q), a batched (3p³ × 3p³) matmul per frequency (MXU),
+    with K̂ built from O((2G)³·p⁶) kernel evaluations instead of O(G⁶).
+  - M_near: blob pairs in adjacent cells (∞-norm cell offset ≤ 1),
+    swept exactly over serpentine equal-population tiles
+    (:mod:`rigid_body_light_tpu.ops.tiles` — robust to body-scale
+    clustering), masked
+    PAIRWISE by cell adjacency so near/far partition every pair exactly
+    once.
+
+Everything is O(N·ρ·h³ + G³·p⁶) per apply with static shapes; the only
+static bound is the neighbor-tile list width (overflow NaN-poisons, as
+in ewald_cells).  The grid is anchored to the dynamic bounding box, so
+no domain configuration is needed; pass anisotropic ``grid`` counts to
+keep cells near-cubic for flat (sedimented) geometries.
+
+v1 scope: free-space monodisperse (the wall correction decays one power
+faster and its image terms are smooth for separated cells — planned as a
+second kernel lattice; polydisperse far fields split into two
+translation-invariant kernels via α = S(r) + (aᵢ²+aⱼ²)·D(r)).
+
+Accuracy knob: p (nodes per dim).  Measured against the exact sweep in
+``tests/test_farfield.py``; pick p=4 for ~1e-3, p=6 for ~1e-5.
+
+Reference counterpart: none — the reference evaluates dense O(N²) RPY
+(``c_rigid_obj.cpp:413-459``); this is the path past 10⁵ blobs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from rigid_body_light_tpu.ops import rpy, tiles
+
+TILE = tiles.TILE
+_SELF_COEF = 4.0 / 3.0
+
+
+# ----------------------------------------------------------------- basis
+def _cheb_nodes(p: int) -> np.ndarray:
+    """p Chebyshev points mapped to (0, 1)."""
+    k = np.arange(p)
+    return (np.cos(np.pi * (k + 0.5) / p)[::-1] + 1.0) / 2.0
+
+
+def _lagrange_weights(t, nodes):
+    """(..., p) Lagrange basis values at t ∈ [0, 1] (product form)."""
+    p = len(nodes)
+    nd = np.asarray(nodes)
+    denom = np.array([np.prod(nd[k] - np.delete(nd, k)) for k in range(p)])
+    diff = t[..., None] - jnp.asarray(nd, t.dtype)          # (..., p)
+    full = jnp.prod(diff, axis=-1, keepdims=True)           # Π (t - t_j)
+    # stable: Π_{j≠k} (t−t_j) = full / (t−t_k), guarded at nodes
+    tiny = jnp.asarray(1e-30, t.dtype)
+    safe = jnp.where(jnp.abs(diff) < tiny, tiny, diff)
+    terms = full / safe
+    exact = jnp.abs(diff) < tiny                            # t on a node
+    any_exact = jnp.any(exact, axis=-1, keepdims=True)
+    w = jnp.where(any_exact, exact.astype(t.dtype),
+                  terms / jnp.asarray(denom, t.dtype))
+    return w
+
+
+def _blob_weights(t3, nodes):
+    """(N, 3) fractional coords → (N, p³) separable tensor weights."""
+    wx = _lagrange_weights(t3[:, 0], nodes)
+    wy = _lagrange_weights(t3[:, 1], nodes)
+    wz = _lagrange_weights(t3[:, 2], nodes)
+    return jnp.einsum("ni,nj,nk->nijk", wx, wy, wz).reshape(t3.shape[0], -1)
+
+
+# ----------------------------------------------------------- grid/binning
+def _grid_geometry(x, grid):
+    """Dynamic bbox → (lo, h) with h per-dim cell sizes (units of a)."""
+    lo = jnp.min(x, axis=0)
+    hi = jnp.max(x, axis=0)
+    span = jnp.maximum(hi - lo, 1e-6) * (1.0 + 1e-5)
+    h = span / jnp.asarray(grid, x.dtype)
+    return lo, h
+
+
+def _cell_indices(x, lo, h, grid):
+    gx, gy, gz = grid
+    ci = jnp.clip(((x - lo) / h).astype(jnp.int32), 0,
+                  jnp.asarray(grid, jnp.int32) - 1)          # (N, 3)
+    cid = (ci[:, 0] * gy + ci[:, 1]) * gz + ci[:, 2]
+    return ci, cid
+
+
+# --------------------------------------------------------------- far part
+def _offset_lattice(grid, dtype):
+    """Signed cell offsets Δ = c_target − c_source on the 2G cyclic pad."""
+    outs = []
+    for g in grid:
+        o = np.arange(2 * g)
+        outs.append(np.where(o < g, o, o - 2 * g))
+    dx, dy, dz = np.meshgrid(*outs, indexing="ij")
+    return np.stack([dx, dy, dz], axis=-1).astype(np.int32)  # (2Gx,2Gy,2Gz,3)
+
+
+def _far_kernel_hat(h, grid, p, dtype):
+    """K̂: FFT over the offset grid of the masked node→node RPY blocks.
+
+    Built inside the trace (h is dynamic) — O((2G)³·p⁶) kernel
+    evaluations; hoist the result out of Krylov loops by computing the
+    whole apply's prepared context once per configuration (the solver
+    closes over an r-dependent operator, so XLA's loop-invariant code
+    motion hoists this automatically for loop-constant r).
+    """
+    nodes = _cheb_nodes(p)
+    off = jnp.asarray(_offset_lattice(grid, dtype))          # (O3.., 3)
+    osh = off.shape[:3]
+    off_f = off.reshape(-1, 3).astype(dtype)                 # (O, 3)
+    tn = jnp.asarray(
+        np.stack(np.meshgrid(nodes, nodes, nodes, indexing="ij"),
+                 axis=-1).reshape(-1, 3), dtype)             # (p³, 3)
+    # d = node_n(target) − node_m(source) = (t_n − t_m + Δ)·h
+    d = (tn[None, :, None, :] - tn[None, None, :, :]
+         + off_f[:, None, None, :]) * h                      # (O, p³, p³, 3)
+    r2 = jnp.sum(d * d, axis=-1)
+    alpha, beta = rpy._free_coeffs(r2, dtype)
+    far_mask = jnp.any(jnp.abs(off) > 1, axis=-1).reshape(-1)  # exclude near
+    alpha = alpha * far_mask[:, None, None]
+    beta = beta * far_mask[:, None, None]
+    # dense (O, 3p³, 3p³) blocks: α δ_ij + β d_i d_j
+    eye = jnp.eye(3, dtype=dtype)
+    K = (alpha[..., None, None] * eye
+         + beta[..., None, None] * d[..., :, None] * d[..., None, :])
+    O, P3 = K.shape[0], K.shape[1]
+    K = K.transpose(0, 1, 3, 2, 4).reshape(O, 3 * P3, 3 * P3)
+    K = K.reshape(*osh, 3 * P3, 3 * P3)
+    return jnp.fft.fftn(K, axes=(0, 1, 2))
+
+
+def _far_apply(W3, cid, Fs, h, grid, p):
+    """Far field for k RHS: (k, N, 3) → (k, N, 3) node velocities."""
+    dtype = Fs.dtype
+    k, n = Fs.shape[0], Fs.shape[1]
+    gx, gy, gz = grid
+    ncell = gx * gy * gz
+    p3 = p ** 3
+    # P2M: Q (k, ncell, p³, 3) — scatter-add by cell
+    Q = jax.ops.segment_sum(
+        (W3[None, :, :, None] * Fs[:, :, None, :]).reshape(
+            k * n, p3, 3).reshape(k, n, p3 * 3).transpose(1, 0, 2).reshape(
+            n, k * p3 * 3),
+        cid, num_segments=ncell)                             # (ncell, k·p³·3)
+    Q = Q.reshape(ncell, k, p3 * 3).transpose(1, 0, 2)
+    Qg = jnp.zeros((k, 2 * gx, 2 * gy, 2 * gz, p3 * 3), dtype)
+    Qg = Qg.at[:, :gx, :gy, :gz, :].set(
+        Q.reshape(k, gx, gy, gz, p3 * 3))
+    Khat = _far_kernel_hat(h, grid, p, dtype)                # (2G.., B, B)
+    Qhat = jnp.fft.fftn(Qg, axes=(1, 2, 3))
+    Uhat = jnp.einsum("xyzij,kxyzj->kxyzi", Khat, Qhat)
+    Ug = jnp.real(jnp.fft.ifftn(Uhat, axes=(1, 2, 3)))[
+        :, :gx, :gy, :gz, :].astype(dtype)
+    Unodes = Ug.reshape(k, ncell, p3, 3)
+    # L2P: same weights (symmetric interpolation)
+    local = Unodes[:, cid]                                   # (k, N, p³, 3)
+    return jnp.einsum("np,knpx->knx", W3, local)
+
+
+# -------------------------------------------------------------- near part
+def _near_neighbor_lists(ci_sorted, t, max_nbr):
+    """Tile adjacency from per-tile cell-index ranges (gap ≤ 1 per dim)."""
+    ct = ci_sorted.reshape(t, TILE, 3)
+    lo = jnp.min(ct, axis=1)                                 # (t, 3)
+    hi = jnp.max(ct, axis=1)
+    ok = jnp.all((lo[:, None, :] - hi[None, :, :] <= 1)
+                 & (lo[None, :, :] - hi[:, None, :] <= 1), axis=-1)
+    cols = jnp.arange(t, dtype=jnp.int32)
+    key = jnp.where(ok, cols, t + cols)
+    packed = jnp.sort(key, axis=1)[:, :max_nbr]
+    overflow = jnp.any(jnp.sum(ok, axis=1) > max_nbr)
+    return jnp.where(packed < t, packed, -1), overflow
+
+
+def default_max_nbr(n: int, grid, p: int) -> int:
+    """4× the uniform-density neighbor-tile estimate + 8."""
+    t = -(-n // TILE)
+    cells = float(np.prod(grid))
+    per_cell = n / cells
+    # tiles covering 27 cells + tile granularity slack
+    est = 27.0 * per_cell / TILE + 2.0
+    return int(min(t, np.ceil(2.2 * est) + 8))
+
+
+def _chunk_rows(t: int, max_nbr: int, nrhs: int) -> int:
+    budget = 96 * 2**20
+    per_tile = max_nbr * TILE * TILE * 4 * (8 + 3 * nrhs)
+    best = 1
+    for d in range(1, t + 1):
+        if t % d == 0 and d * per_tile <= budget:
+            best = d
+    return best
+
+
+# --------------------------------------------------------------- top level
+def mobility_apply(F, r, a=1.0, eta=1.0, grid=None, p=4, max_nbr=None):
+    """U = M(r)·F via near-exact + proxy-grid far field (free space).
+
+    F: (N, 3) or (k, N, 3).  grid: int or (Gx, Gy, Gz) supercells (auto ≈
+    cells of ~TILE blobs at uniform density); p: Chebyshev nodes per dim.
+    Same normalization/contract as :func:`rigid_body_light_tpu.ops.rpy.
+    mobility_apply` (self term included; no wall, no damping).
+    """
+    r = jnp.asarray(r).reshape(-1, 3)
+    multi = jnp.asarray(F).ndim == 3
+    Fs = jnp.asarray(F, r.dtype)
+    Fs = Fs if multi else Fs[None]
+    k, n = Fs.shape[0], r.shape[0]
+    dtype = r.dtype
+    if grid is None:
+        grid = max(2, int(round((n / TILE) ** (1.0 / 3.0))))
+    if np.isscalar(grid):
+        grid = (int(grid),) * 3
+    grid = tuple(int(g) for g in grid)
+    if max_nbr is None:
+        max_nbr = default_max_nbr(n, grid, p)
+
+    x = r * jnp.asarray(1.0 / a, dtype)                      # units of a
+    lo, h = _grid_geometry(x, grid)
+    ci, cid = _cell_indices(x, lo, h, grid)
+    t3 = (x - lo) / h - ci.astype(dtype)
+    W3 = _blob_weights(t3, _cheb_nodes(p))                   # (N, p³)
+
+    U_far = _far_apply(W3, cid, Fs, h, grid, p)
+
+    # ---- near: serpentine equal-population tiles, cell-offset mask
+    vol_est = jnp.prod(jnp.asarray(grid, dtype) * h)
+    order = tiles.serpentine_order(x, tiles.column_width(n, vol_est))
+    t = -(-n // TILE)
+    pad = t * TILE - n
+    x_s = jnp.concatenate([x[order], jnp.broadcast_to(x[:1], (pad, 3))])
+    ci_s = jnp.concatenate([ci[order], jnp.broadcast_to(ci[:1], (pad, 3))])
+    id_s = jnp.concatenate(
+        [order.astype(jnp.int32), jnp.full((pad,), -1, jnp.int32)])
+    F_s = jnp.concatenate([Fs[:, order], jnp.zeros((k, pad, 3), dtype)],
+                          axis=1)
+    nbr, overflow = _near_neighbor_lists(ci_s, t, max_nbr)
+    nbr_ix = jnp.maximum(nbr, 0)
+    ch = _chunk_rows(t, max_nbr, k)
+    xt = x_s.reshape(t, TILE, 3)
+    ct = ci_s.reshape(t, TILE, 3)
+    it = id_s.reshape(t, TILE)
+    Ft = F_s.reshape(k, t, TILE, 3)
+
+    def chunk_fn(c0):
+        z = jnp.zeros((), c0.dtype)
+        rows_x = lax.dynamic_slice(xt, (c0, z, z), (ch, TILE, 3))
+        rows_c = lax.dynamic_slice(ct, (c0, z, z), (ch, TILE, 3))
+        rows_id = lax.dynamic_slice(it, (c0, z), (ch, TILE))
+        nb = lax.dynamic_slice(nbr_ix, (c0, z), (ch, max_nbr))
+        nb_live = lax.dynamic_slice(nbr, (c0, z), (ch, max_nbr)) >= 0
+        cols_x = xt[nb].reshape(ch, max_nbr * TILE, 3)
+        cols_c = ct[nb].reshape(ch, max_nbr * TILE, 3)
+        cols_id = jnp.where(nb_live[..., None], it[nb],
+                            -1).reshape(ch, max_nbr * TILE)
+        cols_F = Ft[:, nb].transpose(1, 0, 2, 3, 4).reshape(
+            ch, k, max_nbr * TILE, 3)
+
+        d = rows_x[:, :, None, :] - cols_x[:, None, :, :]
+        r2 = jnp.sum(d * d, axis=-1)
+        adj = jnp.all(jnp.abs(rows_c[:, :, None, :] - cols_c[:, None, :, :])
+                      <= 1, axis=-1)
+        keep = adj & (cols_id[:, None, :] >= 0) & (
+            rows_id[:, :, None] != cols_id[:, None, :])
+        r2 = jnp.where(keep, r2, 16.0)  # harmless masked distance
+        alpha, beta = rpy._free_coeffs(r2, dtype)
+        alpha = jnp.where(keep, alpha, 0.0)
+        beta = jnp.where(keep, beta, 0.0)
+        dF = jnp.einsum("cpnx,cknx->ckpn", d, cols_F)
+        return (jnp.einsum("cpn,cknx->ckpx", alpha, cols_F)
+                + jnp.einsum("ckpn,cpn,cpnx->ckpx", dF, beta, d))
+
+    starts = jnp.arange(t // ch, dtype=jnp.int32) * ch
+    U_pad = lax.map(chunk_fn, starts)
+    U_near_s = U_pad.reshape(t, k, TILE, 3).transpose(1, 0, 2, 3).reshape(
+        k, t * TILE, 3)[:, :n]
+    U_near = jnp.zeros_like(Fs).at[:, order, :].set(U_near_s)
+    U_near = jnp.where(overflow, jnp.nan, U_near)
+
+    U = U_near + U_far + _SELF_COEF * Fs
+    U = U * jnp.asarray(1.0 / (8.0 * jnp.pi * eta * a), dtype)
+    return U if multi else U[0]
