@@ -1,0 +1,91 @@
+"""Proxy-grid far field (ops/farfield.py) vs the exact RPY sweep.
+
+The near/far split must partition pairs exactly once (agreement with the
+dense operator at the interpolation tolerance), stay symmetric (the far
+field is Pᵀ·K·P with one shared basis), and poison loudly on
+neighbor-list overflow.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rigid_body_light_tpu.ops import farfield, rpy
+
+
+@pytest.fixture(scope="module")
+def cloud():
+    rng = np.random.default_rng(7)
+    r = rng.uniform(0, 20, (1500, 3))
+    F = rng.standard_normal((2, 1500, 3))
+    return r, F
+
+
+@pytest.mark.parametrize("p,tol", [(3, 2e-2), (4, 3e-3), (6, 2e-4)])
+def test_matches_exact_sweep(cloud, p, tol):
+    r, F = cloud
+    a, eta = 0.9, 1.3
+    r64 = jnp.asarray(r, jnp.float64)
+    F64 = jnp.asarray(F[0], jnp.float64)
+    U_ref = rpy.mobility_apply(F64, r64, a=a, eta=eta, wall=False)
+    U = farfield.mobility_apply(F64, r64, a=a, eta=eta, grid=4, p=p)
+    err = float(jnp.abs(U - U_ref).max() / jnp.abs(U_ref).max())
+    assert err < tol
+
+
+def test_symmetry_and_multi_rhs(cloud):
+    r, F = cloud
+    r64 = jnp.asarray(r, jnp.float64)
+    F1 = jnp.asarray(F[0], jnp.float64)
+    F2 = jnp.asarray(F[1], jnp.float64)
+    U1 = farfield.mobility_apply(F1, r64, a=0.9, grid=4, p=4)
+    U2 = farfield.mobility_apply(F2, r64, a=0.9, grid=4, p=4)
+    s1, s2 = float(jnp.vdot(F2, U1)), float(jnp.vdot(F1, U2))
+    assert abs(s1 - s2) / abs(s1) < 1e-12
+    Um = farfield.mobility_apply(jnp.stack([F1, F2]), r64, a=0.9, grid=4, p=4)
+    assert float(jnp.abs(Um[0] - U1).max()) < 1e-13
+    assert float(jnp.abs(Um[1] - U2).max()) < 1e-13
+
+
+def test_float32_path(cloud):
+    r, F = cloud
+    r32 = jnp.asarray(r, jnp.float32)
+    F32 = jnp.asarray(F[0], jnp.float32)
+    U_ref = rpy.mobility_apply(F32, r32, a=0.9, wall=False)
+    U = farfield.mobility_apply(F32, r32, a=0.9, grid=4, p=4)
+    err = float(jnp.abs(U - U_ref).max() / jnp.abs(U_ref).max())
+    assert err < 5e-3
+
+
+def test_anisotropic_grid_flat_layer():
+    """Sedimented-slab geometry: anisotropic grid keeps cells cubic-ish."""
+    rng = np.random.default_rng(3)
+    r = jnp.asarray(np.column_stack([
+        rng.uniform(0, 30, 1200), rng.uniform(0, 30, 1200),
+        rng.uniform(1.0, 4.0, 1200)]), jnp.float64)
+    F = jnp.asarray(rng.standard_normal((1200, 3)), jnp.float64)
+    U_ref = rpy.mobility_apply(F, r, a=0.9, wall=False)
+    U = farfield.mobility_apply(F, r, a=0.9, grid=(6, 6, 1), p=5)
+    err = float(jnp.abs(U - U_ref).max() / jnp.abs(U_ref).max())
+    assert err < 3e-3
+
+
+def test_clustered_bodies(cloud):
+    """Body-scale clustering must neither overflow nor lose accuracy."""
+    rng = np.random.default_rng(2)
+    cluster = 10.0 + 0.8 * rng.standard_normal((600, 3))
+    sparse = rng.uniform(0, 20, (400, 3))
+    r = jnp.asarray(np.concatenate([cluster, sparse]), jnp.float64)
+    F = jnp.asarray(rng.standard_normal((1000, 3)), jnp.float64)
+    U_ref = rpy.mobility_apply(F, r, a=0.3, wall=False)
+    U = farfield.mobility_apply(F, r, a=0.3, grid=4, p=4)
+    assert bool(jnp.isfinite(U).all())
+    assert float(jnp.abs(U - U_ref).max() / jnp.abs(U_ref).max()) < 3e-3
+
+
+def test_overflow_poisons(cloud):
+    r, F = cloud
+    U = farfield.mobility_apply(jnp.asarray(r), jnp.asarray(r), a=0.9,
+                                grid=4, p=3, max_nbr=1)
+    assert bool(jnp.isnan(U).any())
