@@ -161,6 +161,10 @@ class EwaldParams(NamedTuple):
     # sorted-tile neighbor structure (ops/ewald_cells.py); rc=None keeps
     # the original all-pairs choice (real part spans min(L)/2).
     rc: float = None
+    # integer lattice indices n with k = 2πn/L — the wave phases then
+    # factorize per dimension (cos/sin of N·W base angles instead of N·K;
+    # the (N, K) matrices are built by gathers + complex multiplies)
+    nvecs: np.ndarray = None
 
 
 def _np_j3(al, xi):
@@ -405,15 +409,21 @@ def make_params(box, a, eta=1.0, xi=None, tol=1e-6, rc=None) -> EwaldParams:
     wk_raw = H / (eta * V * k2)
     wk = wk_raw * sinc**2
     # fit covers every distance the sweep can see: rc with cells, else
-    # half the box diagonal (minimum image)
+    # half the box diagonal (minimum image).  Short-range (rc) fits get a
+    # low initial degree — the screened length ξ·rc is ~constant and the
+    # per-pair Clenshaw cost is the real sweep's flop budget; the
+    # escalation loop still validates to 3e-6 of scale either way.
     rmax = (rc if rc is not None
             else 0.5 * float(np.linalg.norm(box))) * 1.001
-    b, cA, cB = _fit_pair_cheb(float(eta), xi, rmax, float(a), float(a))
+    deg0 = 12 if rc is not None else _CHEB_DEG
+    b, cA, cB = _fit_pair_cheb(float(eta), xi, rmax, float(a), float(a),
+                               deg=deg0)
     return EwaldParams(box=box, a=float(a), eta=float(eta), xi=xi,
                        kvecs=kvecs.astype(np.float64),
                        wk=wk.astype(np.float64),
                        wk_raw=wk_raw.astype(np.float64),
-                       cheb_bounds=b, cheb_A=cA, cheb_B=cB, rc=rc)
+                       cheb_bounds=b, cheb_A=cA, cheb_B=cB, rc=rc,
+                       nvecs=n_all[keep].astype(np.int32))
 
 
 def _wrap3(d, box):
@@ -538,6 +548,37 @@ def wave_space_apply(F, r, params: EwaldParams, radii=None):
     return _wave_space_dense(F, r, params, radii=radii)
 
 
+def _phase_tables(r, box, nmax3):
+    """Per-dimension phase tables cos/sin(xᵢ·2πm/L) for m ∈ [−nmax, nmax].
+
+    Lattice wavevectors factorize: e^{ik·r} = Ex(n₁)·Ey(n₂)·Ez(n₃), so
+    the (N, K) phase matrices need only N·ΣW base transcendentals (W =
+    2·nmax+1 ≈ 40) plus gathers and complex multiplies — the direct
+    cos(r·kᵀ) build is N·K transcendentals and dominated the measured
+    balanced-split wave cost (~70 ms at 40k blobs, K = 26k).
+    """
+    out = []
+    for d2 in range(3):
+        m = jnp.arange(-nmax3[d2], nmax3[d2] + 1, dtype=r.dtype)
+        th = r[:, d2, None] * (2.0 * np.pi / box[d2]) * m[None, :]
+        out.append((jnp.cos(th), jnp.sin(th)))
+    return out
+
+
+def _phases_from_tables(tables, nidx, nmax3):
+    """(N, K) C, S from per-dim tables; nidx (K, 3) lattice indices."""
+    (cx, sx), (cy, sy), (cz, sz) = tables
+    ix = nidx[:, 0] + nmax3[0]
+    iy = nidx[:, 1] + nmax3[1]
+    iz = nidx[:, 2] + nmax3[2]
+    cxg, sxg = cx[:, ix], sx[:, ix]
+    cyg, syg = cy[:, iy], sy[:, iy]
+    czg, szg = cz[:, iz], sz[:, iz]
+    cxy = cxg * cyg - sxg * syg
+    sxy = cxg * syg + sxg * cyg
+    return cxy * czg - sxy * szg, cxy * szg + sxy * czg
+
+
 def _wave_space_chunked(F, r, params: EwaldParams, radii=None, kc=4096):
     """Scan the k-sum in chunks of ``kc`` wavevectors (zero-weight pad)."""
     K = len(params.kvecs)
@@ -547,19 +588,32 @@ def _wave_space_chunked(F, r, params: EwaldParams, radii=None, kc=4096):
     wk_np = params.wk if radii is None else params.wk_raw
     wkp = np.concatenate([wk_np, np.zeros(pad)]).reshape(-1, kc)
     dtype = r.dtype
+    nvp = None
+    tables = None
+    nmax3 = None
+    if params.nvecs is not None:
+        nmax3 = tuple(int(m) for m in np.abs(params.nvecs).max(axis=0))
+        nvp = np.concatenate(
+            [params.nvecs, np.zeros((pad, 3), np.int32)]).reshape(-1, kc, 3)
+        tables = _phase_tables(r, params.box, nmax3)
 
     def body(acc, kw):
-        kv, wk = kw
-        sub = params._replace(kvecs=kv, wk=wk, wk_raw=wk)
-        return acc + _wave_space_dense(F, r, sub, radii=radii), None
+        kv, wk, *nv = kw
+        sub = params._replace(kvecs=kv, wk=wk, wk_raw=wk, nvecs=None)
+        phases = (_phases_from_tables(tables, nv[0], nmax3)
+                  if tables is not None else None)
+        return acc + _wave_space_dense(F, r, sub, radii=radii,
+                                       phases=phases), None
 
+    xs = [jnp.asarray(kvp, dtype), jnp.asarray(wkp, dtype)]
+    if nvp is not None:
+        xs.append(jnp.asarray(nvp))
     acc0 = jnp.zeros(jnp.shape(F), dtype)
-    U, _ = lax.scan(body, acc0,
-                    (jnp.asarray(kvp, dtype), jnp.asarray(wkp, dtype)))
+    U, _ = lax.scan(body, acc0, tuple(xs))
     return U
 
 
-def _wave_space_dense(F, r, params: EwaldParams, radii=None):
+def _wave_space_dense(F, r, params: EwaldParams, radii=None, phases=None):
     dtype = r.dtype
     kv = jnp.asarray(params.kvecs, dtype)      # (K, 3)
     if radii is None:
@@ -567,9 +621,16 @@ def _wave_space_dense(F, r, params: EwaldParams, radii=None):
     else:
         wk = jnp.asarray(params.wk_raw, dtype)
     khat = kv / jnp.linalg.norm(kv, axis=1, keepdims=True)
-    theta = r @ kv.T                           # (N, K)
-    C = jnp.cos(theta)
-    S = jnp.sin(theta)
+    if phases is None and params.nvecs is not None and len(kv) >= 1024:
+        nmax3 = tuple(int(m) for m in np.abs(params.nvecs).max(axis=0))
+        phases = _phases_from_tables(_phase_tables(r, params.box, nmax3),
+                                     jnp.asarray(params.nvecs), nmax3)
+    if phases is not None:
+        C, S = phases
+    else:
+        theta = r @ kv.T                       # (N, K)
+        C = jnp.cos(theta)
+        S = jnp.sin(theta)
     if radii is not None:
         ka = jnp.linalg.norm(kv, axis=1)[None, :] * jnp.asarray(
             radii, dtype)[:, None]             # (N, K)
