@@ -565,15 +565,28 @@ def _phase_tables(r, box, nmax3):
     return out
 
 
-def _phases_from_tables(tables, nidx, nmax3):
-    """(N, K) C, S from per-dim tables; nidx (K, 3) lattice indices."""
+def _onehot_selectors(nvecs, nmax3, dtype):
+    """Per-dim one-hot matrices Hd (Wd, K) with Hd[m + nmax, k] = 1 iff
+    nvecs[k, d] = m.  Phase "gathers" become (N, W)@(W, K) MXU matmuls —
+    XLA gathers of (N, K) from the small tables lowered ~3× SLOWER than
+    the direct cos/sin they replaced on TPU (measured); one-hot matmuls
+    are ~7× faster."""
+    outs = []
+    for d2 in range(3):
+        w = 2 * nmax3[d2] + 1
+        H = np.zeros((w, len(nvecs)), dtype)
+        H[nvecs[:, d2] + nmax3[d2], np.arange(len(nvecs))] = 1.0
+        outs.append(H)
+    return outs
+
+
+def _phases_from_tables(tables, onehots):
+    """(N, K) C, S = Re/Im of Ex·Ey·Ez via one-hot matmuls."""
     (cx, sx), (cy, sy), (cz, sz) = tables
-    ix = nidx[:, 0] + nmax3[0]
-    iy = nidx[:, 1] + nmax3[1]
-    iz = nidx[:, 2] + nmax3[2]
-    cxg, sxg = cx[:, ix], sx[:, ix]
-    cyg, syg = cy[:, iy], sy[:, iy]
-    czg, szg = cz[:, iz], sz[:, iz]
+    Hx, Hy, Hz = onehots
+    cxg, sxg = cx @ Hx, sx @ Hx
+    cyg, syg = cy @ Hy, sy @ Hy
+    czg, szg = cz @ Hz, sz @ Hz
     cxy = cxg * cyg - sxg * syg
     sxy = cxg * syg + sxg * cyg
     return cxy * czg - sxy * szg, cxy * szg + sxy * czg
@@ -588,26 +601,27 @@ def _wave_space_chunked(F, r, params: EwaldParams, radii=None, kc=4096):
     wk_np = params.wk if radii is None else params.wk_raw
     wkp = np.concatenate([wk_np, np.zeros(pad)]).reshape(-1, kc)
     dtype = r.dtype
-    nvp = None
+    hp = None
     tables = None
-    nmax3 = None
     if params.nvecs is not None:
         nmax3 = tuple(int(m) for m in np.abs(params.nvecs).max(axis=0))
-        nvp = np.concatenate(
-            [params.nvecs, np.zeros((pad, 3), np.int32)]).reshape(-1, kc, 3)
+        np_dt = np.float32 if dtype == jnp.float32 else np.float64
+        nvp = np.concatenate([params.nvecs, np.zeros((pad, 3), np.int32)])
+        hs = _onehot_selectors(nvp, nmax3, np_dt)
+        hp = [h.T.reshape(-1, kc, h.shape[0]) for h in hs]  # (nc, kc, Wd)
         tables = _phase_tables(r, params.box, nmax3)
 
     def body(acc, kw):
-        kv, wk, *nv = kw
+        kv, wk, *oh = kw
         sub = params._replace(kvecs=kv, wk=wk, wk_raw=wk, nvecs=None)
-        phases = (_phases_from_tables(tables, nv[0], nmax3)
+        phases = (_phases_from_tables(tables, [o.T for o in oh])
                   if tables is not None else None)
         return acc + _wave_space_dense(F, r, sub, radii=radii,
                                        phases=phases), None
 
     xs = [jnp.asarray(kvp, dtype), jnp.asarray(wkp, dtype)]
-    if nvp is not None:
-        xs.append(jnp.asarray(nvp))
+    if hp is not None:
+        xs.extend(jnp.asarray(h) for h in hp)
     acc0 = jnp.zeros(jnp.shape(F), dtype)
     U, _ = lax.scan(body, acc0, tuple(xs))
     return U
@@ -623,8 +637,10 @@ def _wave_space_dense(F, r, params: EwaldParams, radii=None, phases=None):
     khat = kv / jnp.linalg.norm(kv, axis=1, keepdims=True)
     if phases is None and params.nvecs is not None and len(kv) >= 1024:
         nmax3 = tuple(int(m) for m in np.abs(params.nvecs).max(axis=0))
-        phases = _phases_from_tables(_phase_tables(r, params.box, nmax3),
-                                     jnp.asarray(params.nvecs), nmax3)
+        np_dt = np.float32 if dtype == jnp.float32 else np.float64
+        hs = [jnp.asarray(h)
+              for h in _onehot_selectors(params.nvecs, nmax3, np_dt)]
+        phases = _phases_from_tables(_phase_tables(r, params.box, nmax3), hs)
     if phases is not None:
         C, S = phases
     else:

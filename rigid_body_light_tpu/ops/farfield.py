@@ -152,32 +152,112 @@ def _far_kernel_hat(h, grid, p, dtype):
     return jnp.fft.fftn(K, axes=(0, 1, 2))
 
 
-def _far_apply(W3, cid, Fs, h, grid, p):
-    """Far field for k RHS: (k, N, 3) → (k, N, 3) node velocities."""
-    dtype = Fs.dtype
+def _p2m(W3, cid, Fs, ncell, p):
+    """Anterpolate forces onto cell nodes: Q (k, ncell, B=3p³)."""
     k, n = Fs.shape[0], Fs.shape[1]
-    gx, gy, gz = grid
-    ncell = gx * gy * gz
     p3 = p ** 3
-    # P2M: Q (k, ncell, p³, 3) — scatter-add by cell
     Q = jax.ops.segment_sum(
         (W3[None, :, :, None] * Fs[:, :, None, :]).reshape(
-            k * n, p3, 3).reshape(k, n, p3 * 3).transpose(1, 0, 2).reshape(
-            n, k * p3 * 3),
-        cid, num_segments=ncell)                             # (ncell, k·p³·3)
-    Q = Q.reshape(ncell, k, p3 * 3).transpose(1, 0, 2)
-    Qg = jnp.zeros((k, 2 * gx, 2 * gy, 2 * gz, p3 * 3), dtype)
-    Qg = Qg.at[:, :gx, :gy, :gz, :].set(
-        Q.reshape(k, gx, gy, gz, p3 * 3))
+            k, n, p3 * 3).transpose(1, 0, 2).reshape(n, k * p3 * 3),
+        cid, num_segments=ncell)
+    return Q.reshape(ncell, k, p3 * 3).transpose(1, 0, 2)
+
+
+def _l2p(W3, cid, Unodes, p):
+    """Interpolate node velocities back to blobs (same basis as P2M)."""
+    k, ncell = Unodes.shape[0], Unodes.shape[1]
+    local = Unodes.reshape(k, ncell, p ** 3, 3)[:, cid]      # (k, N, p³, 3)
+    return jnp.einsum("np,knpx->knx", W3, local)
+
+
+def _far_free(Q, h, grid, p):
+    """Free-space far field on nodes: 3-D FFT convolution over cells."""
+    dtype = jnp.real(Q).dtype
+    k = Q.shape[0]
+    gx, gy, gz = grid
+    B = Q.shape[-1]
+    Qg = jnp.zeros((k, 2 * gx, 2 * gy, 2 * gz, B), dtype)
+    Qg = Qg.at[:, :gx, :gy, :gz, :].set(Q.reshape(k, gx, gy, gz, B))
     Khat = _far_kernel_hat(h, grid, p, dtype)                # (2G.., B, B)
     Qhat = jnp.fft.fftn(Qg, axes=(1, 2, 3))
     Uhat = jnp.einsum("xyzij,kxyzj->kxyzi", Khat, Qhat)
     Ug = jnp.real(jnp.fft.ifftn(Uhat, axes=(1, 2, 3)))[
         :, :gx, :gy, :gz, :].astype(dtype)
-    Unodes = Ug.reshape(k, ncell, p3, 3)
-    # L2P: same weights (symmetric interpolation)
-    local = Unodes[:, cid]                                   # (k, N, p³, 3)
-    return jnp.einsum("np,knpx->knx", W3, local)
+    return Ug.reshape(k, gx * gy * gz, B)
+
+
+def _wall_kernel_hat(lo_z, h, grid, p, dtype, h_floor):
+    """K̂_wall[czi, czj]: per-z-cell-pair xy-offset lattices of Swan–Brady
+    node blocks, 2-D FFT'd over the padded xy offsets.
+
+    The image kernel is translation-invariant in xy only (it depends on
+    zᵢ, zⱼ separately), so z stays an explicit Gz² pairing — cheap for
+    the flat sedimented geometries walls imply (pick anisotropic
+    ``grid`` with small Gz).  Near xy-offsets are zeroed exactly where
+    the pair can be near (|Δz_cell| ≤ 1), matching the sweep's cell-
+    adjacency partition.
+    """
+    gx, gy, gz = grid
+    nodes = _cheb_nodes(p)
+    p3 = p ** 3
+    ox = np.arange(2 * gx)
+    ox = np.where(ox < gx, ox, ox - 2 * gx)
+    oy = np.arange(2 * gy)
+    oy = np.where(oy < gy, oy, oy - 2 * gy)
+    OX, OY = np.meshgrid(ox, oy, indexing="ij")              # (2gx, 2gy)
+    tn = jnp.asarray(
+        np.stack(np.meshgrid(nodes, nodes, nodes, indexing="ij"),
+                 axis=-1).reshape(-1, 3), dtype)             # (p³, 3)
+    # xy: (2gx, 2gy, p³, p³) target-minus-source components
+    dx = (jnp.asarray(OX, dtype)[:, :, None, None]
+          + tn[None, None, :, None, 0] - tn[None, None, None, :, 0]) * h[0]
+    dy = (jnp.asarray(OY, dtype)[:, :, None, None]
+          + tn[None, None, :, None, 1] - tn[None, None, None, :, 1]) * h[1]
+    # z: node heights per z-cell, floored like every wall evaluation
+    cz = jnp.arange(gz, dtype=dtype)
+    zn = lo_z + (cz[:, None] + tn[None, :, 2]) * h[2]        # (gz, p³)
+    znf = jnp.maximum(zn, h_floor) if h_floor > 0 else zn
+    zi = znf[:, None, None, None, :, None]                   # target (czi, n)
+    zj = znf[None, :, None, None, None, :]                   # source (czj, m)
+    d_img = jnp.stack(jnp.broadcast_arrays(
+        dx[None, None], dy[None, None], zi + zj), axis=-1)
+    f1, f2, f3, f4, f5, invR = rpy._wall_coeffs(d_img, jnp.broadcast_to(
+        zj, d_img.shape[:-1]))
+    # zero exactly the near set: |Δz_cell| ≤ 1 AND |Δxy_cell|∞ ≤ 1
+    near_xy = (np.abs(OX) <= 1) & (np.abs(OY) <= 1)          # (2gx, 2gy)
+    near_z = np.abs(np.arange(gz)[:, None] - np.arange(gz)[None, :]) <= 1
+    far = ~(near_z[:, :, None, None] & near_xy[None, None])  # (gz,gz,2gx,2gy)
+    farb = jnp.asarray(far, dtype)[..., None, None]
+    f1, f2, f3, f4, f5 = (f * farb for f in (f1, f2, f3, f4, f5))
+    e = d_img * invR[..., None]
+    eye = jnp.eye(3, dtype=dtype)
+    zhat = jnp.zeros(3, dtype).at[2].set(1.0)
+    W = (f1[..., None, None] * eye
+         + f2[..., None, None] * e[..., :, None] * e[..., None, :]
+         + f3[..., None, None] * e[..., :, None] * zhat[None, :]
+         + f4[..., None, None] * zhat[:, None] * e[..., None, :]
+         + f5[..., None, None] * zhat[:, None] * zhat[None, :])
+    # (gz, gz, 2gx, 2gy, p³, p³, 3, 3) → (gz, gz, 2gx, 2gy, B, B)
+    W = W.transpose(0, 1, 2, 3, 4, 6, 5, 7).reshape(
+        gz, gz, 2 * gx, 2 * gy, 3 * p3, 3 * p3)
+    return jnp.fft.fftn(W, axes=(2, 3))
+
+
+def _far_wall(Q, lo_z, h, grid, p, h_floor):
+    """Wall-image far field on nodes: Gz² coupled 2-D xy convolutions."""
+    dtype = jnp.real(Q).dtype
+    k = Q.shape[0]
+    gx, gy, gz = grid
+    B = Q.shape[-1]
+    Qg = Q.reshape(k, gx, gy, gz, B).transpose(0, 3, 1, 2, 4)
+    Qp = jnp.zeros((k, gz, 2 * gx, 2 * gy, B), dtype)
+    Qp = Qp.at[:, :, :gx, :gy, :].set(Qg)
+    Khat = _wall_kernel_hat(lo_z, h, grid, p, dtype, h_floor)
+    Qhat = jnp.fft.fftn(Qp, axes=(2, 3))
+    Uhat = jnp.einsum("tsxyij,ksxyj->ktxyi", Khat, Qhat)
+    Ug = jnp.real(jnp.fft.ifftn(Uhat, axes=(2, 3)))[
+        :, :, :gx, :gy, :].astype(dtype)
+    return Ug.transpose(0, 2, 3, 1, 4).reshape(k, gx * gy * gz, B)
 
 
 # -------------------------------------------------------------- near part
@@ -216,13 +296,17 @@ def _chunk_rows(t: int, max_nbr: int, nrhs: int) -> int:
 
 
 # --------------------------------------------------------------- top level
-def mobility_apply(F, r, a=1.0, eta=1.0, grid=None, p=4, max_nbr=None):
-    """U = M(r)·F via near-exact + proxy-grid far field (free space).
+def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
+                   max_nbr=None, h_floor=rpy.WALL_H_FLOOR):
+    """U = M(r)·F via near-exact + proxy-grid far field.
 
     F: (N, 3) or (k, N, 3).  grid: int or (Gx, Gy, Gz) supercells (auto ≈
-    cells of ~TILE blobs at uniform density); p: Chebyshev nodes per dim.
+    cells of ~TILE blobs at uniform density; wall-bounded slabs should
+    pass an anisotropic grid with small Gz); p: Chebyshev nodes per dim.
     Same normalization/contract as :func:`rigid_body_light_tpu.ops.rpy.
-    mobility_apply` (self term included; no wall, no damping).
+    mobility_apply`: self term included; ``wall`` adds the Swan–Brady
+    correction (near pairs exact, far pairs via the image-kernel
+    lattices) and the B·M·B damping sandwich.
     """
     r = jnp.asarray(r).reshape(-1, 3)
     multi = jnp.asarray(F).ndim == 3
@@ -238,13 +322,21 @@ def mobility_apply(F, r, a=1.0, eta=1.0, grid=None, p=4, max_nbr=None):
     if max_nbr is None:
         max_nbr = default_max_nbr(n, grid, p)
 
+    if wall:
+        b = rpy.damping_factors(r, a)
+        Fs = Fs * b[None, :, None]
+
     x = r * jnp.asarray(1.0 / a, dtype)                      # units of a
     lo, h = _grid_geometry(x, grid)
     ci, cid = _cell_indices(x, lo, h, grid)
     t3 = (x - lo) / h - ci.astype(dtype)
     W3 = _blob_weights(t3, _cheb_nodes(p))                   # (N, p³)
 
-    U_far = _far_apply(W3, cid, Fs, h, grid, p)
+    Q = _p2m(W3, cid, Fs, grid[0] * grid[1] * grid[2], p)
+    Unodes = _far_free(Q, h, grid, p)
+    if wall:
+        Unodes = Unodes + _far_wall(Q, lo[2], h, grid, p, h_floor)
+    U_far = _l2p(W3, cid, Unodes, p)
 
     # ---- near: serpentine equal-population tiles, cell-offset mask
     vol_est = jnp.prod(jnp.asarray(grid, dtype) * h)
@@ -290,8 +382,28 @@ def mobility_apply(F, r, a=1.0, eta=1.0, grid=None, p=4, max_nbr=None):
         alpha = jnp.where(keep, alpha, 0.0)
         beta = jnp.where(keep, beta, 0.0)
         dF = jnp.einsum("cpnx,cknx->ckpn", d, cols_F)
-        return (jnp.einsum("cpn,cknx->ckpx", alpha, cols_F)
-                + jnp.einsum("ckpn,cpn,cpnx->ckpx", dF, beta, d))
+        out = (jnp.einsum("cpn,cknx->ckpx", alpha, cols_F)
+               + jnp.einsum("ckpn,cpn,cpnx->ckpx", dF, beta, d))
+        if wall:
+            zi = rows_x[:, :, 2]
+            zj = cols_x[:, :, 2]
+            if h_floor > 0:
+                zi = jnp.maximum(zi, h_floor)
+                zj = jnp.maximum(zj, h_floor)
+            d_img = d.at[:, :, :, 2].set(zi[:, :, None] + zj[:, None, :])
+            f1, f2, f3, f4, f5, invR = rpy._wall_coeffs(d_img, zj[:, None, :])
+            keepf = keep.astype(dtype)
+            f1, f2, f3, f4, f5 = (f * keepf for f in (f1, f2, f3, f4, f5))
+            e = d_img * invR[..., None]
+            eF = jnp.einsum("cpnx,cknx->ckpn", e, cols_F)
+            Fz = cols_F[:, :, :, 2]
+            out = out + jnp.einsum("cpn,cknx->ckpx", f1, cols_F)
+            out = out + jnp.einsum("ckpn,cpn,cpnx->ckpx", eF, f2, e)
+            out = out + jnp.einsum("cpn,ckn,cpnx->ckpx", f3, Fz, e)
+            z_part = (jnp.einsum("cpn,ckpn->ckp", f4, eF)
+                      + jnp.einsum("cpn,ckn->ckp", f5, Fz))
+            out = out.at[:, :, :, 2].add(z_part)
+        return out
 
     starts = jnp.arange(t // ch, dtype=jnp.int32) * ch
     U_pad = lax.map(chunk_fn, starts)
@@ -300,6 +412,12 @@ def mobility_apply(F, r, a=1.0, eta=1.0, grid=None, p=4, max_nbr=None):
     U_near = jnp.zeros_like(Fs).at[:, order, :].set(U_near_s)
     U_near = jnp.where(overflow, jnp.nan, U_near)
 
-    U = U_near + U_far + _SELF_COEF * Fs
+    self_diag = jnp.full((n, 3), _SELF_COEF, dtype)
+    if wall:
+        self_diag = self_diag + rpy.wall_self_diag(r[:, 2], a, dtype,
+                                                   h_floor=h_floor)
+    U = U_near + U_far + self_diag * Fs
+    if wall:
+        U = U * b[None, :, None]
     U = U * jnp.asarray(1.0 / (8.0 * jnp.pi * eta * a), dtype)
     return U if multi else U[0]
