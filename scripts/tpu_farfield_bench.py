@@ -1,0 +1,110 @@
+"""Proxy-grid far field vs the all-pairs Pallas sweep (open domain).
+
+Measures the free-space mobility matvec on the real chip at bench-like
+density: exact symmetric Pallas kernel vs near+far split for several
+(grid, p), with the component times (far-only vs total) and the f32
+operator error vs the exact sweep.  Run as a background job.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def _sync(x):
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rigid_body_light_tpu.ops import farfield, rpy_pallas
+
+    a, eta = 0.243553, 1.0
+    REPS = 10
+    rng = np.random.default_rng(0)
+
+    # (n, wall, positions-maker, variants).  Open cases: uniform cube at
+    # bench-like density.  Wall cases: the scale-demo slab (xy wide, z thin)
+    # with anisotropic grids keeping cells near-cubic.
+    def cube(n, L):
+        return rng.uniform(0, L, (n, 3)) * a / 0.243553
+
+    def slab(n):
+        side = 12.0 * np.sqrt(n / 10240.0)
+        return rng.uniform([-side, -side, 1.0], [side, side, 40.0], (n, 3))
+
+    cases = [
+        (40960, False, cube(40960, 22.0), [(None, 4), (None, 6)]),
+        (102400, False, cube(102400, 30.0), [(None, 4), (None, 6)]),
+        (102400, True, slab(102400), [((10, 10, 5), 4), ((8, 8, 4), 4),
+                                      ((8, 8, 4), 6)]),
+        (204800, False, cube(204800, 38.0), [(None, 4)]),
+        (204800, True, slab(204800), [((12, 12, 5), 4)]),
+    ]
+    for n, wall, pos, variants in cases:
+        r = jnp.asarray(pos, jnp.float32)
+        F = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
+        out = {"n_blobs": n, "wall": wall}
+
+        @jax.jit
+        def ap_chain(F):
+            def body(_, v):
+                return rpy_pallas.mobility_apply(v, r, a=a, eta=eta,
+                                                 wall=wall)
+            return jax.lax.fori_loop(0, REPS, body, F)
+
+        t0 = time.perf_counter()
+        u_ref = ap_chain(F)
+        _sync(u_ref)
+        out["allpairs_compile_s"] = round(time.perf_counter() - t0, 0)
+        t0 = time.perf_counter()
+        _sync(ap_chain(F))
+        out["allpairs_pallas_ms"] = round(
+            (time.perf_counter() - t0) / REPS * 1e3, 2)
+        print(json.dumps(out), flush=True)
+        time.sleep(5)
+        u_ref1 = None
+
+        for grid, p in variants:
+            rec = {"n_blobs": n, "wall": wall, "grid": grid, "p": p}
+
+            @jax.jit
+            def ff_chain(F):
+                def body(_, v):
+                    return farfield.mobility_apply(v, r, a=a, eta=eta,
+                                                   wall=wall, grid=grid, p=p)
+                return jax.lax.fori_loop(0, REPS, body, F)
+
+            t0 = time.perf_counter()
+            u = ff_chain(F)
+            s = _sync(u)
+            rec["compile_s"] = round(time.perf_counter() - t0, 0)
+            if not np.isfinite(s):
+                rec["error"] = "non-finite (overflow?)"
+                print(json.dumps(rec), flush=True)
+                continue
+            t0 = time.perf_counter()
+            _sync(ff_chain(F))
+            rec["farfield_ms"] = round(
+                (time.perf_counter() - t0) / REPS * 1e3, 2)
+            # one-shot operator error vs the exact kernel sweep
+            if u_ref1 is None:
+                u_ref1 = rpy_pallas.mobility_apply(F, r, a=a, eta=eta,
+                                                   wall=wall)
+            u1 = farfield.mobility_apply(F, r, a=a, eta=eta, wall=wall,
+                                         grid=grid, p=p)
+            rec["rel_err_vs_exact"] = float(
+                jnp.max(jnp.abs(u1 - u_ref1)) / jnp.max(jnp.abs(u_ref1)))
+            print(json.dumps(rec), flush=True)
+            time.sleep(5)
+
+
+if __name__ == "__main__":
+    main()

@@ -89,3 +89,33 @@ def test_overflow_poisons(cloud):
     U = farfield.mobility_apply(jnp.asarray(r), jnp.asarray(r), a=0.9,
                                 grid=4, p=3, max_nbr=1)
     assert bool(jnp.isnan(U).any())
+
+
+@pytest.mark.parametrize("p,tol", [(4, 5e-3), (6, 3e-4)])
+def test_wall_matches_exact_sweep(p, tol):
+    """Swan–Brady far field: image-kernel lattices + exact near terms."""
+    rng = np.random.default_rng(11)
+    n = 1200
+    r = jnp.asarray(np.column_stack([
+        rng.uniform(0, 30, n), rng.uniform(0, 30, n),
+        rng.uniform(0.9, 6.0, n)]), jnp.float64)
+    F = jnp.asarray(rng.standard_normal((n, 3)), jnp.float64)
+    U_ref = rpy.mobility_apply(F, r, a=0.9, eta=1.3, wall=True)
+    U = farfield.mobility_apply(F, r, a=0.9, eta=1.3, wall=True,
+                                grid=(5, 5, 2), p=p)
+    err = float(jnp.abs(U - U_ref).max() / jnp.abs(U_ref).max())
+    assert err < tol
+
+
+def test_wall_symmetry():
+    rng = np.random.default_rng(13)
+    n = 800
+    r = jnp.asarray(np.column_stack([
+        rng.uniform(0, 20, n), rng.uniform(0, 20, n),
+        rng.uniform(1.0, 5.0, n)]), jnp.float64)
+    F1 = jnp.asarray(rng.standard_normal((n, 3)), jnp.float64)
+    F2 = jnp.asarray(rng.standard_normal((n, 3)), jnp.float64)
+    U1 = farfield.mobility_apply(F1, r, a=0.9, wall=True, grid=(4, 4, 2), p=4)
+    U2 = farfield.mobility_apply(F2, r, a=0.9, wall=True, grid=(4, 4, 2), p=4)
+    s1, s2 = float(jnp.vdot(F2, U1)), float(jnp.vdot(F1, U2))
+    assert abs(s1 - s2) / abs(s1) < 1e-12
