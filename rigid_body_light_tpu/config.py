@@ -59,6 +59,9 @@ class SimulationConfig:
     ewald_tol: float = 1.0e-6  # truncation tolerance of both Ewald parts (sets xi and kmax)
     ewald_rc: float = 0.0  # balanced splitting: real-space cutoff (2a < rc < min(L)/2).  Shifts cost from the O(N²) real sweep to MXU wave matmuls and runs the real part over a sorted-tile neighbor structure at O(N·ρ·rc³) — the at-scale periodic mode (ops/ewald_cells.py).  0 = off (classic min(L)/2 split).  Monodisperse only; incompatible with ewald_xi.
     ewald_nbr_tiles: int = 0  # balanced splitting: static neighbor-list width (tiles of 128 sorted blobs per row tile).  0 = auto (4× the uniform-density estimate + 8).  Overflow NaN-poisons the step (caught by the stepper's rejection guards) — raise for extreme density contrast.
+    farfield_grid: Any = None  # proxy-grid far field for open/wall domains (ops/farfield.py): None = off (exact O(N²) sweeps); "auto" = near-cubic grid of ~tile-sized cells; int or (Gx, Gy, Gz) = explicit supercell counts (pass anisotropic counts for flat sedimented slabs).  Splits M into exact near pairs (adjacent cells) + Chebyshev-interpolated far field evaluated as FFT convolutions on the MXU — O(N) at fixed density instead of O(N²).  The operator is approximate (farfield_p controls accuracy) but symmetric to roundoff; monodisperse, box=None only.
+    farfield_p: int = 4  # Chebyshev nodes per dim for the far field: 4 ≈ 5e-3 relative operator error, 6 ≈ 3e-4 (measured, tests/test_farfield.py)
+    farfield_nbr_tiles: int = 0  # static neighbor-tile list width for the near sweep; 0 = auto (overflow NaN-poisons the step, caught by the stepper's rejection guards — raise for extreme density contrast)
     block_diag_pc: bool = False
     pc_mode: str = ""  # "", "diag", "block", "block_free" — "" derives from block_diag_pc
     pc_refresh: int = 1  # rebuild the preconditioner every k steps in run_bd (k>1 = lagged PC)
@@ -99,6 +102,28 @@ class SimulationConfig:
                 )
             # normalized tuple keeps the frozen dataclass hashable/jit-static
             object.__setattr__(self, "box", box)
+        if self.farfield_grid is not None:
+            if self.box is not None:
+                raise ValueError(
+                    "farfield_grid needs an open (box=None) domain — periodic "
+                    "boxes already have the Ewald wave-space far field"
+                )
+            g = self.farfield_grid
+            if isinstance(g, str):
+                if g != "auto":
+                    raise ValueError(
+                        f"farfield_grid must be None, 'auto', an int or a "
+                        f"(Gx, Gy, Gz) triple, got {g!r}"
+                    )
+            elif not isinstance(g, int):
+                g = tuple(int(v) for v in g)
+                if len(g) != 3 or any(v < 2 for v in g):
+                    raise ValueError(
+                        f"farfield_grid triple must be 3 counts ≥ 2, got "
+                        f"{self.farfield_grid!r}"
+                    )
+                # normalized tuple keeps the dataclass hashable/jit-static
+                object.__setattr__(self, "farfield_grid", g)
         if self.ewald_rc > 0:
             if self.ewald_xi > 0:
                 raise ValueError(

@@ -108,48 +108,62 @@ def _cell_indices(x, lo, h, grid):
 
 
 # --------------------------------------------------------------- far part
-def _offset_lattice(grid, dtype):
-    """Signed cell offsets Δ = c_target − c_source on the 2G cyclic pad."""
-    outs = []
-    for g in grid:
-        o = np.arange(2 * g)
-        outs.append(np.where(o < g, o, o - 2 * g))
-    dx, dy, dz = np.meshgrid(*outs, indexing="ij")
-    return np.stack([dx, dy, dz], axis=-1).astype(np.int32)  # (2Gx,2Gy,2Gz,3)
+def _signed_offsets(g: int) -> np.ndarray:
+    """Signed cell offsets Δ = c_target − c_source on the 2g cyclic pad."""
+    o = np.arange(2 * g)
+    return np.where(o < g, o, o - 2 * g).astype(np.int64)
 
 
 def _far_kernel_hat(h, grid, p, dtype):
-    """K̂: FFT over the offset grid of the masked node→node RPY blocks.
+    """K̂: half-spectrum FFT over the offset grid of the masked node→node
+    RPY blocks, as (n_freq, B, B) with B = 3p³.
 
     Built inside the trace (h is dynamic) — O((2G)³·p⁶) kernel
-    evaluations; hoist the result out of Krylov loops by computing the
-    whole apply's prepared context once per configuration (the solver
-    closes over an r-dependent operator, so XLA's loop-invariant code
-    motion hoists this automatically for loop-constant r).
+    evaluations; XLA's loop-invariant code motion hoists it out of
+    Krylov loops for loop-constant r.  Memory discipline (the naive
+    one-shot build OOM'd a 16 GB chip at G=11, p=4 via 6.3×-padded
+    (2G,2G,2G,B,B) temps): the lattice is built in x-offset slabs under
+    ``lax.map`` (one (2Gy·2Gz, p³, p³) evaluation at a time), each slab
+    is rfft'd over z / fft'd over y in place, and only the half
+    spectrum (K real → Hermitian-even K̂) is ever materialized, with
+    the frequency axes flattened so the MXU-sized (B, B) dims stay
+    minor (offset-minor layouts pad 22 → 128).
     """
+    gx, gy, gz = grid
     nodes = _cheb_nodes(p)
-    off = jnp.asarray(_offset_lattice(grid, dtype))          # (O3.., 3)
-    osh = off.shape[:3]
-    off_f = off.reshape(-1, 3).astype(dtype)                 # (O, 3)
+    p3 = p ** 3
     tn = jnp.asarray(
         np.stack(np.meshgrid(nodes, nodes, nodes, indexing="ij"),
                  axis=-1).reshape(-1, 3), dtype)             # (p³, 3)
-    # d = node_n(target) − node_m(source) = (t_n − t_m + Δ)·h
-    d = (tn[None, :, None, :] - tn[None, None, :, :]
-         + off_f[:, None, None, :]) * h                      # (O, p³, p³, 3)
-    r2 = jnp.sum(d * d, axis=-1)
-    alpha, beta = rpy._free_coeffs(r2, dtype)
-    far_mask = jnp.any(jnp.abs(off) > 1, axis=-1).reshape(-1)  # exclude near
-    alpha = alpha * far_mask[:, None, None]
-    beta = beta * far_mask[:, None, None]
-    # dense (O, 3p³, 3p³) blocks: α δ_ij + β d_i d_j
+    dn = tn[:, None, :] - tn[None, :, :]                     # (p³, p³, 3)
+    oyz = np.stack(np.meshgrid(_signed_offsets(gy), _signed_offsets(gz),
+                               indexing="ij"), axis=-1).reshape(-1, 2)
+    far_yz = np.any(np.abs(oyz) > 1, axis=-1)                # (2gy·2gz,)
+    oyz3 = np.concatenate([np.zeros((len(oyz), 1)), oyz], axis=1)
+    oyz_j = jnp.asarray(oyz3, dtype)                         # (m, 3) x=0
+    far_yz_j = jnp.asarray(far_yz)
+    ox = jnp.asarray(_signed_offsets(gx), dtype)             # (2gx,)
     eye = jnp.eye(3, dtype=dtype)
-    K = (alpha[..., None, None] * eye
-         + beta[..., None, None] * d[..., :, None] * d[..., None, :])
-    O, P3 = K.shape[0], K.shape[1]
-    K = K.transpose(0, 1, 3, 2, 4).reshape(O, 3 * P3, 3 * P3)
-    K = K.reshape(*osh, 3 * P3, 3 * P3)
-    return jnp.fft.fftn(K, axes=(0, 1, 2))
+
+    def slab(ox_val):
+        off = oyz_j.at[:, 0].add(ox_val)                     # (m, 3)
+        # d = node_n(target) − node_m(source) = (t_n − t_m + Δ)·h
+        d = (dn[None] + off[:, None, None, :]) * h           # (m, p³, p³, 3)
+        r2 = jnp.sum(d * d, axis=-1)
+        alpha, beta = rpy._free_coeffs(r2, dtype)
+        far = far_yz_j | (jnp.abs(ox_val) > 1.5)             # exclude near
+        alpha = alpha * far[:, None, None]
+        beta = beta * far[:, None, None]
+        K = (alpha[..., None, None] * eye
+             + beta[..., None, None] * d[..., :, None] * d[..., None, :])
+        K = K.transpose(0, 1, 3, 2, 4).reshape(-1, 3 * p3, 3 * p3)
+        K = K.reshape(2 * gy, 2 * gz, 3 * p3, 3 * p3)
+        Ks = jnp.fft.rfft(K, axis=1)                         # (2gy, gz+1, B, B)
+        return jnp.fft.fft(Ks, axis=0)
+
+    Kh = lax.map(slab, ox)                                   # (2gx, 2gy, gz+1, B, B)
+    Kh = jnp.fft.fft(Kh, axis=0)
+    return Kh.reshape(2 * gx * 2 * gy * (gz + 1), 3 * p3, 3 * p3)
 
 
 def _p2m(W3, cid, Fs, ncell, p):
@@ -171,17 +185,20 @@ def _l2p(W3, cid, Unodes, p):
 
 
 def _far_free(Q, h, grid, p):
-    """Free-space far field on nodes: 3-D FFT convolution over cells."""
+    """Free-space far field on nodes: 3-D FFT convolution over cells
+    (half spectrum — K and Q are real)."""
     dtype = jnp.real(Q).dtype
     k = Q.shape[0]
     gx, gy, gz = grid
     B = Q.shape[-1]
     Qg = jnp.zeros((k, 2 * gx, 2 * gy, 2 * gz, B), dtype)
     Qg = Qg.at[:, :gx, :gy, :gz, :].set(Q.reshape(k, gx, gy, gz, B))
-    Khat = _far_kernel_hat(h, grid, p, dtype)                # (2G.., B, B)
-    Qhat = jnp.fft.fftn(Qg, axes=(1, 2, 3))
-    Uhat = jnp.einsum("xyzij,kxyzj->kxyzi", Khat, Qhat)
-    Ug = jnp.real(jnp.fft.ifftn(Uhat, axes=(1, 2, 3)))[
+    Khat = _far_kernel_hat(h, grid, p, dtype)                # (n_freq, B, B)
+    Qhat = jnp.fft.rfftn(Qg, axes=(1, 2, 3))                 # (k,2gx,2gy,gz+1,B)
+    Qf = Qhat.reshape(k, -1, B)
+    Uf = jnp.einsum("oij,koj->koi", Khat, Qf)
+    Uhat = Uf.reshape(k, 2 * gx, 2 * gy, gz + 1, B)
+    Ug = jnp.fft.irfftn(Uhat, s=(2 * gx, 2 * gy, 2 * gz), axes=(1, 2, 3))[
         :, :gx, :gy, :gz, :].astype(dtype)
     return Ug.reshape(k, gx * gy * gz, B)
 
@@ -196,55 +213,67 @@ def _wall_kernel_hat(lo_z, h, grid, p, dtype, h_floor):
     ``grid`` with small Gz).  Near xy-offsets are zeroed exactly where
     the pair can be near (|Δz_cell| ≤ 1), matching the sweep's cell-
     adjacency partition.
+
+    Built per-target-z-cell slab under ``lax.map`` (memory discipline as
+    in :func:`_far_kernel_hat`), stored as the y half-spectrum
+    (n_target_z, n_source_z, xy_freq, B, B).
     """
     gx, gy, gz = grid
     nodes = _cheb_nodes(p)
     p3 = p ** 3
-    ox = np.arange(2 * gx)
-    ox = np.where(ox < gx, ox, ox - 2 * gx)
-    oy = np.arange(2 * gy)
-    oy = np.where(oy < gy, oy, oy - 2 * gy)
-    OX, OY = np.meshgrid(ox, oy, indexing="ij")              # (2gx, 2gy)
+    B = 3 * p3
+    OX, OY = np.meshgrid(_signed_offsets(gx), _signed_offsets(gy),
+                         indexing="ij")                      # (2gx, 2gy)
+    oxy = np.stack([OX, OY], axis=-1).reshape(-1, 2)         # (m, 2)
+    near_xy = np.all(np.abs(oxy) <= 1, axis=-1)              # (m,)
     tn = jnp.asarray(
         np.stack(np.meshgrid(nodes, nodes, nodes, indexing="ij"),
                  axis=-1).reshape(-1, 3), dtype)             # (p³, 3)
-    # xy: (2gx, 2gy, p³, p³) target-minus-source components
-    dx = (jnp.asarray(OX, dtype)[:, :, None, None]
-          + tn[None, None, :, None, 0] - tn[None, None, None, :, 0]) * h[0]
-    dy = (jnp.asarray(OY, dtype)[:, :, None, None]
-          + tn[None, None, :, None, 1] - tn[None, None, None, :, 1]) * h[1]
+    # xy: (m, p³, p³) target-minus-source components
+    oxy_j = jnp.asarray(oxy, dtype)
+    dx = (oxy_j[:, None, None, 0]
+          + tn[None, :, None, 0] - tn[None, None, :, 0]) * h[0]
+    dy = (oxy_j[:, None, None, 1]
+          + tn[None, :, None, 1] - tn[None, None, :, 1]) * h[1]
     # z: node heights per z-cell, floored like every wall evaluation
     cz = jnp.arange(gz, dtype=dtype)
     zn = lo_z + (cz[:, None] + tn[None, :, 2]) * h[2]        # (gz, p³)
     znf = jnp.maximum(zn, h_floor) if h_floor > 0 else zn
-    zi = znf[:, None, None, None, :, None]                   # target (czi, n)
-    zj = znf[None, :, None, None, None, :]                   # source (czj, m)
-    d_img = jnp.stack(jnp.broadcast_arrays(
-        dx[None, None], dy[None, None], zi + zj), axis=-1)
-    f1, f2, f3, f4, f5, invR = rpy._wall_coeffs(d_img, jnp.broadcast_to(
-        zj, d_img.shape[:-1]))
-    # zero exactly the near set: |Δz_cell| ≤ 1 AND |Δxy_cell|∞ ≤ 1
-    near_xy = (np.abs(OX) <= 1) & (np.abs(OY) <= 1)          # (2gx, 2gy)
-    near_z = np.abs(np.arange(gz)[:, None] - np.arange(gz)[None, :]) <= 1
-    far = ~(near_z[:, :, None, None] & near_xy[None, None])  # (gz,gz,2gx,2gy)
-    farb = jnp.asarray(far, dtype)[..., None, None]
-    f1, f2, f3, f4, f5 = (f * farb for f in (f1, f2, f3, f4, f5))
-    e = d_img * invR[..., None]
     eye = jnp.eye(3, dtype=dtype)
     zhat = jnp.zeros(3, dtype).at[2].set(1.0)
-    W = (f1[..., None, None] * eye
-         + f2[..., None, None] * e[..., :, None] * e[..., None, :]
-         + f3[..., None, None] * e[..., :, None] * zhat[None, :]
-         + f4[..., None, None] * zhat[:, None] * e[..., None, :]
-         + f5[..., None, None] * zhat[:, None] * zhat[None, :])
-    # (gz, gz, 2gx, 2gy, p³, p³, 3, 3) → (gz, gz, 2gx, 2gy, B, B)
-    W = W.transpose(0, 1, 2, 3, 4, 6, 5, 7).reshape(
-        gz, gz, 2 * gx, 2 * gy, 3 * p3, 3 * p3)
-    return jnp.fft.fftn(W, axes=(2, 3))
+    near_xy_j = jnp.asarray(near_xy)
+    czi_idx = jnp.arange(gz, dtype=jnp.int32)
+
+    def slab(ci):
+        zi = znf[ci][None, None, :, None]                    # target nodes
+        zj = znf[:, None, None, :]                           # (czj, 1, 1, p³)
+        d_img = jnp.stack(jnp.broadcast_arrays(
+            dx[None], dy[None], zi + zj), axis=-1)           # (gz, m, p³, p³, 3)
+        f1, f2, f3, f4, f5, invR = rpy._wall_coeffs(
+            d_img, jnp.broadcast_to(zj, d_img.shape[:-1]))
+        # zero exactly the near set: |Δz_cell| ≤ 1 AND |Δxy_cell|∞ ≤ 1
+        near_z = jnp.abs(jnp.arange(gz, dtype=jnp.int32) - ci) <= 1
+        far = ~(near_z[:, None] & near_xy_j[None, :])        # (gz, m)
+        farb = far.astype(dtype)[..., None, None]
+        f1, f2, f3, f4, f5 = (f * farb for f in (f1, f2, f3, f4, f5))
+        e = d_img * invR[..., None]
+        W = (f1[..., None, None] * eye
+             + f2[..., None, None] * e[..., :, None] * e[..., None, :]
+             + f3[..., None, None] * e[..., :, None] * zhat[None, :]
+             + f4[..., None, None] * zhat[:, None] * e[..., None, :]
+             + f5[..., None, None] * zhat[:, None] * zhat[None, :])
+        # (gz, m, p³, p³, 3, 3) → (gz, 2gx, 2gy, B, B)
+        W = W.transpose(0, 1, 2, 4, 3, 5).reshape(
+            gz, 2 * gx, 2 * gy, B, B)
+        return jnp.fft.fft(jnp.fft.rfft(W, axis=2), axis=1)
+
+    Kh = lax.map(slab, czi_idx)                # (gz_t, gz_s, 2gx, gy+1, B, B)
+    return Kh.reshape(gz, gz, 2 * gx * (gy + 1), B, B)
 
 
 def _far_wall(Q, lo_z, h, grid, p, h_floor):
-    """Wall-image far field on nodes: Gz² coupled 2-D xy convolutions."""
+    """Wall-image far field on nodes: Gz² coupled 2-D xy convolutions
+    (y half-spectrum — the kernel lattice and Q are real)."""
     dtype = jnp.real(Q).dtype
     k = Q.shape[0]
     gx, gy, gz = grid
@@ -253,9 +282,11 @@ def _far_wall(Q, lo_z, h, grid, p, h_floor):
     Qp = jnp.zeros((k, gz, 2 * gx, 2 * gy, B), dtype)
     Qp = Qp.at[:, :, :gx, :gy, :].set(Qg)
     Khat = _wall_kernel_hat(lo_z, h, grid, p, dtype, h_floor)
-    Qhat = jnp.fft.fftn(Qp, axes=(2, 3))
-    Uhat = jnp.einsum("tsxyij,ksxyj->ktxyi", Khat, Qhat)
-    Ug = jnp.real(jnp.fft.ifftn(Uhat, axes=(2, 3)))[
+    Qhat = jnp.fft.rfftn(Qp, axes=(2, 3))                    # (k,gz,2gx,gy+1,B)
+    Qf = Qhat.reshape(k, gz, -1, B)
+    Uf = jnp.einsum("tsfij,ksfj->ktfi", Khat, Qf)
+    Uhat = Uf.reshape(k, gz, 2 * gx, gy + 1, B)
+    Ug = jnp.fft.irfftn(Uhat, s=(2 * gx, 2 * gy), axes=(2, 3))[
         :, :, :gx, :gy, :].astype(dtype)
     return Ug.transpose(0, 2, 3, 1, 4).reshape(k, gx * gy * gz, B)
 
@@ -273,6 +304,26 @@ def _near_neighbor_lists(ci_sorted, t, max_nbr):
     packed = jnp.sort(key, axis=1)[:, :max_nbr]
     overflow = jnp.any(jnp.sum(ok, axis=1) > max_nbr)
     return jnp.where(packed < t, packed, -1), overflow
+
+
+KHAT_BUDGET = 2 * 2**30  # HBM budget for the resident kernel-hat lattices
+
+
+def auto_grid(n: int, p: int, wall: bool) -> int:
+    """Density-targeted supercell count (cells of ~TILE blobs), capped so
+    the kernel-hat lattices stay under KHAT_BUDGET bytes — storage grows
+    as G³·p⁶, so large N at high p needs an explicit (anisotropic) grid
+    and accepts the larger near sweep instead."""
+    g = max(2, int(round((n / TILE) ** (1.0 / 3.0))))
+    b2 = (3 * p ** 3) ** 2
+    while g > 2:
+        freqs = 4 * g * g * (g + 1)          # free-space half spectrum
+        if wall:
+            freqs += 2 * g ** 3 * (g + 1)    # z pairs × xy half spectrum
+        if 8 * freqs * b2 <= KHAT_BUDGET:
+            break
+        g -= 1
+    return g
 
 
 def default_max_nbr(n: int, grid, p: int) -> int:
@@ -315,7 +366,7 @@ def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
     k, n = Fs.shape[0], r.shape[0]
     dtype = r.dtype
     if grid is None:
-        grid = max(2, int(round((n / TILE) ** (1.0 / 3.0))))
+        grid = auto_grid(n, p, wall)
     if np.isscalar(grid):
         grid = (int(grid),) * 3
     grid = tuple(int(g) for g in grid)

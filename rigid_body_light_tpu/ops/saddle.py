@@ -102,6 +102,8 @@ def mobility_apply_fn(cfg: SimulationConfig, radii=None):
     """
     if cfg.box is not None and len(cfg.box) == 3:
         return _ewald_apply_fn(cfg, radii, multi=False)
+    if cfg.farfield_grid is not None:
+        return _farfield_apply_fn(cfg, radii)
     if cfg.use_pallas and cfg.dtype == jnp.float32:
         try:
             from rigid_body_light_tpu.ops import rpy_pallas
@@ -125,6 +127,29 @@ def mobility_apply_fn(cfg: SimulationConfig, radii=None):
         )
 
     return apply_xla
+
+
+def _farfield_apply_fn(cfg: SimulationConfig, radii):
+    """Proxy-grid near+far mobility (ops/farfield.py) — O(N) at fixed
+    density.  Handles single- and multi-RHS (the module dispatches on
+    F.ndim), so it serves both apply-fn entry points."""
+    if radii is not None:
+        raise ValueError(
+            "farfield_grid does not support per-blob radii yet — "
+            "polydisperse runs use the exact pair sweeps"
+        )
+    from rigid_body_light_tpu.ops import farfield
+
+    grid = None if cfg.farfield_grid == "auto" else cfg.farfield_grid
+    max_nbr = cfg.farfield_nbr_tiles if cfg.farfield_nbr_tiles > 0 else None
+
+    def apply(F, r):
+        return farfield.mobility_apply(
+            F, r, a=cfg.a, eta=cfg.eta, wall=cfg.wall, grid=grid,
+            p=cfg.farfield_p, max_nbr=max_nbr, h_floor=cfg.wall_h_floor,
+        )
+
+    return apply
 
 
 def _ewald_apply_fn(cfg: SimulationConfig, radii, multi: bool):
@@ -189,6 +214,8 @@ def mobility_apply_multi_fn(cfg: SimulationConfig, radii=None):
     """
     if cfg.box is not None and len(cfg.box) == 3:
         return _ewald_apply_fn(cfg, radii, multi=True)
+    if cfg.farfield_grid is not None:
+        return _farfield_apply_fn(cfg, radii)
     if cfg.use_pallas and cfg.dtype == jnp.float32:
         try:
             from rigid_body_light_tpu.ops import rpy_pallas

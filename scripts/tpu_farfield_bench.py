@@ -43,8 +43,7 @@ def main():
     cases = [
         (40960, False, cube(40960, 22.0), [(None, 4), (None, 6)]),
         (102400, False, cube(102400, 30.0), [(None, 4), (None, 6)]),
-        (102400, True, slab(102400), [((10, 10, 5), 4), ((8, 8, 4), 4),
-                                      ((8, 8, 4), 6)]),
+        (102400, True, slab(102400), [((10, 10, 5), 4), ((8, 8, 4), 4)]),
         (204800, False, cube(204800, 38.0), [(None, 4)]),
         (204800, True, slab(204800), [((12, 12, 5), 4)]),
     ]
@@ -73,7 +72,10 @@ def main():
         u_ref1 = None
 
         for grid, p in variants:
-            rec = {"n_blobs": n, "wall": wall, "grid": grid, "p": p}
+            resolved = grid if grid is not None else farfield.auto_grid(
+                n, p, wall)
+            rec = {"n_blobs": n, "wall": wall, "grid": grid, "p": p,
+                   "resolved_grid": resolved}
 
             @jax.jit
             def ff_chain(F):

@@ -6,6 +6,8 @@ field is Pᵀ·K·P with one shared basis), and poison loudly on
 neighbor-list overflow.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -105,6 +107,83 @@ def test_wall_matches_exact_sweep(p, tol):
                                 grid=(5, 5, 2), p=p)
     err = float(jnp.abs(U - U_ref).max() / jnp.abs(U_ref).max())
     assert err < tol
+
+
+def test_config_backend_dispatch_matches_exact():
+    """farfield_grid routes both apply-fn entry points to the proxy grid."""
+    from rigid_body_light_tpu import SimulationConfig
+    from rigid_body_light_tpu.ops import saddle as sad
+
+    rng = np.random.default_rng(21)
+    n = 900
+    r = jnp.asarray(np.column_stack([
+        rng.uniform(0, 25, n), rng.uniform(0, 25, n),
+        rng.uniform(0.9, 5.0, n)]), jnp.float64)
+    F = jnp.asarray(rng.standard_normal((n, 3)), jnp.float64)
+    cfg = SimulationConfig(a=0.9, eta=1.3, wall=True, dtype=jnp.float64,
+                           farfield_grid=(4, 4, 2), farfield_p=6)
+    U = sad.mobility_apply_fn(cfg)(F, r)
+    U_ref = rpy.mobility_apply(F, r, a=0.9, eta=1.3, wall=True)
+    err = float(jnp.abs(U - U_ref).max() / jnp.abs(U_ref).max())
+    assert err < 1e-3
+    # the multi-RHS entry point shares the same implementation
+    Fs = jnp.stack([F, 2.0 * F])
+    Us = sad.mobility_apply_multi_fn(cfg)(Fs, r)
+    assert np.allclose(np.asarray(Us[0]), np.asarray(U))
+    assert np.allclose(np.asarray(Us[1]), 2.0 * np.asarray(U))
+
+
+def test_config_validation():
+    from rigid_body_light_tpu import SimulationConfig
+
+    with pytest.raises(ValueError, match="open"):
+        SimulationConfig(box=(10.0, 10.0, 10.0), farfield_grid=4)
+    with pytest.raises(ValueError, match="triple"):
+        SimulationConfig(farfield_grid=(4, 4))
+    with pytest.raises(ValueError, match="radii"):
+        from rigid_body_light_tpu.ops import saddle as sad
+
+        cfg = SimulationConfig(farfield_grid=4)
+        sad.mobility_apply_fn(cfg, radii=jnp.ones(3))
+    # JSON-style list is normalized to a hashable tuple (jit-static)
+    cfg = SimulationConfig(farfield_grid=[4, 4, 2])
+    assert cfg.farfield_grid == (4, 4, 2)
+    hash(cfg)
+
+
+def test_stepper_on_farfield_backend():
+    """Full solve + stochastic step run on the proxy-grid operator and
+    agree with the exact backend at the interpolation tolerance."""
+    from rigid_body_light_tpu import SimulationConfig, load_structure
+    from rigid_body_light_tpu.dynamics import stochastic_step
+    from rigid_body_light_tpu.ops import kinematics as kin
+    from rigid_body_light_tpu.state import make_state
+
+    params, cfgb = load_structure("shell_N_12")
+    rng = np.random.default_rng(3)
+    X = rng.uniform(0, 18, (8, 3)) + [0, 0, 4.0]
+    Q = rng.standard_normal((8, 4))
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    geom = kin.make_ref_geometry(cfgb, dtype=jnp.float64)
+    state = make_state(X, Q, dtype=jnp.float64)
+    F = jnp.tile(jnp.asarray([0.0, 0, -1.0, 0, 0, 0], jnp.float64), (8, 1))
+    kw = dict(a=params["sep"] / 2, dt=0.05, dtype=jnp.float64,
+              gmres_tol=1e-9, lanczos_iters=20)
+    cfg_ff = SimulationConfig(farfield_grid=(3, 3, 3), farfield_p=6, **kw)
+    cfg_ex = SimulationConfig(**kw)
+    # deterministic (kBT=0): displacement matches the exact backend
+    s_ff, aux = stochastic_step(geom, cfg_ff, state, jax.random.key(0), F)
+    s_ex, _ = stochastic_step(geom, cfg_ex, state, jax.random.key(0), F)
+    dx_ff = np.asarray(s_ff.X - state.X)
+    dx_ex = np.asarray(s_ex.X - state.X)
+    assert float(aux.residual) < 1e-9
+    assert np.abs(dx_ff - dx_ex).max() / np.abs(dx_ex).max() < 1e-2
+    # stochastic step: runs, finite, accepted
+    cfg_kt = dataclasses.replace(cfg_ff, kBT=0.5)
+    s_kt, aux_kt = stochastic_step(geom, cfg_kt, state, jax.random.key(1), F)
+    assert np.isfinite(np.asarray(s_kt.X)).all()
+    # the move was accepted (an overflow/rejection would freeze the state)
+    assert np.abs(np.asarray(s_kt.X - state.X)).max() > 1e-6
 
 
 def test_wall_symmetry():
