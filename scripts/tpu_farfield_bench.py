@@ -47,6 +47,8 @@ def main():
         (204800, False, cube(204800, 38.0), [(None, 4)]),
         (204800, True, slab(204800), [((12, 12, 5), 4)]),
     ]
+    if len(sys.argv) > 1:  # one case per process (tunnel stability)
+        cases = [cases[int(sys.argv[1])]]
     for n, wall, pos, variants in cases:
         r = jnp.asarray(pos, jnp.float32)
         F = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
