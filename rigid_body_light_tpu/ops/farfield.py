@@ -29,10 +29,22 @@ in ewald_cells).  The grid is anchored to the dynamic bounding box, so
 no domain configuration is needed; pass anisotropic ``grid`` counts to
 keep cells near-cubic for flat (sedimented) geometries.
 
-v1 scope: free-space monodisperse (the wall correction decays one power
-faster and its image terms are smooth for separated cells — planned as a
-second kernel lattice; polydisperse far fields split into two
-translation-invariant kernels via α = S(r) + (aᵢ²+aⱼ²)·D(r)).
+Polydisperse (per-blob radii) far fields stay translation-invariant by
+splitting the pair kernel over its radius dependence, which is exactly
+low-order polynomial:
+
+  - free space (far branch):  M = K₀(r) + (âᵢ²+âⱼ²)·K₂(r) — two kernel
+    lattices; the â² moments ride the same FFTs as extra RHS channels.
+  - wall images (geometric-mean a_eff convention of
+    :func:`rigid_body_light_tpu.ops.rpy._pair_tile`): the Swan–Brady
+    coefficients split by image-distance power — 1/R terms are
+    radius-independent, 1/R³ terms scale by âᵢâⱼ, 1/R⁵ by (âᵢâⱼ)² —
+    three kernel lattices (see :func:`_wall_coeffs_split`).
+
+Requirement (documented, not checked): cells no smaller than the
+largest pair contact distance, h ≥ max(âᵢ+âⱼ), so every far (cell-
+nonadjacent) pair is in the non-overlapping branch.  Auto grids at
+tile-scale cell populations satisfy this by orders of magnitude.
 
 Accuracy knob: p (nodes per dim).  Measured against the exact sweep in
 ``tests/test_farfield.py``; pick p=4 for ~1e-3, p=6 for ~1e-5.
@@ -114,9 +126,34 @@ def _signed_offsets(g: int) -> np.ndarray:
     return np.where(o < g, o, o - 2 * g).astype(np.int64)
 
 
-def _far_kernel_hat(h, grid, p, dtype):
+def _free_split_coeffs(r2, dtype):
+    """Far-branch free-space RPY split by radius dependence.
+
+    α_far = 1/r + (âᵢ²+âⱼ²)/(3r³),  β_far = 1/r³ − (âᵢ²+âⱼ²)/r⁵
+    (rpy._free_coeffs_poly far branch), so the pair kernel is
+    K₀ + (âᵢ²+âⱼ²)·K₂ with K₀: (α,β) = (1/r, 1/r³) and
+    K₂: (α,β) = (1/(3r³), −1/r⁵) — both translation invariant.
+
+    r² is floored at 1e-2 (far node pairs are ≥ one cell apart, ≳ 1 in
+    units of a; the floor only bounds the masked near-offset entries so
+    0·∞ cannot poison the lattice in f32).
+    """
+    r2s = jnp.maximum(r2, 1e-2)
+    invr2 = 1.0 / r2s
+    invr = jnp.sqrt(invr2)
+    invr3 = invr * invr2
+    invr5 = invr3 * invr2
+    return ((invr.astype(dtype), invr3.astype(dtype)),
+            ((invr3 / 3.0).astype(dtype), (-invr5).astype(dtype)))
+
+
+def _far_kernel_hat(h, grid, p, dtype, poly=False):
     """K̂: half-spectrum FFT over the offset grid of the masked node→node
-    RPY blocks, as (n_freq, B, B) with B = 3p³.
+    RPY blocks, as (nk, n_freq, B, B) with B = 3p³.
+
+    nk = 1 (monodisperse RPY) or 2 (``poly``: the K₀/K₂ radius split of
+    :func:`_free_split_coeffs`; channel 1 is contracted against the â²
+    moments and read back with â² output weights).
 
     Built inside the trace (h is dynamic) — O((2G)³·p⁶) kernel
     evaluations; XLA's loop-invariant code motion hoists it out of
@@ -150,20 +187,29 @@ def _far_kernel_hat(h, grid, p, dtype):
         # d = node_n(target) − node_m(source) = (t_n − t_m + Δ)·h
         d = (dn[None] + off[:, None, None, :]) * h           # (m, p³, p³, 3)
         r2 = jnp.sum(d * d, axis=-1)
-        alpha, beta = rpy._free_coeffs(r2, dtype)
-        far = far_yz_j | (jnp.abs(ox_val) > 1.5)             # exclude near
-        alpha = alpha * far[:, None, None]
-        beta = beta * far[:, None, None]
-        K = (alpha[..., None, None] * eye
-             + beta[..., None, None] * d[..., :, None] * d[..., None, :])
-        K = K.transpose(0, 1, 3, 2, 4).reshape(-1, 3 * p3, 3 * p3)
-        K = K.reshape(2 * gy, 2 * gz, 3 * p3, 3 * p3)
-        Ks = jnp.fft.rfft(K, axis=1)                         # (2gy, gz+1, B, B)
-        return jnp.fft.fft(Ks, axis=0)
+        if poly:
+            coeffs = _free_split_coeffs(r2, dtype)
+        else:
+            coeffs = (rpy._free_coeffs(r2, dtype),)
+        far = (far_yz_j | (jnp.abs(ox_val) > 1.5)).astype(   # exclude near
+            dtype)[:, None, None]
+        Ks = []
+        for alpha, beta in coeffs:
+            alpha = alpha * far
+            beta = beta * far
+            K = (alpha[..., None, None] * eye
+                 + beta[..., None, None] * d[..., :, None] * d[..., None, :])
+            K = K.transpose(0, 1, 3, 2, 4).reshape(-1, 3 * p3, 3 * p3)
+            K = K.reshape(2 * gy, 2 * gz, 3 * p3, 3 * p3)
+            Kf = jnp.fft.rfft(K, axis=1)                     # (2gy, gz+1, B, B)
+            Ks.append(jnp.fft.fft(Kf, axis=0))
+        return jnp.stack(Ks)                                 # (nk, 2gy, gz+1, B, B)
 
-    Kh = lax.map(slab, ox)                                   # (2gx, 2gy, gz+1, B, B)
+    Kh = lax.map(slab, ox)                                   # (2gx, nk, 2gy, gz+1, B, B)
     Kh = jnp.fft.fft(Kh, axis=0)
-    return Kh.reshape(2 * gx * 2 * gy * (gz + 1), 3 * p3, 3 * p3)
+    nk = Kh.shape[1]
+    return Kh.transpose(1, 0, 2, 3, 4, 5).reshape(
+        nk, 2 * gx * 2 * gy * (gz + 1), 3 * p3, 3 * p3)
 
 
 def _p2m(W3, cid, Fs, ncell, p):
@@ -184,26 +230,84 @@ def _l2p(W3, cid, Unodes, p):
     return jnp.einsum("np,knpx->knx", W3, local)
 
 
-def _far_free(Q, h, grid, p):
+def _far_free(Qm, h, grid, p):
     """Free-space far field on nodes: 3-D FFT convolution over cells
-    (half spectrum — K and Q are real)."""
-    dtype = jnp.real(Q).dtype
-    k = Q.shape[0]
+    (half spectrum — K and Q are real).
+
+    Qm: (nm, k, ncell, B) moment channels — nm = 1 (monodisperse: [QF])
+    or 2 (polydisperse: [QF, Q_{â²F}]).  Returns (nout, k, ncell, B)
+    output channels the caller interpolates with weights [1] (mono) or
+    [1, âᵢ²] (poly):
+
+      U₀ = K₀*F + K₂*(â²F)   (unit output weight)
+      U₂ = K₂*F              (âᵢ² output weight)
+    """
+    dtype = jnp.real(Qm).dtype
+    nm, k = Qm.shape[0], Qm.shape[1]
+    poly = nm == 2
     gx, gy, gz = grid
-    B = Q.shape[-1]
-    Qg = jnp.zeros((k, 2 * gx, 2 * gy, 2 * gz, B), dtype)
-    Qg = Qg.at[:, :gx, :gy, :gz, :].set(Q.reshape(k, gx, gy, gz, B))
-    Khat = _far_kernel_hat(h, grid, p, dtype)                # (n_freq, B, B)
-    Qhat = jnp.fft.rfftn(Qg, axes=(1, 2, 3))                 # (k,2gx,2gy,gz+1,B)
-    Qf = Qhat.reshape(k, -1, B)
-    Uf = jnp.einsum("oij,koj->koi", Khat, Qf)
-    Uhat = Uf.reshape(k, 2 * gx, 2 * gy, gz + 1, B)
+    B = Qm.shape[-1]
+    Qg = jnp.zeros((nm * k, 2 * gx, 2 * gy, 2 * gz, B), dtype)
+    Qg = Qg.at[:, :gx, :gy, :gz, :].set(
+        Qm.reshape(nm * k, gx, gy, gz, B))
+    Khat = _far_kernel_hat(h, grid, p, dtype, poly=poly)     # (nk, n_freq, B, B)
+    Qhat = jnp.fft.rfftn(Qg, axes=(1, 2, 3))                 # (nm·k,2gx,2gy,gz+1,B)
+    Qf = Qhat.reshape(nm, k, -1, B)
+    if poly:
+        U0 = (jnp.einsum("oij,koj->koi", Khat[0], Qf[0])
+              + jnp.einsum("oij,koj->koi", Khat[1], Qf[1]))
+        U2 = jnp.einsum("oij,koj->koi", Khat[1], Qf[0])
+        Uf = jnp.stack([U0, U2])                             # (2, k, nf, B)
+    else:
+        Uf = jnp.einsum("oij,koj->koi", Khat[0], Qf[0])[None]
+    nout = Uf.shape[0]
+    Uhat = Uf.reshape(nout * k, 2 * gx, 2 * gy, gz + 1, B)
     Ug = jnp.fft.irfftn(Uhat, s=(2 * gx, 2 * gy, 2 * gz), axes=(1, 2, 3))[
         :, :gx, :gy, :gz, :].astype(dtype)
-    return Ug.reshape(k, gx * gy * gz, B)
+    return Ug.reshape(nout, k, gx * gy * gz, B)
 
 
-def _wall_kernel_hat(lo_z, h, grid, p, dtype, h_floor):
+def _wall_coeffs_split(d_img, hj):
+    """Swan–Brady wall coefficients split by image-distance power.
+
+    Same algebra as :func:`rigid_body_light_tpu.ops.rpy._wall_coeffs`
+    (f = f1·I + f2·e⊗e + f3·e⊗ẑ + f4·ẑ⊗e + f5·ẑ⊗ẑ) but returned as three
+    channels parts[m] = (f1..f5): the 1/R terms (m=0), 1/R³ terms (m=1)
+    and 1/R⁵ terms (m=2), with parts[0]+parts[1]+parts[2] equal to the
+    equal-radius coefficients.  In the geometric-mean a_eff = √(aᵢaⱼ)
+    convention (rpy._pair_tile polydisperse wall path) the physical
+    correction is parts[0] + (âᵢâⱼ)·parts[1] + (âᵢâⱼ)²·parts[2]: the
+    dimensionless h_hat/ez factors are scale invariant, and the 1/a_eff
+    prefactor times (a_eff/R)^m leaves (âᵢâⱼ)^((m−1)/2 ·2).
+    """
+    rz = d_img[..., 2]
+    h_hat = hj / jnp.maximum(rz, 1e-12)
+    r2 = jnp.sum(d_img * d_img, axis=-1)
+    invR = lax.rsqrt(jnp.maximum(r2, 1e-2))
+    ez = rz * invR
+    ez2 = ez * ez
+    invR3 = invR * invR * invR
+    invR5 = invR3 * invR * invR
+    hh = h_hat * (1.0 - h_hat)
+    p0 = (-(1.0 + 2.0 * hh * ez2) * invR,
+          -(1.0 - 6.0 * hh * ez2) * invR,
+          2.0 * ez * h_hat * (1.0 - 6.0 * (1.0 - h_hat) * ez2) * invR,
+          2.0 * ez * h_hat * invR,
+          -4.0 * h_hat * h_hat * ez2 * invR)
+    p1 = (-(2.0 / 3.0) * (1.0 - 3.0 * ez2) * invR3,
+          2.0 * (1.0 - 5.0 * ez2) * invR3,
+          -4.0 * ez * (1.0 - 5.0 * ez2) * invR3,
+          jnp.zeros_like(invR3),
+          -4.0 * ez2 * invR3)
+    p2 = ((2.0 / 3.0) * (1.0 - 5.0 * ez2) * invR5,
+          -(10.0 / 3.0) * (1.0 - 7.0 * ez2) * invR5,
+          (20.0 / 3.0) * ez * (2.0 - 7.0 * ez2) * invR5,
+          -(20.0 / 3.0) * ez * invR5,
+          -(4.0 / 3.0) * (2.0 - 15.0 * ez2) * invR5)
+    return (p0, p1, p2), invR
+
+
+def _wall_kernel_hat(lo_z, h, grid, p, dtype, h_floor, poly=False):
     """K̂_wall[czi, czj]: per-z-cell-pair xy-offset lattices of Swan–Brady
     node blocks, 2-D FFT'd over the padded xy offsets.
 
@@ -249,46 +353,62 @@ def _wall_kernel_hat(lo_z, h, grid, p, dtype, h_floor):
         zj = znf[:, None, None, :]                           # (czj, 1, 1, p³)
         d_img = jnp.stack(jnp.broadcast_arrays(
             dx[None], dy[None], zi + zj), axis=-1)           # (gz, m, p³, p³, 3)
-        f1, f2, f3, f4, f5, invR = rpy._wall_coeffs(
+        parts, invR = _wall_coeffs_split(
             d_img, jnp.broadcast_to(zj, d_img.shape[:-1]))
+        if not poly:
+            parts = (tuple(a + b + c for a, b, c in zip(*parts)),)
         # zero exactly the near set: |Δz_cell| ≤ 1 AND |Δxy_cell|∞ ≤ 1
         near_z = jnp.abs(jnp.arange(gz, dtype=jnp.int32) - ci) <= 1
         far = ~(near_z[:, None] & near_xy_j[None, :])        # (gz, m)
         farb = far.astype(dtype)[..., None, None]
-        f1, f2, f3, f4, f5 = (f * farb for f in (f1, f2, f3, f4, f5))
         e = d_img * invR[..., None]
-        W = (f1[..., None, None] * eye
-             + f2[..., None, None] * e[..., :, None] * e[..., None, :]
-             + f3[..., None, None] * e[..., :, None] * zhat[None, :]
-             + f4[..., None, None] * zhat[:, None] * e[..., None, :]
-             + f5[..., None, None] * zhat[:, None] * zhat[None, :])
-        # (gz, m, p³, p³, 3, 3) → (gz, 2gx, 2gy, B, B)
-        W = W.transpose(0, 1, 2, 4, 3, 5).reshape(
-            gz, 2 * gx, 2 * gy, B, B)
-        return jnp.fft.fft(jnp.fft.rfft(W, axis=2), axis=1)
+        Ws = []
+        for f1, f2, f3, f4, f5 in parts:
+            f1, f2, f3, f4, f5 = (f * farb for f in (f1, f2, f3, f4, f5))
+            W = (f1[..., None, None] * eye
+                 + f2[..., None, None] * e[..., :, None] * e[..., None, :]
+                 + f3[..., None, None] * e[..., :, None] * zhat[None, :]
+                 + f4[..., None, None] * zhat[:, None] * e[..., None, :]
+                 + f5[..., None, None] * zhat[:, None] * zhat[None, :])
+            # (gz, m, p³, p³, 3, 3) → (gz, 2gx, 2gy, B, B)
+            W = W.transpose(0, 1, 2, 4, 3, 5).reshape(
+                gz, 2 * gx, 2 * gy, B, B)
+            Ws.append(jnp.fft.fft(jnp.fft.rfft(W, axis=2), axis=1))
+        return jnp.stack(Ws)                   # (nk, gz_s, 2gx, gy+1, B, B)
 
-    Kh = lax.map(slab, czi_idx)                # (gz_t, gz_s, 2gx, gy+1, B, B)
-    return Kh.reshape(gz, gz, 2 * gx * (gy + 1), B, B)
+    Kh = lax.map(slab, czi_idx)                # (gz_t, nk, gz_s, 2gx, gy+1, B, B)
+    nk = Kh.shape[1]
+    return Kh.transpose(1, 0, 2, 3, 4, 5, 6).reshape(
+        nk, gz, gz, 2 * gx * (gy + 1), B, B)
 
 
-def _far_wall(Q, lo_z, h, grid, p, h_floor):
+def _far_wall(Qm, lo_z, h, grid, p, h_floor):
     """Wall-image far field on nodes: Gz² coupled 2-D xy convolutions
-    (y half-spectrum — the kernel lattice and Q are real)."""
-    dtype = jnp.real(Q).dtype
-    k = Q.shape[0]
+    (y half-spectrum — the kernel lattices and Q are real).
+
+    Qm: (nm, k, ncell, B) moment channels — nm = 1 (monodisperse: [QF])
+    or 3 (polydisperse: [QF, Q_{âF}, Q_{â²F}]).  Each channel convolves
+    with its own image-kernel lattice (the (âᵢâⱼ)^m split of
+    :func:`_wall_coeffs_split`); the caller interpolates the outputs
+    with weights [1] (mono) or [1, âᵢ, âᵢ²] (poly).
+    """
+    dtype = jnp.real(Qm).dtype
+    nm, k = Qm.shape[0], Qm.shape[1]
+    poly = nm == 3
     gx, gy, gz = grid
-    B = Q.shape[-1]
-    Qg = Q.reshape(k, gx, gy, gz, B).transpose(0, 3, 1, 2, 4)
-    Qp = jnp.zeros((k, gz, 2 * gx, 2 * gy, B), dtype)
+    B = Qm.shape[-1]
+    Qg = Qm.reshape(nm * k, gx, gy, gz, B).transpose(0, 3, 1, 2, 4)
+    Qp = jnp.zeros((nm * k, gz, 2 * gx, 2 * gy, B), dtype)
     Qp = Qp.at[:, :, :gx, :gy, :].set(Qg)
-    Khat = _wall_kernel_hat(lo_z, h, grid, p, dtype, h_floor)
-    Qhat = jnp.fft.rfftn(Qp, axes=(2, 3))                    # (k,gz,2gx,gy+1,B)
-    Qf = Qhat.reshape(k, gz, -1, B)
-    Uf = jnp.einsum("tsfij,ksfj->ktfi", Khat, Qf)
-    Uhat = Uf.reshape(k, gz, 2 * gx, gy + 1, B)
+    Khat = _wall_kernel_hat(lo_z, h, grid, p, dtype, h_floor, poly=poly)
+    Qhat = jnp.fft.rfftn(Qp, axes=(2, 3))                    # (nm·k,gz,2gx,gy+1,B)
+    Qf = Qhat.reshape(nm, k, gz, -1, B)
+    Uf = jnp.stack([
+        jnp.einsum("tsfij,ksfj->ktfi", Khat[m], Qf[m]) for m in range(nm)])
+    Uhat = Uf.reshape(nm * k, gz, 2 * gx, gy + 1, B)
     Ug = jnp.fft.irfftn(Uhat, s=(2 * gx, 2 * gy), axes=(2, 3))[
         :, :, :gx, :gy, :].astype(dtype)
-    return Ug.transpose(0, 2, 3, 1, 4).reshape(k, gx * gy * gz, B)
+    return Ug.transpose(0, 2, 3, 1, 4).reshape(nm, k, gx * gy * gz, B)
 
 
 # -------------------------------------------------------------- near part
@@ -309,17 +429,21 @@ def _near_neighbor_lists(ci_sorted, t, max_nbr):
 KHAT_BUDGET = 2 * 2**30  # HBM budget for the resident kernel-hat lattices
 
 
-def auto_grid(n: int, p: int, wall: bool) -> int:
+def auto_grid(n: int, p: int, wall: bool, poly: bool = False) -> int:
     """Density-targeted supercell count (cells of ~TILE blobs), capped so
     the kernel-hat lattices stay under KHAT_BUDGET bytes — storage grows
     as G³·p⁶, so large N at high p needs an explicit (anisotropic) grid
-    and accepts the larger near sweep instead."""
+    and accepts the larger near sweep instead.  ``poly`` doubles the
+    free-space lattice count and triples the wall one (the radius-split
+    kernel channels)."""
     g = max(2, int(round((n / TILE) ** (1.0 / 3.0))))
     b2 = (3 * p ** 3) ** 2
     while g > 2:
-        freqs = 4 * g * g * (g + 1)          # free-space half spectrum
+        # free-space half spectrum (× kernel channels)
+        freqs = (2 if poly else 1) * 4 * g * g * (g + 1)
         if wall:
-            freqs += 2 * g ** 3 * (g + 1)    # z pairs × xy half spectrum
+            # z pairs × xy half spectrum (× kernel channels)
+            freqs += (3 if poly else 1) * 2 * g ** 3 * (g + 1)
         if 8 * freqs * b2 <= KHAT_BUDGET:
             break
         g -= 1
@@ -348,12 +472,16 @@ def _chunk_rows(t: int, max_nbr: int, nrhs: int) -> int:
 
 # --------------------------------------------------------------- top level
 def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
-                   max_nbr=None, h_floor=rpy.WALL_H_FLOOR):
+                   max_nbr=None, h_floor=rpy.WALL_H_FLOOR, radii=None):
     """U = M(r)·F via near-exact + proxy-grid far field.
 
     F: (N, 3) or (k, N, 3).  grid: int or (Gx, Gy, Gz) supercells (auto ≈
     cells of ~TILE blobs at uniform density; wall-bounded slabs should
     pass an anisotropic grid with small Gz); p: Chebyshev nodes per dim.
+    radii: optional (N,) per-blob physical radii — polydisperse RPY via
+    the radius-split kernel lattices (module docstring); near pairs use
+    :func:`rigid_body_light_tpu.ops.rpy._free_coeffs_poly` and the
+    geometric-mean a_eff wall convention, exactly like the O(N²) sweeps.
     Same normalization/contract as :func:`rigid_body_light_tpu.ops.rpy.
     mobility_apply`: self term included; ``wall`` adds the Swan–Brady
     correction (near pairs exact, far pairs via the image-kernel
@@ -365,16 +493,20 @@ def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
     Fs = Fs if multi else Fs[None]
     k, n = Fs.shape[0], r.shape[0]
     dtype = r.dtype
+    poly = radii is not None
     if grid is None:
-        grid = auto_grid(n, p, wall)
+        grid = auto_grid(n, p, wall, poly)
     if np.isscalar(grid):
         grid = (int(grid),) * 3
     grid = tuple(int(g) for g in grid)
     if max_nbr is None:
         max_nbr = default_max_nbr(n, grid, p)
+    if poly:
+        ahat = jnp.asarray(radii, dtype).reshape(-1) * jnp.asarray(
+            1.0 / a, dtype)
 
     if wall:
-        b = rpy.damping_factors(r, a)
+        b = rpy.damping_factors(r, a, radii=radii)
         Fs = Fs * b[None, :, None]
 
     x = r * jnp.asarray(1.0 / a, dtype)                      # units of a
@@ -383,11 +515,32 @@ def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
     t3 = (x - lo) / h - ci.astype(dtype)
     W3 = _blob_weights(t3, _cheb_nodes(p))                   # (N, p³)
 
-    Q = _p2m(W3, cid, Fs, grid[0] * grid[1] * grid[2], p)
-    Unodes = _far_free(Q, h, grid, p)
-    if wall:
-        Unodes = Unodes + _far_wall(Q, lo[2], h, grid, p, h_floor)
-    U_far = _l2p(W3, cid, Unodes, p)
+    # moment channels: â^m-weighted forces sharing one spread/FFT batch
+    if poly:
+        mom_scales = [None, ahat, ahat * ahat] if wall else [None,
+                                                             ahat * ahat]
+    else:
+        mom_scales = [None]
+    nm = len(mom_scales)
+    Fm = jnp.concatenate([Fs if s is None else Fs * s[None, :, None]
+                          for s in mom_scales])              # (nm·k, N, 3)
+    ncell = grid[0] * grid[1] * grid[2]
+    Q = _p2m(W3, cid, Fm, ncell, p).reshape(nm, k, ncell, -1)
+    Qm_free = jnp.stack([Q[0], Q[nm - 1]]) if poly else Q    # [F, â²F]
+    Un = _far_free(Qm_free, h, grid, p)                      # (nf, k, nc, B)
+    Uw = _far_wall(Q, lo[2], h, grid, p, h_floor) if wall else None
+    if not poly:
+        Unodes = Un[0] if Uw is None else Un[0] + Uw[0]
+        U_far = _l2p(W3, cid, Unodes, p)
+    else:
+        ch_1 = Un[0] if Uw is None else Un[0] + Uw[0]        # weight 1
+        ch_a2 = Un[1] if Uw is None else Un[1] + Uw[2]       # weight âᵢ²
+        chans = [ch_1, ch_a2] + ([Uw[1]] if wall else [])    # (+ weight âᵢ)
+        L = _l2p(W3, cid, jnp.concatenate(chans), p).reshape(
+            len(chans), k, n, 3)
+        U_far = L[0] + (ahat * ahat)[None, :, None] * L[1]
+        if wall:
+            U_far = U_far + ahat[None, :, None] * L[2]
 
     # ---- near: serpentine equal-population tiles, cell-offset mask
     vol_est = jnp.prod(jnp.asarray(grid, dtype) * h)
@@ -407,6 +560,11 @@ def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
     ct = ci_s.reshape(t, TILE, 3)
     it = id_s.reshape(t, TILE)
     Ft = F_s.reshape(k, t, TILE, 3)
+    if poly:
+        # pad with 1.0: padded entries are masked out, but 0 would divide
+        # by zero inside the coefficient fields
+        ah_s = jnp.concatenate([ahat[order], jnp.ones((pad,), dtype)])
+        at = ah_s.reshape(t, TILE)
 
     def chunk_fn(c0):
         z = jnp.zeros((), c0.dtype)
@@ -429,13 +587,31 @@ def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
         keep = adj & (cols_id[:, None, :] >= 0) & (
             rows_id[:, :, None] != cols_id[:, None, :])
         r2 = jnp.where(keep, r2, 16.0)  # harmless masked distance
-        alpha, beta = rpy._free_coeffs(r2, dtype)
+        if poly:
+            rows_a = lax.dynamic_slice(at, (c0, z), (ch, TILE))
+            cols_a = at[nb].reshape(ch, max_nbr * TILE)
+            alpha, beta = rpy._free_coeffs_poly(
+                r2, rows_a[:, :, None], cols_a[:, None, :], dtype)
+        else:
+            alpha, beta = rpy._free_coeffs(r2, dtype)
         alpha = jnp.where(keep, alpha, 0.0)
         beta = jnp.where(keep, beta, 0.0)
         dF = jnp.einsum("cpnx,cknx->ckpn", d, cols_F)
         out = (jnp.einsum("cpn,cknx->ckpx", alpha, cols_F)
                + jnp.einsum("ckpn,cpn,cpnx->ckpx", dF, beta, d))
-        if wall:
+        if wall and poly:
+            # geometric-mean a_eff convention of rpy._pair_tile: evaluate
+            # in units of a_eff = √(aᵢaⱼ) and scale the result by 1/a_eff
+            inv_ae = lax.rsqrt(rows_a[:, :, None] * cols_a[:, None, :])
+            zi = rows_x[:, :, 2][:, :, None] * inv_ae
+            zj = cols_x[:, :, 2][:, None, :] * inv_ae
+            if h_floor > 0:
+                zi = jnp.maximum(zi, h_floor)
+                zj = jnp.maximum(zj, h_floor)
+            d_img = (d * inv_ae[..., None]).at[:, :, :, 2].set(zi + zj)
+            f1, f2, f3, f4, f5, invR = rpy._wall_coeffs(d_img, zj)
+            f1, f2, f3, f4, f5 = (f * inv_ae for f in (f1, f2, f3, f4, f5))
+        elif wall:
             zi = rows_x[:, :, 2]
             zj = cols_x[:, :, 2]
             if h_floor > 0:
@@ -443,6 +619,7 @@ def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
                 zj = jnp.maximum(zj, h_floor)
             d_img = d.at[:, :, :, 2].set(zi[:, :, None] + zj[:, None, :])
             f1, f2, f3, f4, f5, invR = rpy._wall_coeffs(d_img, zj[:, None, :])
+        if wall:
             keepf = keep.astype(dtype)
             f1, f2, f3, f4, f5 = (f * keepf for f in (f1, f2, f3, f4, f5))
             e = d_img * invR[..., None]
@@ -464,9 +641,12 @@ def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
     U_near = jnp.where(overflow, jnp.nan, U_near)
 
     self_diag = jnp.full((n, 3), _SELF_COEF, dtype)
+    if poly:
+        self_diag = self_diag / ahat[:, None]
     if wall:
         self_diag = self_diag + rpy.wall_self_diag(r[:, 2], a, dtype,
-                                                   h_floor=h_floor)
+                                                   h_floor=h_floor,
+                                                   radii=radii)
     U = U_near + U_far + self_diag * Fs
     if wall:
         U = U * b[None, :, None]

@@ -132,12 +132,8 @@ def mobility_apply_fn(cfg: SimulationConfig, radii=None):
 def _farfield_apply_fn(cfg: SimulationConfig, radii):
     """Proxy-grid near+far mobility (ops/farfield.py) — O(N) at fixed
     density.  Handles single- and multi-RHS (the module dispatches on
-    F.ndim), so it serves both apply-fn entry points."""
-    if radii is not None:
-        raise ValueError(
-            "farfield_grid does not support per-blob radii yet — "
-            "polydisperse runs use the exact pair sweeps"
-        )
+    F.ndim) and per-blob radii (radius-split kernel lattices), so it
+    serves both apply-fn entry points and mixtures."""
     from rigid_body_light_tpu.ops import farfield
 
     grid = None if cfg.farfield_grid == "auto" else cfg.farfield_grid
@@ -147,6 +143,7 @@ def _farfield_apply_fn(cfg: SimulationConfig, radii):
         return farfield.mobility_apply(
             F, r, a=cfg.a, eta=cfg.eta, wall=cfg.wall, grid=grid,
             p=cfg.farfield_p, max_nbr=max_nbr, h_floor=cfg.wall_h_floor,
+            radii=radii,
         )
 
     return apply

@@ -140,11 +140,6 @@ def test_config_validation():
         SimulationConfig(box=(10.0, 10.0, 10.0), farfield_grid=4)
     with pytest.raises(ValueError, match="triple"):
         SimulationConfig(farfield_grid=(4, 4))
-    with pytest.raises(ValueError, match="radii"):
-        from rigid_body_light_tpu.ops import saddle as sad
-
-        cfg = SimulationConfig(farfield_grid=4)
-        sad.mobility_apply_fn(cfg, radii=jnp.ones(3))
     # JSON-style list is normalized to a hashable tuple (jit-static)
     cfg = SimulationConfig(farfield_grid=[4, 4, 2])
     assert cfg.farfield_grid == (4, 4, 2)
@@ -184,6 +179,91 @@ def test_stepper_on_farfield_backend():
     assert np.isfinite(np.asarray(s_kt.X)).all()
     # the move was accepted (an overflow/rejection would freeze the state)
     assert np.abs(np.asarray(s_kt.X - state.X)).max() > 1e-6
+
+
+@pytest.mark.parametrize("p,tol", [(4, 5e-3), (6, 5e-4)])
+def test_polydisperse_matches_exact_sweep(cloud, p, tol):
+    """Radius-split kernel lattices (K₀ + (âᵢ²+âⱼ²)K₂) vs the exact
+    polydisperse sweep (rpy._free_coeffs_poly)."""
+    r, F = cloud
+    rng = np.random.default_rng(17)
+    n = r.shape[0]
+    radii = jnp.asarray(rng.choice([0.6, 0.9, 1.4], n), jnp.float64)
+    r64 = jnp.asarray(r, jnp.float64)
+    F64 = jnp.asarray(F[0], jnp.float64)
+    U_ref = rpy.mobility_apply(F64, r64, a=0.9, eta=1.3, radii=radii)
+    U = farfield.mobility_apply(F64, r64, a=0.9, eta=1.3, grid=4, p=p,
+                                radii=radii)
+    err = float(jnp.abs(U - U_ref).max() / jnp.abs(U_ref).max())
+    assert err < tol
+
+
+@pytest.mark.parametrize("p,tol", [(4, 8e-3), (6, 8e-4)])
+def test_polydisperse_wall_matches_exact_sweep(p, tol):
+    """Wall image kernels split by 1/R power: G₀ + âᵢâⱼ·G₁ + (âᵢâⱼ)²·G₂
+    in the geometric-mean a_eff convention of the exact sweep."""
+    rng = np.random.default_rng(19)
+    n = 1200
+    r = jnp.asarray(np.column_stack([
+        rng.uniform(0, 30, n), rng.uniform(0, 30, n),
+        rng.uniform(1.2, 6.0, n)]), jnp.float64)
+    F = jnp.asarray(rng.standard_normal((n, 3)), jnp.float64)
+    radii = jnp.asarray(rng.choice([0.7, 0.9, 1.2], n), jnp.float64)
+    U_ref = rpy.mobility_apply(F, r, a=0.9, eta=1.3, wall=True, radii=radii)
+    U = farfield.mobility_apply(F, r, a=0.9, eta=1.3, wall=True,
+                                grid=(5, 5, 2), p=p, radii=radii)
+    err = float(jnp.abs(U - U_ref).max() / jnp.abs(U_ref).max())
+    assert err < tol
+
+
+def test_polydisperse_symmetry(cloud):
+    """M must stay symmetric with unequal radii (wall on)."""
+    rng = np.random.default_rng(23)
+    n = 800
+    r = jnp.asarray(np.column_stack([
+        rng.uniform(0, 20, n), rng.uniform(0, 20, n),
+        rng.uniform(1.0, 5.0, n)]), jnp.float64)
+    radii = jnp.asarray(rng.uniform(0.6, 1.3, n), jnp.float64)
+    F1 = jnp.asarray(rng.standard_normal((n, 3)), jnp.float64)
+    F2 = jnp.asarray(rng.standard_normal((n, 3)), jnp.float64)
+    kw = dict(a=0.9, wall=True, grid=(4, 4, 2), p=4, radii=radii)
+    U1 = farfield.mobility_apply(F1, r, **kw)
+    U2 = farfield.mobility_apply(F2, r, **kw)
+    s1, s2 = float(jnp.vdot(F2, U1)), float(jnp.vdot(F1, U2))
+    assert abs(s1 - s2) / abs(s1) < 1e-12
+
+
+def test_polydisperse_equal_radii_reduces_to_mono(cloud):
+    """radii = a everywhere must agree with the monodisperse path to
+    interpolation-difference tolerance (different kernel regularization)."""
+    r, F = cloud
+    r64 = jnp.asarray(r, jnp.float64)
+    F64 = jnp.asarray(F[0], jnp.float64)
+    n = r.shape[0]
+    U_m = farfield.mobility_apply(F64, r64, a=0.9, grid=4, p=6)
+    U_p = farfield.mobility_apply(F64, r64, a=0.9, grid=4, p=6,
+                                  radii=jnp.full((n,), 0.9, jnp.float64))
+    assert float(jnp.abs(U_p - U_m).max() / jnp.abs(U_m).max()) < 1e-10
+
+
+def test_config_backend_dispatch_polydisperse():
+    """farfield_grid + per-blob radii routes through the proxy grid."""
+    from rigid_body_light_tpu import SimulationConfig
+    from rigid_body_light_tpu.ops import saddle as sad
+
+    rng = np.random.default_rng(29)
+    n = 900
+    r = jnp.asarray(np.column_stack([
+        rng.uniform(0, 25, n), rng.uniform(0, 25, n),
+        rng.uniform(1.0, 5.0, n)]), jnp.float64)
+    F = jnp.asarray(rng.standard_normal((n, 3)), jnp.float64)
+    radii = jnp.asarray(rng.choice([0.7, 1.1], n), jnp.float64)
+    cfg = SimulationConfig(a=0.9, eta=1.3, wall=True, dtype=jnp.float64,
+                           farfield_grid=(4, 4, 2), farfield_p=6)
+    U = sad.mobility_apply_fn(cfg, radii=radii)(F, r)
+    U_ref = rpy.mobility_apply(F, r, a=0.9, eta=1.3, wall=True, radii=radii)
+    err = float(jnp.abs(U - U_ref).max() / jnp.abs(U_ref).max())
+    assert err < 2e-3
 
 
 def test_wall_symmetry():
