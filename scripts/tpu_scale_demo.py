@@ -138,7 +138,9 @@ def measure_noise(precond=True):
     print(f"  noise draw warm: {time.perf_counter()-t0:.2f} s", flush=True)
 
 
-def measure_step(kBT=1.0):
+def measure_step(kBT=1.0, farfield=False):
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -147,6 +149,12 @@ def measure_step(kBT=1.0):
     from rigid_body_light_tpu.state import make_state
 
     params, cfgb, B, xs, qs, cfg = _scale_setup(kBT=kBT)
+    if farfield:
+        # flat slab: anisotropic grid keeps cells near-cubic; the kernel
+        # lattices rebuild per solve (positions change each step) and
+        # amortize over the Krylov/Lanczos sweeps within it
+        cfg = dataclasses.replace(cfg, farfield_grid=(12, 12, 3),
+                                  farfield_p=4)
     geom = kin.make_ref_geometry(cfgb, dtype=jnp.float32)
     state = make_state(xs, qs, dtype=jnp.float32)
     n_blobs = B * params["N"]
@@ -168,9 +176,10 @@ def measure_step(kBT=1.0):
     res = float(jnp.max(jnp.asarray(traj["residual"])))
     ok = bool(jnp.isfinite(s.X).all())
     kind = "fluctuating" if kBT > 0 else "deterministic"
+    backend = "farfield" if farfield else "all-pairs"
     print(json.dumps({
         "metric": f"{kind} BD steps/sec @ {n_blobs} blobs "
-                  f"({B}x shell_N_2562, wall, block_free PC)",
+                  f"({B}x shell_N_2562, wall, block_free PC, {backend})",
         "value": round(1.0 / dt, 4), "unit": "steps/s",
         "residual": res, "finite": ok,
     }), flush=True)
@@ -200,5 +209,9 @@ if __name__ == "__main__":
         measure_noise(precond=False)
     if which in ("step", "all"):
         measure_step()
+    if which in ("ffstep",):
+        measure_step(farfield=True)
+    if which in ("ffstep0",):
+        measure_step(kBT=0.0, farfield=True)
     if which in ("vmem", "all"):
         probe_vmem()

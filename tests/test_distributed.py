@@ -39,6 +39,7 @@ def _setup(B=8, kBT=0.0):
     return geom, cfg, state, mesh
 
 
+@pytest.mark.medium
 def test_ring_pair_sum_matches_single_device():
     geom, cfg, state, mesh = _setup()
     ops = saddle.geometry_ops(geom, state)
@@ -70,6 +71,7 @@ def test_distributed_deterministic_step_matches_single_device():
     assert int(aux_sh.iters) == int(aux_ref.iters)
 
 
+@pytest.mark.medium
 def test_distributed_stochastic_step_runs_and_reproduces():
     geom, cfg, state, mesh = _setup(kBT=1.0)
     F = jnp.zeros((8, 6), jnp.float64).at[:, 2].set(-1.0)

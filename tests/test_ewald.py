@@ -241,6 +241,7 @@ def test_polydisperse_ewald():
     assert np.linalg.eigvalsh((Mp + Mp.T) / 2).min() > 0
 
 
+@pytest.mark.medium
 def test_f32_polydisperse_tables():
     """f32 polydisperse real-space scalars come from species-pair f64
     tables — the closed forms' J-cascade cancellation is catastrophic in
@@ -281,6 +282,7 @@ def test_f32_polydisperse_tables():
             radii=rad))(jnp.asarray(radii, jnp.float32))
 
 
+@pytest.mark.medium
 def test_f32_poly_stepper_covariance():
     """One-step rigid displacement covariance of the f32 polydisperse
     periodic stepper matches 2·kBT·dt·N (N from the f64 deterministic

@@ -24,7 +24,10 @@ def cloud():
     return r, F
 
 
-@pytest.mark.parametrize("p,tol", [(3, 2e-2), (4, 3e-3), (6, 2e-4)])
+@pytest.mark.parametrize("p,tol", [
+    (3, 2e-2), (4, 3e-3),
+    pytest.param(6, 2e-4, marks=pytest.mark.medium),
+])
 def test_matches_exact_sweep(cloud, p, tol):
     r, F = cloud
     a, eta = 0.9, 1.3
@@ -93,7 +96,9 @@ def test_overflow_poisons(cloud):
     assert bool(jnp.isnan(U).any())
 
 
-@pytest.mark.parametrize("p,tol", [(4, 5e-3), (6, 3e-4)])
+@pytest.mark.parametrize("p,tol", [
+    (4, 5e-3), pytest.param(6, 3e-4, marks=pytest.mark.medium),
+])
 def test_wall_matches_exact_sweep(p, tol):
     """Swan–Brady far field: image-kernel lattices + exact near terms."""
     rng = np.random.default_rng(11)
@@ -109,6 +114,7 @@ def test_wall_matches_exact_sweep(p, tol):
     assert err < tol
 
 
+@pytest.mark.medium
 def test_config_backend_dispatch_matches_exact():
     """farfield_grid routes both apply-fn entry points to the proxy grid."""
     from rigid_body_light_tpu import SimulationConfig
@@ -146,6 +152,7 @@ def test_config_validation():
     hash(cfg)
 
 
+@pytest.mark.medium
 def test_stepper_on_farfield_backend():
     """Full solve + stochastic step run on the proxy-grid operator and
     agree with the exact backend at the interpolation tolerance."""
@@ -181,7 +188,9 @@ def test_stepper_on_farfield_backend():
     assert np.abs(np.asarray(s_kt.X - state.X)).max() > 1e-6
 
 
-@pytest.mark.parametrize("p,tol", [(4, 5e-3), (6, 5e-4)])
+@pytest.mark.parametrize("p,tol", [
+    (4, 5e-3), pytest.param(6, 5e-4, marks=pytest.mark.medium),
+])
 def test_polydisperse_matches_exact_sweep(cloud, p, tol):
     """Radius-split kernel lattices (K₀ + (âᵢ²+âⱼ²)K₂) vs the exact
     polydisperse sweep (rpy._free_coeffs_poly)."""
@@ -198,7 +207,9 @@ def test_polydisperse_matches_exact_sweep(cloud, p, tol):
     assert err < tol
 
 
-@pytest.mark.parametrize("p,tol", [(4, 8e-3), (6, 8e-4)])
+@pytest.mark.parametrize("p,tol", [
+    (4, 8e-3), pytest.param(6, 8e-4, marks=pytest.mark.medium),
+])
 def test_polydisperse_wall_matches_exact_sweep(p, tol):
     """Wall image kernels split by 1/R power: G₀ + âᵢâⱼ·G₁ + (âᵢâⱼ)²·G₂
     in the geometric-mean a_eff convention of the exact sweep."""
@@ -216,6 +227,7 @@ def test_polydisperse_wall_matches_exact_sweep(p, tol):
     assert err < tol
 
 
+@pytest.mark.medium
 def test_polydisperse_symmetry(cloud):
     """M must stay symmetric with unequal radii (wall on)."""
     rng = np.random.default_rng(23)
@@ -233,6 +245,7 @@ def test_polydisperse_symmetry(cloud):
     assert abs(s1 - s2) / abs(s1) < 1e-12
 
 
+@pytest.mark.medium
 def test_polydisperse_equal_radii_reduces_to_mono(cloud):
     """radii = a everywhere must agree with the monodisperse path to
     interpolation-difference tolerance (different kernel regularization)."""
@@ -246,6 +259,7 @@ def test_polydisperse_equal_radii_reduces_to_mono(cloud):
     assert float(jnp.abs(U_p - U_m).max() / jnp.abs(U_m).max()) < 1e-10
 
 
+@pytest.mark.medium
 def test_config_backend_dispatch_polydisperse():
     """farfield_grid + per-blob radii routes through the proxy grid."""
     from rigid_body_light_tpu import SimulationConfig
@@ -264,6 +278,70 @@ def test_config_backend_dispatch_polydisperse():
     U_ref = rpy.mobility_apply(F, r, a=0.9, eta=1.3, wall=True, radii=radii)
     err = float(jnp.abs(U - U_ref).max() / jnp.abs(U_ref).max())
     assert err < 2e-3
+
+
+@pytest.mark.medium
+def test_gradients_flow_through_farfield():
+    """The proxy-grid operator is plain XLA (FFT/einsum/segment_sum), so
+    reverse-mode AD must work and match finite differences of the scalar
+    F·M(r)F through both forces and positions."""
+    rng = np.random.default_rng(31)
+    n = 300
+    r = jnp.asarray(rng.uniform(0, 12, (n, 3)), jnp.float64)
+    F = jnp.asarray(rng.standard_normal((n, 3)), jnp.float64)
+
+    def energy(F_, r_):
+        U = farfield.mobility_apply(F_, r_, a=0.9, grid=3, p=4)
+        return jnp.vdot(F_, U)
+
+    gF, gr = jax.grad(energy, argnums=(0, 1))(F, r)
+    assert bool(jnp.isfinite(gF).all()) and bool(jnp.isfinite(gr).all())
+    # E = FᵀMF with M symmetric → dE/dF = 2MF
+    U = farfield.mobility_apply(F, r, a=0.9, grid=3, p=4)
+    assert float(jnp.abs(gF - 2.0 * U).max() / jnp.abs(U).max()) < 1e-10
+    # directional FD check on positions
+    v = jnp.asarray(rng.standard_normal((n, 3)), jnp.float64)
+    eps = 1e-6
+    fd = (energy(F, r + eps * v) - energy(F, r - eps * v)) / (2 * eps)
+    an = float(jnp.vdot(gr, v))
+    assert abs(fd - an) / max(abs(fd), 1e-12) < 1e-5
+
+
+@pytest.mark.slow
+def test_mixture_step_on_farfield_backend():
+    """Two-species mixture with unequal blob radii stepping on the
+    proxy-grid backend agrees with the exact backend (kBT=0)."""
+    from rigid_body_light_tpu import SimulationConfig, load_structure
+    from rigid_body_light_tpu import multi
+    from rigid_body_light_tpu.state import make_state
+
+    pa, ca = load_structure("shell_N_12")
+    pb, cb = load_structure("shell_N_42")
+    rng = np.random.default_rng(33)
+    Xa = rng.uniform(0, 16, (4, 3)) + [0, 0, 5.0]
+    Xb = rng.uniform(0, 16, (3, 3)) + [0, 0, 9.0]
+    qa = np.tile([1.0, 0, 0, 0], (4, 1))
+    qb = np.tile([1.0, 0, 0, 0], (3, 1))
+    a = pa["sep"] / 2
+    kw = dict(a=a, dt=0.02, dtype=jnp.float64, gmres_tol=1e-9,
+              wall=True)
+    mgeom = multi.MultiGeometry.create([ca, cb], dtype=jnp.float64,
+                                       radii=(None, 1.4 * a))
+    states = [make_state(Xa, qa, dtype=jnp.float64),
+              make_state(Xb, qb, dtype=jnp.float64)]
+    F = [jnp.tile(jnp.asarray([0.0, 0, -1, 0, 0, 0], jnp.float64), (4, 1)),
+         jnp.tile(jnp.asarray([0.0, 0, -1, 0, 0, 0], jnp.float64), (3, 1))]
+    cfg_ff = SimulationConfig(farfield_grid=(3, 3, 2), farfield_p=6, **kw)
+    cfg_ex = SimulationConfig(**kw)
+    s_ff, aux_ff = multi.stochastic_step_multi(
+        mgeom, cfg_ff, states, jax.random.key(0), F)
+    s_ex, _ = multi.stochastic_step_multi(
+        mgeom, cfg_ex, states, jax.random.key(0), F)
+    assert float(aux_ff.residual) < 1e-8
+    for sf, se, s0 in zip(s_ff, s_ex, states):
+        dxf = np.asarray(sf.X - s0.X)
+        dxe = np.asarray(se.X - s0.X)
+        assert np.abs(dxf - dxe).max() / np.abs(dxe).max() < 1e-2
 
 
 def test_wall_symmetry():

@@ -164,6 +164,7 @@ def test_symmetric_kernel_multi_column_tile(nrhs):
     assert np.abs(sym - ref).max() / np.abs(ref).max() < 2e-6
 
 
+@pytest.mark.medium
 def test_pallas_mobility_custom_vjp_matches_xla():
     """The kernel's custom VJP: force cotangent via the (symmetric) kernel
     itself, position cotangent via the XLA fallback — both must match the

@@ -121,6 +121,7 @@ def test_stokes_drag_two_radii():
                                    rtol=3e-3)  # far-field coupling ~ 1/500
 
 
+@pytest.mark.medium
 def test_mixture_with_species_radii_runs_and_reduces():
     """Two-species mixture: same-radius mixture == monodisperse mixture;
     a distinct-radius mixture runs the full stochastic step finite, and its
