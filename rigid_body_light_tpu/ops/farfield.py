@@ -102,13 +102,15 @@ def _blob_weights(t3, nodes):
 
 
 # ----------------------------------------------------------- grid/binning
+def _geometry_from_bounds(lo, hi, grid):
+    span = jnp.maximum(hi - lo, 1e-6) * (1.0 + 1e-5)
+    h = span / jnp.asarray(grid, lo.dtype)
+    return lo, h
+
+
 def _grid_geometry(x, grid):
     """Dynamic bbox → (lo, h) with h per-dim cell sizes (units of a)."""
-    lo = jnp.min(x, axis=0)
-    hi = jnp.max(x, axis=0)
-    span = jnp.maximum(hi - lo, 1e-6) * (1.0 + 1e-5)
-    h = span / jnp.asarray(grid, x.dtype)
-    return lo, h
+    return _geometry_from_bounds(jnp.min(x, axis=0), jnp.max(x, axis=0), grid)
 
 
 def _cell_indices(x, lo, h, grid):
@@ -553,17 +555,55 @@ def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
         [order.astype(jnp.int32), jnp.full((pad,), -1, jnp.int32)])
     F_s = jnp.concatenate([Fs[:, order], jnp.zeros((k, pad, 3), dtype)],
                           axis=1)
+    if poly:
+        # pad with 1.0: padded entries are masked out, but 0 would divide
+        # by zero inside the coefficient fields
+        ah_s = jnp.concatenate([ahat[order], jnp.ones((pad,), dtype)])
+    else:
+        ah_s = None
     nbr, overflow = _near_neighbor_lists(ci_s, t, max_nbr)
+    U_near_s = _near_sweep(x_s, ci_s, id_s, F_s, ah_s, nbr, max_nbr,
+                           wall, h_floor, 0, t)[:, :n]
+    U_near = jnp.zeros_like(Fs).at[:, order, :].set(U_near_s)
+    U_near = jnp.where(overflow, jnp.nan, U_near)
+
+    self_diag = jnp.full((n, 3), _SELF_COEF, dtype)
+    if poly:
+        self_diag = self_diag / ahat[:, None]
+    if wall:
+        self_diag = self_diag + rpy.wall_self_diag(r[:, 2], a, dtype,
+                                                   h_floor=h_floor,
+                                                   radii=radii)
+    U = U_near + U_far + self_diag * Fs
+    if wall:
+        U = U * b[None, :, None]
+    U = U * jnp.asarray(1.0 / (8.0 * jnp.pi * eta * a), dtype)
+    return U if multi else U[0]
+
+
+def _near_sweep(x_s, ci_s, id_s, F_s, ah_s, nbr, max_nbr, wall, h_floor,
+                t0, nt):
+    """Exact adjacent-cell pair sweep for the sorted tile range
+    [t0, t0+nt): rows are the range's blobs, columns its neighbor tiles.
+
+    x_s/ci_s/id_s (t·TILE, …) sorted padded arrays, F_s (k, t·TILE, 3),
+    ah_s optional (t·TILE,) normalized radii (polydisperse), nbr (t,
+    max_nbr) neighbor-tile lists (−1 = empty).  Returns (k, nt·TILE, 3)
+    pair velocities in sorted order — no self term, scaling or damping.
+    ``t0``/``nt`` are static; the single-device caller passes (0, t), the
+    distributed one its device's tile slice.
+    """
+    dtype = x_s.dtype
+    poly = ah_s is not None
+    t = nbr.shape[0]
+    k = F_s.shape[0]
     nbr_ix = jnp.maximum(nbr, 0)
-    ch = _chunk_rows(t, max_nbr, k)
+    ch = _chunk_rows(nt, max_nbr, k)
     xt = x_s.reshape(t, TILE, 3)
     ct = ci_s.reshape(t, TILE, 3)
     it = id_s.reshape(t, TILE)
     Ft = F_s.reshape(k, t, TILE, 3)
     if poly:
-        # pad with 1.0: padded entries are masked out, but 0 would divide
-        # by zero inside the coefficient fields
-        ah_s = jnp.concatenate([ahat[order], jnp.ones((pad,), dtype)])
         at = ah_s.reshape(t, TILE)
 
     def chunk_fn(c0):
@@ -633,20 +673,152 @@ def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
             out = out.at[:, :, :, 2].add(z_part)
         return out
 
-    starts = jnp.arange(t // ch, dtype=jnp.int32) * ch
+    starts = t0 + jnp.arange(nt // ch, dtype=jnp.int32) * ch
     U_pad = lax.map(chunk_fn, starts)
-    U_near_s = U_pad.reshape(t, k, TILE, 3).transpose(1, 0, 2, 3).reshape(
-        k, t * TILE, 3)[:, :n]
-    U_near = jnp.zeros_like(Fs).at[:, order, :].set(U_near_s)
+    return U_pad.reshape(nt, k, TILE, 3).transpose(1, 0, 2, 3).reshape(
+        k, nt * TILE, 3)
+
+
+# ------------------------------------------------------------- distributed
+def mobility_apply_local(F_l, r_l, n_devices: int, axis_name: str, a=1.0,
+                         eta=1.0, wall=False, grid=None, p=4, max_nbr=None,
+                         h_floor=rpy.WALL_H_FLOOR, radii_l=None):
+    """Local-shard proxy-grid mobility for use INSIDE ``shard_map``.
+
+    Multi-chip far field (the O(N) analogue of
+    :func:`rigid_body_light_tpu.parallel.sharding.ring_pair_sum_local`):
+    blobs are sharded over ``axis_name``; per-blob O(N·p³) work — spread
+    weights, anterpolation, interpolation — runs on the LOCAL shard only,
+    the tiny node-grid moments close with one ``psum``, the (cheap,
+    G³·p⁶) kernel-lattice convolution is computed redundantly-replicated,
+    and the dominant adjacent-cell near sweep is sharded by equal tile
+    slices over a one-shot ``all_gather`` of the (N, 3) positions/forces
+    (O(N) bytes against O(N·ρ/D) local flops; at 1M blobs the gathered
+    arrays are ~24 MB while the Krylov state — the actual memory wall,
+    handled by the distributed solver — stays sharded).
+
+    F_l, r_l: (N_local, 3) (or F_l (k, N_local, 3)) local shards; returns
+    the local rows of M·F with the same normalization/contract as
+    :func:`mobility_apply`.  radii_l: optional (N_local,) local radii
+    shard (polydisperse).  N_local must be equal on every device (pad at
+    the caller if needed); tile slices are padded internally.
+    """
+    r_l = jnp.asarray(r_l).reshape(-1, 3)
+    multi = jnp.asarray(F_l).ndim == 3
+    Fs = jnp.asarray(F_l, r_l.dtype)
+    Fs = Fs if multi else Fs[None]
+    k, n_l = Fs.shape[0], r_l.shape[0]
+    n = n_l * n_devices
+    dtype = r_l.dtype
+    poly = radii_l is not None
+    if grid is None:
+        grid = auto_grid(n, p, wall, poly)
+    if np.isscalar(grid):
+        grid = (int(grid),) * 3
+    grid = tuple(int(g) for g in grid)
+    if max_nbr is None:
+        max_nbr = default_max_nbr(n, grid, p)
+    if poly:
+        ahat = jnp.asarray(radii_l, dtype).reshape(-1) * jnp.asarray(
+            1.0 / a, dtype)
+
+    if wall:
+        b = rpy.damping_factors(r_l, a, radii=radii_l)
+        Fs = Fs * b[None, :, None]
+
+    # global grid geometry: bbox closes over the mesh with pmin/pmax
+    x = r_l * jnp.asarray(1.0 / a, dtype)                    # units of a
+    lo = lax.pmin(jnp.min(x, axis=0), axis_name)
+    hi = lax.pmax(jnp.max(x, axis=0), axis_name)
+    lo, h = _geometry_from_bounds(lo, hi, grid)
+    ci, cid = _cell_indices(x, lo, h, grid)
+    t3 = (x - lo) / h - ci.astype(dtype)
+    W3 = _blob_weights(t3, _cheb_nodes(p))                   # (N_l, p³)
+
+    # far part: local spread, psum'd node moments, replicated convolution,
+    # local interpolation — identical numbers on every device
+    if poly:
+        mom_scales = [None, ahat, ahat * ahat] if wall else [None,
+                                                             ahat * ahat]
+    else:
+        mom_scales = [None]
+    nm = len(mom_scales)
+    Fm = jnp.concatenate([Fs if s is None else Fs * s[None, :, None]
+                          for s in mom_scales])
+    ncell = grid[0] * grid[1] * grid[2]
+    Q = lax.psum(_p2m(W3, cid, Fm, ncell, p), axis_name).reshape(
+        nm, k, ncell, -1)
+    Qm_free = jnp.stack([Q[0], Q[nm - 1]]) if poly else Q
+    Un = _far_free(Qm_free, h, grid, p)
+    Uw = _far_wall(Q, lo[2], h, grid, p, h_floor) if wall else None
+    if not poly:
+        Unodes = Un[0] if Uw is None else Un[0] + Uw[0]
+        U_far = _l2p(W3, cid, Unodes, p)
+    else:
+        ch_1 = Un[0] if Uw is None else Un[0] + Uw[0]
+        ch_a2 = Un[1] if Uw is None else Un[1] + Uw[2]
+        chans = [ch_1, ch_a2] + ([Uw[1]] if wall else [])
+        L = _l2p(W3, cid, jnp.concatenate(chans), p).reshape(
+            len(chans), k, n_l, 3)
+        U_far = L[0] + (ahat * ahat)[None, :, None] * L[1]
+        if wall:
+            U_far = U_far + ahat[None, :, None] * L[2]
+
+    # near part: gather the global (N, 3) arrays once, build the sorted
+    # tile structure redundantly (O(N log N) sort + O(t²) adjacency —
+    # trivial next to the pair sweep), sweep only this device's tile
+    # slice, and regather the slices
+    idx = lax.axis_index(axis_name)
+    x_all = lax.all_gather(x, axis_name, tiled=True)         # (N, 3)
+    F_all = lax.all_gather(Fs, axis_name, axis=1, tiled=True)
+    ci_all = lax.all_gather(ci, axis_name, tiled=True)
+    vol_est = jnp.prod(jnp.asarray(grid, dtype) * h)
+    order = tiles.serpentine_order(x_all, tiles.column_width(n, vol_est))
+    t = -(-n // TILE)
+    t_pad = -(-t // n_devices) * n_devices
+    pad = t_pad * TILE - n
+    # pad rows: the partial tile keeps blob-0's cell (as in mobility_apply);
+    # whole pad tiles sit at an isolated out-of-range cell so they link to
+    # no real tile (adjacency gap ≥ 2) and cost no neighbor-list width
+    pad_part = min(pad, t * TILE - n)
+    iso = jnp.asarray(grid, jnp.int32) + 2
+    ci_pad = jnp.concatenate([
+        jnp.broadcast_to(ci_all[:1], (pad_part, 3)),
+        jnp.broadcast_to(iso, (pad - pad_part, 3)),
+    ]) if pad else ci_all[:0]
+    x_s = jnp.concatenate([x_all[order], jnp.broadcast_to(x_all[:1],
+                                                          (pad, 3))])
+    ci_s = jnp.concatenate([ci_all[order], ci_pad])
+    id_s = jnp.concatenate(
+        [order.astype(jnp.int32), jnp.full((pad,), -1, jnp.int32)])
+    F_s = jnp.concatenate([F_all[:, order], jnp.zeros((k, pad, 3), dtype)],
+                          axis=1)
+    if poly:
+        ah_all = lax.all_gather(ahat, axis_name, tiled=True)
+        ah_s = jnp.concatenate([ah_all[order], jnp.ones((pad,), dtype)])
+    else:
+        ah_s = None
+    # pad tiles share one isolated cell, so each sees (pad-tile count)
+    # neighbors — widen the list to cover them (their rows are masked
+    # anyway, but an overflow there would NaN-poison the whole apply)
+    max_nbr = min(t_pad, max(max_nbr, t_pad - t + 1))
+    nbr, overflow = _near_neighbor_lists(ci_s, t_pad, max_nbr)
+    nt = t_pad // n_devices
+    U_slice = _near_sweep(x_s, ci_s, id_s, F_s, ah_s, nbr, max_nbr,
+                          wall, h_floor, idx * nt, nt)       # (k, nt·TILE, 3)
+    U_sorted = lax.all_gather(U_slice, axis_name, axis=1,
+                              tiled=True)[:, :n]
+    U_near_g = jnp.zeros((k, n, 3), dtype).at[:, order, :].set(U_sorted)
+    U_near = lax.dynamic_slice_in_dim(U_near_g, idx * n_l, n_l, axis=1)
     U_near = jnp.where(overflow, jnp.nan, U_near)
 
-    self_diag = jnp.full((n, 3), _SELF_COEF, dtype)
+    self_diag = jnp.full((n_l, 3), _SELF_COEF, dtype)
     if poly:
         self_diag = self_diag / ahat[:, None]
     if wall:
-        self_diag = self_diag + rpy.wall_self_diag(r[:, 2], a, dtype,
+        self_diag = self_diag + rpy.wall_self_diag(r_l[:, 2], a, dtype,
                                                    h_floor=h_floor,
-                                                   radii=radii)
+                                                   radii=radii_l)
     U = U_near + U_far + self_diag * Fs
     if wall:
         U = U * b[None, :, None]

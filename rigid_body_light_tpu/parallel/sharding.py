@@ -315,6 +315,41 @@ def ring_mobility_apply_fn(cfg: SimulationConfig, n_devices: int,
     return apply
 
 
+def farfield_mobility_apply_local_fn(cfg: SimulationConfig, n_devices: int,
+                                     axis_name: str = "bodies") -> Callable:
+    """Local-view proxy-grid ``mob_apply(F_l, r_l) → U_l`` INSIDE shard_map.
+
+    The multi-chip O(N) far field (``cfg.farfield_grid`` set): per-blob
+    spread/interpolation work stays on the local shard, node moments psum,
+    the kernel-lattice convolution runs replicated, and the near sweep is
+    sharded by tile slices — see
+    :func:`rigid_body_light_tpu.ops.farfield.mobility_apply_local`.
+    Drop-in for the ``mob_apply`` argument of the distributed stepper.
+    """
+    from rigid_body_light_tpu.ops import farfield
+
+    grid = None if cfg.farfield_grid == "auto" else cfg.farfield_grid
+    max_nbr = cfg.farfield_nbr_tiles if cfg.farfield_nbr_tiles > 0 else None
+
+    def apply(F, r):
+        return farfield.mobility_apply_local(
+            F, r, n_devices, axis_name, a=cfg.a, eta=cfg.eta, wall=cfg.wall,
+            grid=grid, p=cfg.farfield_p, max_nbr=max_nbr,
+            h_floor=cfg.wall_h_floor,
+        )
+
+    return apply
+
+
+def _local_mobility_fn(cfg: SimulationConfig, n_devices: int,
+                       axis_name: str) -> Callable:
+    """Distributed-stepper mobility dispatch: proxy-grid far field when
+    configured, else the ring all-pairs sweep."""
+    if cfg.farfield_grid is not None:
+        return farfield_mobility_apply_local_fn(cfg, n_devices, axis_name)
+    return ring_mobility_apply_fn(cfg, n_devices, axis_name)
+
+
 def make_distributed_step(geom, cfg: SimulationConfig, mesh: Mesh,
                           axis_name: str = None, deterministic: bool = False):
     """Fully-sharded BD step over a 1-D mesh: bodies sharded, NOTHING global.
@@ -337,7 +372,7 @@ def make_distributed_step(geom, cfg: SimulationConfig, mesh: Mesh,
     if axis_name is None:
         axis_name = mesh.axis_names[0]
     D = mesh.shape[axis_name]
-    mob_local = ring_mobility_apply_fn(cfg, D, axis_name)
+    mob_local = _local_mobility_fn(cfg, D, axis_name)
 
     from rigid_body_light_tpu.dynamics import stepper as stepper_mod
     from rigid_body_light_tpu.state import BodyState
@@ -395,7 +430,7 @@ def make_distributed_run_bd(geom, cfg: SimulationConfig, mesh: Mesh,
     if axis_name is None:
         axis_name = mesh.axis_names[0]
     D = mesh.shape[axis_name]
-    mob_local = ring_mobility_apply_fn(cfg, D, axis_name)
+    mob_local = _local_mobility_fn(cfg, D, axis_name)
 
     from rigid_body_light_tpu.dynamics import stepper as stepper_mod
     from rigid_body_light_tpu.state import BodyState

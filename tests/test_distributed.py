@@ -87,6 +87,50 @@ def test_distributed_stochastic_step_runs_and_reproduces():
     assert not np.allclose(np.asarray(s1.X), np.asarray(s3.X))
 
 
+@pytest.mark.medium
+def test_distributed_farfield_apply_matches_single_device():
+    """The sliced-near-sweep + psum'd-moment proxy-grid apply reproduces the
+    single-device far-field operator to machine precision (the slicing and
+    regather are exact rearrangements), including wall + polydisperse."""
+    from rigid_body_light_tpu.ops import farfield
+
+    _, _, _, mesh = _setup()
+    rng = np.random.default_rng(3)
+    n = 800
+    r = jnp.asarray(rng.uniform(0, 14, (n, 3)) + [0, 0, 1.0], jnp.float64)
+    F = jnp.asarray(rng.standard_normal((n, 3)), jnp.float64)
+    radii = jnp.asarray(rng.choice([0.7, 1.2], n), jnp.float64)
+    kw = dict(a=0.9, eta=1.3, grid=(3, 3, 2), p=3, wall=True)
+    U_ref = farfield.mobility_apply(F, r, radii=radii, **kw)
+
+    def local(F_l, r_l, a_l):
+        return farfield.mobility_apply_local(F_l, r_l, 8, AX, radii_l=a_l,
+                                             **kw)
+
+    U = shard_map(local, mesh=mesh, in_specs=(P(AX), P(AX), P(AX)),
+                  out_specs=P(AX), check_vma=False)(F, r, radii)
+    np.testing.assert_allclose(np.asarray(U), np.asarray(U_ref), atol=1e-13)
+
+
+@pytest.mark.medium
+def test_distributed_step_on_farfield_backend():
+    """Fully-distributed deterministic step with cfg.farfield_grid set
+    matches the single-device far-field step exactly (same backend both
+    sides, so the comparison is machine-precision, not interpolation)."""
+    geom, cfg, state, mesh = _setup()
+    cfg = cfg.replace(farfield_grid=(2, 2, 2), farfield_p=3)
+    F = jnp.zeros((8, 6), jnp.float64).at[:, 2].set(-1.0)
+    s_ref, aux_ref = deterministic_step(geom, cfg, state, F)
+    step_d = jax.jit(parallel.make_distributed_step(geom, cfg, mesh,
+                                                    deterministic=True))
+    s_sh, aux_sh = step_d(state, jax.random.key(0), F)
+    np.testing.assert_allclose(np.asarray(s_sh.X), np.asarray(s_ref.X),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(aux_sh.U), np.asarray(aux_ref.U),
+                               atol=1e-10)
+    assert int(aux_sh.iters) == int(aux_ref.iters)
+
+
 def test_distributed_body_count_must_divide():
     geom, cfg, state, mesh = _setup(B=8)
     step = parallel.make_distributed_step(geom, cfg, mesh)
