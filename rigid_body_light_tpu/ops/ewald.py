@@ -528,7 +528,7 @@ def real_space_apply(F, r, params: EwaldParams, row_tile=512, radii=None,
     return U[:n]
 
 
-def wave_space_apply(F, r, params: EwaldParams, radii=None):
+def wave_space_apply(F, r, params: EwaldParams, radii=None, axis_name=None):
     """U_wave = Σ_{k≠0} w(k)(I − k̂k̂) e^{ik·(r_i−r_j)} F_j as MXU matmuls.
 
     Phases: C/S = cos/sin(r·kᵀ) (N, K); the k-sum includes the i=j term
@@ -540,12 +540,18 @@ def wave_space_apply(F, r, params: EwaldParams, radii=None):
     Balanced-splitting params (``rc=``) grow K by ~(rcut/rc)³; above a
     memory threshold the k-sum is evaluated in scanned K-chunks so the
     (N, K) phase matrices never materialize whole.
+
+    axis_name: distributed mode — F/r are the LOCAL blob shard inside
+    ``shard_map``; the (K, 3) k-space moments close with one ``psum``
+    (the spread/readback phases stay local), so wave-space work and
+    memory scale with the shard.
     """
     n = r.shape[0]
     K = len(params.kvecs)
     if K * n > 2**27 and K > 4096:
-        return _wave_space_chunked(F, r, params, radii=radii)
-    return _wave_space_dense(F, r, params, radii=radii)
+        return _wave_space_chunked(F, r, params, radii=radii,
+                                   axis_name=axis_name)
+    return _wave_space_dense(F, r, params, radii=radii, axis_name=axis_name)
 
 
 def _phase_tables(r, box, nmax3):
@@ -592,7 +598,8 @@ def _phases_from_tables(tables, onehots):
     return cxy * czg - sxy * szg, cxy * szg + sxy * czg
 
 
-def _wave_space_chunked(F, r, params: EwaldParams, radii=None, kc=4096):
+def _wave_space_chunked(F, r, params: EwaldParams, radii=None, kc=4096,
+                        axis_name=None):
     """Scan the k-sum in chunks of ``kc`` wavevectors (zero-weight pad)."""
     K = len(params.kvecs)
     pad = (-K) % kc
@@ -617,7 +624,8 @@ def _wave_space_chunked(F, r, params: EwaldParams, radii=None, kc=4096):
         phases = (_phases_from_tables(tables, [o.T for o in oh])
                   if tables is not None else None)
         return acc + _wave_space_dense(F, r, sub, radii=radii,
-                                       phases=phases), None
+                                       phases=phases,
+                                       axis_name=axis_name), None
 
     xs = [jnp.asarray(kvp, dtype), jnp.asarray(wkp, dtype)]
     if hp is not None:
@@ -627,7 +635,8 @@ def _wave_space_chunked(F, r, params: EwaldParams, radii=None, kc=4096):
     return U
 
 
-def _wave_space_dense(F, r, params: EwaldParams, radii=None, phases=None):
+def _wave_space_dense(F, r, params: EwaldParams, radii=None, phases=None,
+                      axis_name=None):
     dtype = r.dtype
     kv = jnp.asarray(params.kvecs, dtype)      # (K, 3)
     if radii is None:
@@ -656,6 +665,9 @@ def _wave_space_dense(F, r, params: EwaldParams, radii=None, phases=None):
     if F.ndim == 3:                            # (k, N, 3): shared phases
         ReF = jnp.einsum("nK,qnx->qKx", C, F)
         ImF = -jnp.einsum("nK,qnx->qKx", S, F)
+        if axis_name is not None:
+            ReF = lax.psum(ReF, axis_name)
+            ImF = lax.psum(ImF, axis_name)
         ReP = wk[:, None] * (ReF - khat * jnp.sum(khat * ReF, axis=-1,
                                                   keepdims=True))
         ImP = wk[:, None] * (ImF - khat * jnp.sum(khat * ImF, axis=-1,
@@ -664,6 +676,9 @@ def _wave_space_dense(F, r, params: EwaldParams, radii=None, phases=None):
                 - jnp.einsum("nK,qKx->qnx", S, ImP))
     ReF = C.T @ F                              # (K, 3) = Re Σ e^{-ikr} F
     ImF = -(S.T @ F)
+    if axis_name is not None:
+        ReF = lax.psum(ReF, axis_name)
+        ImF = lax.psum(ImF, axis_name)
     # transverse projection + weight
     ReP = wk[:, None] * (ReF - khat * jnp.sum(khat * ReF, axis=1, keepdims=True))
     ImP = wk[:, None] * (ImF - khat * jnp.sum(khat * ImF, axis=1, keepdims=True))
@@ -733,3 +748,95 @@ def mobility_matrix(r, params: EwaldParams, radii=None,
                                              ).reshape(-1),
                     in_axes=1, out_axes=1)(eye)
     return cols
+
+
+# ------------------------------------------------------------- distributed
+def real_space_block(r_rows, row_ids, r_cols, col_ids, F_cols,
+                     params: EwaldParams, row_tile=512):
+    """Screened real-space pair terms of a (rows × column-block) slab.
+
+    The building block of the distributed (ring) periodic sweep: rows are
+    a device's local blobs, columns one in-flight ring block; global ids
+    mask the self pair.  Monodisperse, single RHS (the distributed
+    stepper drives the solver one RHS at a time).  Same A/B fields as
+    :func:`real_space_apply` (f32 uses the f64-fitted Chebyshev forms).
+    """
+    dtype = r_rows.dtype
+    n_r = r_rows.shape[0]
+    n_c = r_cols.shape[0]
+    a = jnp.asarray(params.a, dtype)
+    xi = jnp.asarray(params.xi, dtype)
+    eta = jnp.asarray(params.eta, dtype)
+    tile = min(row_tile, n_r)
+    n_tiles = -(-n_r // tile)
+    n_pad = n_tiles * tile
+    r_pad = jnp.pad(r_rows, ((0, n_pad - n_r), (0, 0)))
+    id_pad = jnp.pad(row_ids, (0, n_pad - n_r), constant_values=-1)
+
+    def tile_fn(start):
+        ri = lax.dynamic_slice(r_pad, (start, jnp.int32(0)), (tile, 3))
+        rid = lax.dynamic_slice(id_pad, (start,), (tile,))
+        d = _wrap3(ri[:, None, :] - r_cols[None, :, :], params.box)
+        r2 = jnp.sum(d * d, axis=-1)
+        self_mask = rid[:, None] == col_ids[None, :]
+        rr = jnp.sqrt(jnp.where(self_mask, 1.0, jnp.maximum(r2, 1e-24)))
+        if dtype == jnp.float32:
+            A, B = _cheb_ab(rr, params.cheb_bounds, params.cheb_A,
+                            params.cheb_B)
+        else:
+            A, B = real_space_ab(rr, a, xi, eta)
+        A = jnp.where(self_mask, 0.0, A)
+        B = jnp.where(self_mask, 0.0, B)
+        if params.rc is not None:
+            cut = rr <= params.rc
+            A = jnp.where(cut, A, 0.0)
+            B = jnp.where(cut, B, 0.0)
+        e = d / rr[..., None]
+        eF = jnp.einsum("tnx,nx->tn", e, F_cols)
+        return (jnp.einsum("tn,nx->tx", A, F_cols)
+                + jnp.einsum("tn,tn,tnx->tx", B, eF, e))
+
+    if n_tiles == 1:
+        U = tile_fn(jnp.int32(0))
+    else:
+        starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile
+        U = lax.map(tile_fn, starts).reshape(n_pad, 3)
+    return U[:n_r]
+
+
+def mobility_apply_local(F_l, r_l, params: EwaldParams, n_devices: int,
+                         axis_name: str, row_tile=512):
+    """Local-shard periodic RPY product for use INSIDE ``shard_map``.
+
+    Distributed triply-periodic Ewald: the screened real-space sweep rides
+    a D-step ``ppermute`` ring over (N/D, 3) blocks (the next block's
+    transfer is issued before the current block's compute so XLA overlaps
+    ICI with the slab), the wave part closes its (K, 3) k-space moments
+    with one ``psum`` (phases stay local), and the self term is
+    elementwise.  Matches :func:`mobility_apply` to machine precision —
+    unlike minimum-image approximations, the distributed operator IS the
+    exact periodic operator.  Monodisperse, single RHS.
+    """
+    r_l = jnp.asarray(r_l).reshape(-1, 3)
+    F_l = jnp.asarray(F_l, r_l.dtype).reshape(-1, 3)
+    dtype = r_l.dtype
+    n_l = r_l.shape[0]
+    idx = lax.axis_index(axis_name)
+    row_ids = idx * n_l + jnp.arange(n_l, dtype=jnp.int32)
+    perm = [(i, (i + 1) % n_devices) for i in range(n_devices)]
+    acc = jnp.zeros_like(F_l)
+    blk_r, blk_F = r_l, F_l
+    for s in range(n_devices):
+        if s < n_devices - 1:
+            nxt_r = lax.ppermute(blk_r, axis_name, perm)
+            nxt_F = lax.ppermute(blk_F, axis_name, perm)
+        src = (idx - s) % n_devices
+        col_ids = src * n_l + jnp.arange(n_l, dtype=jnp.int32)
+        acc = acc + real_space_block(r_l, row_ids, blk_r, col_ids, blk_F,
+                                     params, row_tile=row_tile)
+        if s < n_devices - 1:
+            blk_r, blk_F = nxt_r, nxt_F
+    xi = jnp.asarray(params.xi, dtype)
+    eta = jnp.asarray(params.eta, dtype)
+    U = acc + self_coeff(jnp.asarray(params.a, dtype), xi, eta) * F_l
+    return U + wave_space_apply(F_l, r_l, params, axis_name=axis_name)

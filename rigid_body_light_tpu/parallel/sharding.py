@@ -341,10 +341,42 @@ def farfield_mobility_apply_local_fn(cfg: SimulationConfig, n_devices: int,
     return apply
 
 
+def ewald_mobility_apply_local_fn(cfg: SimulationConfig, n_devices: int,
+                                  axis_name: str = "bodies") -> Callable:
+    """Local-view triply-periodic Ewald ``mob_apply`` INSIDE shard_map.
+
+    Distributed exact periodic operator (3-D ``cfg.box``): screened
+    real-space sweep on the ppermute ring, wave-space k-moments psum'd —
+    see :func:`rigid_body_light_tpu.ops.ewald.mobility_apply_local`.
+    Without this dispatch a 3-D box in distributed mode would silently
+    fall back to the ring's 3-D minimum-image RPY, which is NOT the
+    operator the single-device path (and the physics) uses.
+    """
+    from rigid_body_light_tpu.ops import ewald
+
+    params = ewald.make_params(
+        cfg.box, cfg.a, cfg.eta,
+        xi=cfg.ewald_xi if cfg.ewald_xi > 0 else None, tol=cfg.ewald_tol,
+        rc=cfg.ewald_rc if cfg.ewald_rc > 0 else None,
+    )
+
+    def apply(F, r):
+        return ewald.mobility_apply_local(
+            F, r, params, n_devices, axis_name,
+            row_tile=cfg.matvec_row_tile,
+        )
+
+    return apply
+
+
 def _local_mobility_fn(cfg: SimulationConfig, n_devices: int,
                        axis_name: str) -> Callable:
-    """Distributed-stepper mobility dispatch: proxy-grid far field when
-    configured, else the ring all-pairs sweep."""
+    """Distributed-stepper mobility dispatch: exact Ewald for 3-D periodic
+    boxes, proxy-grid far field when configured, else the ring all-pairs
+    sweep (open, wall, or 2-D minimum-image boxes — matching the
+    single-device ``saddle.mobility_apply_fn`` routing)."""
+    if cfg.box is not None and len(cfg.box) == 3:
+        return ewald_mobility_apply_local_fn(cfg, n_devices, axis_name)
     if cfg.farfield_grid is not None:
         return farfield_mobility_apply_local_fn(cfg, n_devices, axis_name)
     return ring_mobility_apply_fn(cfg, n_devices, axis_name)
