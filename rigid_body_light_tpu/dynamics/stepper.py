@@ -122,6 +122,7 @@ def stochastic_step(
     pc=None,
     noise_pc=None,
     axis_name=None,
+    mob_multi: Callable = None,
 ):
     """One fluctuating BD step (EM–midpoint with RFD drift).
 
@@ -190,10 +191,14 @@ def stochastic_step(
             err_tol=cfg.lanczos_err_tol, return_err=True,
             axis_name=axis_name,
         )
-        if use_split and default_mob:
+        if use_split and (default_mob or mob_multi is not None):
             # fused two-draw Lanczos: both recurrences share one pair-field
-            # sweep per iteration (2-RHS mobility product)
-            mob_multi = saddle_mod.mobility_apply_multi_fn(cfg)
+            # sweep per iteration (2-RHS mobility product).  mob_multi:
+            # explicit multi-RHS operator for the non-default paths (the
+            # distributed local appliers are ndim-polymorphic, so the
+            # distributed stepper passes its mob_apply here too)
+            if mob_multi is None:
+                mob_multi = saddle_mod.mobility_apply_multi_fn(cfg)
             if cfg.lanczos_precond:
                 mhw1, mhw2, noise_err = lanczos.m_half_w_precond(
                     mob_multi, pos, ops.rot, noise_pc[0], noise_pc[1], (k1, k2),
@@ -330,6 +335,7 @@ def run_bd(
     mob_apply: Callable = None,
     save_every: int = 1,
     axis_name=None,
+    mob_multi: Callable = None,
 ):
     """Run a whole BD trajectory as one ``lax.scan`` — zero host round-trips.
 
@@ -382,6 +388,7 @@ def run_bd(
         s_new, aux = stochastic_step(
             geom, cfg, s, sub, force, slip=slip, mob_apply=mob_apply,
             x0=x_prev, pc=pc, noise_pc=noise_pc, axis_name=axis_name,
+            mob_multi=mob_multi,
         )
         out = (s_new.X, s_new.Q, aux.residual, aux.iters, aux.noise_err)
         # a failed solve's (λ, U) would poison the next step's warm start

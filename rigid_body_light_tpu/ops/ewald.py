@@ -757,10 +757,12 @@ def real_space_block(r_rows, row_ids, r_cols, col_ids, F_cols,
 
     The building block of the distributed (ring) periodic sweep: rows are
     a device's local blobs, columns one in-flight ring block; global ids
-    mask the self pair.  Monodisperse, single RHS (the distributed
-    stepper drives the solver one RHS at a time).  Same A/B fields as
-    :func:`real_space_apply` (f32 uses the f64-fitted Chebyshev forms).
+    mask the self pair.  Monodisperse; F_cols (N_c, 3) single RHS or
+    (k, N_c, 3) multi-RHS with shared pair fields (the fused two-draw
+    Lanczos noise path).  Same A/B fields as :func:`real_space_apply`
+    (f32 uses the f64-fitted Chebyshev forms).
     """
+    multi_rhs = F_cols.ndim == 3
     dtype = r_rows.dtype
     n_r = r_rows.shape[0]
     n_c = r_cols.shape[0]
@@ -792,16 +794,24 @@ def real_space_block(r_rows, row_ids, r_cols, col_ids, F_cols,
             A = jnp.where(cut, A, 0.0)
             B = jnp.where(cut, B, 0.0)
         e = d / rr[..., None]
+        if multi_rhs:
+            eF = jnp.einsum("tnx,knx->ktn", e, F_cols)
+            return (jnp.einsum("tn,knx->ktx", A, F_cols)
+                    + jnp.einsum("ktn,tn,tnx->ktx", eF, B, e))
         eF = jnp.einsum("tnx,nx->tn", e, F_cols)
         return (jnp.einsum("tn,nx->tx", A, F_cols)
                 + jnp.einsum("tn,tn,tnx->tx", B, eF, e))
 
     if n_tiles == 1:
         U = tile_fn(jnp.int32(0))
+        return U[..., :n_r, :]
+    starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile
+    U = lax.map(tile_fn, starts)
+    if multi_rhs:
+        U = U.transpose(1, 0, 2, 3).reshape(F_cols.shape[0], n_pad, 3)
     else:
-        starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile
-        U = lax.map(tile_fn, starts).reshape(n_pad, 3)
-    return U[:n_r]
+        U = U.reshape(n_pad, 3)
+    return U[..., :n_r, :]
 
 
 def mobility_apply_local(F_l, r_l, params: EwaldParams, n_devices: int,
@@ -815,10 +825,12 @@ def mobility_apply_local(F_l, r_l, params: EwaldParams, n_devices: int,
     with one ``psum`` (phases stay local), and the self term is
     elementwise.  Matches :func:`mobility_apply` to machine precision —
     unlike minimum-image approximations, the distributed operator IS the
-    exact periodic operator.  Monodisperse, single RHS.
+    exact periodic operator.  Monodisperse; F_l (N_l, 3) or multi-RHS
+    (k, N_l, 3) with shared pair fields.
     """
     r_l = jnp.asarray(r_l).reshape(-1, 3)
-    F_l = jnp.asarray(F_l, r_l.dtype).reshape(-1, 3)
+    F_l = jnp.asarray(F_l, r_l.dtype)
+    F_l = F_l if F_l.ndim == 3 else F_l.reshape(-1, 3)
     dtype = r_l.dtype
     n_l = r_l.shape[0]
     idx = lax.axis_index(axis_name)

@@ -584,16 +584,21 @@ def pair_sum_slab(r_rows_over_a, row_offset, r_cols_over_a, F_cols, wall: bool,
     stays correct.  The 1-D row-sharded sweep passes all columns
     (col_offset=0); the 2-D SUMMA sweep passes its local column block with
     col_offset = j·n_loc_c.  n_cols_valid bounds the LOCAL column index.
+    F_cols: (N, 3) single RHS or (k, N, 3) multi-RHS (shared pair fields —
+    the distributed fused 2-draw Lanczos noise path).
     """
+    multi = F_cols.ndim == 3
+    Fk = F_cols if multi else F_cols[None]
+    k = Fk.shape[0]
     n_rows = r_rows_over_a.shape[0]
     n_cols = r_cols_over_a.shape[0]
     if n_cols_valid is None:
         n_cols_valid = n_cols
     n_rows_pad = -(-n_rows // TR) * TR
     n_cols_pad = -(-n_cols // TC) * TC
-    P_rows = _pack(r_rows_over_a, jnp.zeros_like(r_rows_over_a)[None],
-                   n_rows_pad, ahat=ahat_rows)
-    P_cols = _pack(r_cols_over_a, F_cols[None], n_cols_pad, ahat=ahat_cols)
+    zeros_k = jnp.zeros((k,) + r_rows_over_a.shape, r_rows_over_a.dtype)
+    P_rows = _pack(r_rows_over_a, zeros_k, n_rows_pad, ahat=ahat_rows)
+    P_cols = _pack(r_cols_over_a, Fk, n_cols_pad, ahat=ahat_cols)
     off = jnp.stack([
         jnp.asarray(row_offset, jnp.int32).reshape(()),
         jnp.asarray(col_offset, jnp.int32).reshape(()),
@@ -605,11 +610,12 @@ def pair_sum_slab(r_rows_over_a, row_offset, r_cols_over_a, F_cols, wall: bool,
     if box_over_a is not None and (bx <= 0 or by <= 0):
         raise ValueError(f"periodic box lengths must be positive, got {box_over_a}")
     out = _pair_sweep_packed(
-        P_rows, P_cols, off, n_cols_valid, n_cols_pad, n_rows_pad, wall, 1,
+        P_rows, P_cols, off, n_cols_valid, n_cols_pad, n_rows_pad, wall, k,
         h_floor, interpret, box_x=bx, box_y=by,
-        poly=ahat_rows is not None, ar_row=6,
+        poly=ahat_rows is not None, ar_row=3 + 3 * k,
     )
-    return out[0:3, :n_rows].T
+    U = jnp.stack([out[3 * i: 3 * i + 3, :n_rows].T for i in range(k)])
+    return U if multi else U[0]
 
 
 def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, damp=None,

@@ -237,7 +237,8 @@ def ring_pair_sum_local(
     latency-hiding scheduler overlaps ICI transfer with the O(N²/D²) slab
     (the ring-attention pattern applied to the RPY pair sweep, SURVEY §5).
 
-    r_l, F_l: (N_local, 3) local shard; returns (N_local, 3) pair terms
+    r_l: (N_local, 3) local shard; F_l: (N_local, 3) or (k, N_local, 3)
+    multi-RHS (shared pair fields).  Returns matching-shape pair terms
     (no self term / scaling / damping — same contract as ``rpy.pair_sum``).
     """
     n_l = r_l.shape[0]
@@ -285,12 +286,14 @@ def ring_mobility_apply_fn(cfg: SimulationConfig, n_devices: int,
     The elementwise pieces (damping sandwich, self term, scaling) are
     per-blob-local; only the pair sweep rides the ring.  Drop-in for the
     ``mob_apply`` argument of the solver/stepper entry points when they run
-    in distributed (``axis_name``) mode.
+    in distributed (``axis_name``) mode.  Accepts (N, 3) or multi-RHS
+    (k, N, 3) — the latter shares pair fields across RHS, which the fused
+    two-draw Lanczos noise path uses (``mob_multi``).
     """
 
     def apply(F, r):
         r = r.reshape(-1, 3)
-        F = F.reshape(-1, 3)
+        F = F if F.ndim == 3 else F.reshape(-1, 3)
         dtype = r.dtype
         Fd = F
         if cfg.wall:
@@ -420,7 +423,7 @@ def make_distributed_step(geom, cfg: SimulationConfig, mesh: Mesh,
         else:
             s2, aux = stepper_mod.stochastic_step(
                 geom, cfg, state_l, key, force, mob_apply=mob_local,
-                axis_name=axis_name,
+                axis_name=axis_name, mob_multi=mob_local,
             )
         return (s2.X, s2.Q, aux.U, aux.lam, aux.residual, aux.iters,
                 jnp.zeros(()) if aux.noise_err is None else aux.noise_err)
@@ -472,6 +475,7 @@ def make_distributed_run_bd(geom, cfg: SimulationConfig, mesh: Mesh,
         final, traj = stepper_mod.run_bd(
             geom, cfg, state_l, key, n_steps, force_fn=force_fn,
             mob_apply=mob_local, save_every=save_every, axis_name=axis_name,
+            mob_multi=mob_local,
         )
         return (final.X, final.Q, traj["X"], traj["Q"], traj["residual"],
                 traj["iters"], traj["noise_err"])

@@ -49,6 +49,23 @@ def test_slab_matches_square(cloud, wall):
     assert np.allclose(np.asarray(slab), np.asarray(full)[lo:hi], atol=1e-5)
 
 
+def test_slab_multi_rhs_matches_single(cloud):
+    """(k, N, 3) slab sweep = stacked single-RHS slabs (the distributed
+    fused two-draw Lanczos noise contract)."""
+    r, F = cloud
+    rng = np.random.default_rng(11)
+    r_n = jnp.asarray(r) / 0.9
+    Fk = jnp.asarray(np.stack([F, rng.standard_normal(F.shape)]), jnp.float32)
+    lo, hi = 24, 96
+    multi = rpy_pallas.pair_sum_slab(r_n[lo:hi], lo, r_n, Fk, True,
+                                     interpret=True)
+    for i in range(2):
+        single = rpy_pallas.pair_sum_slab(r_n[lo:hi], lo, r_n, Fk[i], True,
+                                          interpret=True)
+        assert np.allclose(np.asarray(multi[i]), np.asarray(single),
+                           atol=1e-5)
+
+
 @pytest.mark.parametrize("wall", [False, True])
 def test_slab_2d_decomposition(cloud, wall):
     """Tiling the pair matrix into row×column blocks with row/col offsets
