@@ -37,6 +37,10 @@ Config schema (JSON):
   "mesh": {"shape": [8]}              // optional: multi-chip run — shard the
       // O(N²) pair sweep over a device mesh.  [D] = 1-D row sharding
       // (all_gather over ICI), [Dr, Dc] = 2-D SUMMA (psum, O(N/Dr) comm).
+      // "mode": "distributed" (single-species, 1-D, B % D == 0) runs the
+      // fully-sharded stepper instead: bodies, λ and the Krylov/Lanczos
+      // bases sharded, ring / sliced-far-field / distributed-Ewald local
+      // operator per the domain — memory scales with the mesh.
       // Omit for single-device.  Physics is identical; see parallel/.
 }
 """
@@ -109,20 +113,29 @@ def place_bodies(spec, n_bodies, rng, wall):
 
 
 def _build_mesh_mob(conf, cfg):
-    """Optional ``mesh`` config key → (mesh, sharded mob_apply) or (None, None).
+    """Optional ``mesh`` config key → (mesh, mob_apply, mode).
 
-    Routes the production driver's pair sweep through the multi-chip path
-    (1-D row sharding or 2-D SUMMA per the shape) — the same ``mob_apply``
-    contract every solver/stepper entry point accepts.
+    mode "gather" (default): route the pair sweep through the gather-based
+    multi-chip path (1-D row sharding or 2-D SUMMA per the shape) — the
+    same ``mob_apply`` contract every solver/stepper entry point accepts.
+    mode "distributed": the fully-sharded stepper (bodies, λ and the
+    Krylov/Lanczos bases sharded; ring / sliced-far-field / distributed-
+    Ewald local operator per the domain) — the caller must build the run
+    with ``parallel.make_distributed_run_bd`` (mob_apply is None); 1-D
+    shapes only, B divisible by the mesh size.
     """
     spec = conf.get("mesh")
     if not spec:
-        return None, None
+        return None, None, None
     import jax
 
     from rigid_body_light_tpu import parallel
 
     shape = list(spec.get("shape", [len(jax.devices())]))
+    mode = spec.get("mode", "gather")
+    if mode not in ("gather", "distributed"):
+        raise ValueError(f"mesh mode must be 'gather' or 'distributed', "
+                         f"got {mode!r}")
     n_req = int(np.prod(shape))
     n_avail = len(jax.devices())
     if n_req > n_avail:
@@ -131,13 +144,18 @@ def _build_mesh_mob(conf, cfg):
             f"are visible (set XLA_FLAGS=--xla_force_host_platform_device_count "
             f"for CPU testing)"
         )
+    if mode == "distributed":
+        if len(shape) != 1:
+            raise ValueError(
+                f"mesh mode 'distributed' needs a 1-D shape, got {shape}")
+        return parallel.make_mesh(shape[0]), None, mode
     if len(shape) == 1:
         mesh = parallel.make_mesh(shape[0])
     elif len(shape) == 2:
         mesh = parallel.make_mesh_2d(tuple(shape))
     else:
         raise ValueError(f"mesh shape must be 1-D or 2-D, got {shape}")
-    return mesh, parallel.sharded_mobility_apply_fn(cfg, mesh)
+    return mesh, parallel.sharded_mobility_apply_fn(cfg, mesh), mode
 
 
 def _chunking(conf):
@@ -248,7 +266,11 @@ def main_multi(conf, args):
         append=bool(args.resume),
     )
 
-    mesh, mob_apply = _build_mesh_mob(conf, cfg)
+    mesh, mob_apply, mesh_mode = _build_mesh_mob(conf, cfg)
+    if mesh_mode == "distributed":
+        raise ValueError(
+            "mesh mode 'distributed' is single-species only — mixtures run "
+            "on the gather modes (omit 'mode' or set it to 'gather')")
     if mesh is not None:
         print(json.dumps({"mesh": dict(zip(map(str, mesh.axis_names),
                                            map(int, mesh.devices.shape)))}),
@@ -350,16 +372,24 @@ def main(argv=None):
         append=bool(args.resume),
     )
 
-    mesh, mob_apply = _build_mesh_mob(conf, cfg)
+    mesh, mob_apply, mesh_mode = _build_mesh_mob(conf, cfg)
     if mesh is not None:
         print(json.dumps({"mesh": dict(zip(map(str, mesh.axis_names),
-                                           map(int, mesh.devices.shape)))}),
-              flush=True)
+                                           map(int, mesh.devices.shape))),
+                          "mode": mesh_mode}), flush=True)
 
-    run_chunk = jax.jit(functools.partial(
-        run_bd, geom, cfg, n_steps=chunk, force_fn=force_fn,
-        save_every=save_every, mob_apply=mob_apply,
-    ))
+    if mesh_mode == "distributed":
+        from rigid_body_light_tpu import parallel
+
+        run_chunk = jax.jit(parallel.make_distributed_run_bd(
+            geom, cfg, mesh, n_steps=chunk, force_fn=force_fn,
+            save_every=save_every,
+        ))
+    else:
+        run_chunk = jax.jit(functools.partial(
+            run_bd, geom, cfg, n_steps=chunk, force_fn=force_fn,
+            save_every=save_every, mob_apply=mob_apply,
+        ))
 
     step = start_step
     t_start = time.perf_counter()

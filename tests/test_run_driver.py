@@ -157,3 +157,35 @@ def test_mesh_too_many_devices_rejected(tmp_path):
     cfg_path, _ = _config(tmp_path, mesh={"shape": [64]})
     with pytest.raises(ValueError, match="64 devices"):
         main([cfg_path])
+
+
+@pytest.mark.medium
+def test_mesh_distributed_run_matches_single_device(tmp_path):
+    """mesh mode 'distributed' routes the production driver through the
+    fully-sharded stepper (ring sweep, sharded Krylov state); the kBT=0
+    trajectory must match the single-device run exactly (the stochastic
+    path folds keys per device, so only the deterministic limit is
+    bit-comparable)."""
+    kw = dict(n_bodies=8, kBT=0.0)
+    cfg_ref, conf_ref = _config(tmp_path, output_dir=str(tmp_path / "dref"),
+                                **kw)
+    main([cfg_ref])
+    refX = read_trajectory(
+        os.path.join(conf_ref["output_dir"], "trajectory.rblt"))[2]
+
+    out = str(tmp_path / "dist")
+    cfg_d, _ = _config(tmp_path, output_dir=out,
+                       mesh={"shape": [8], "mode": "distributed"}, **kw)
+    main([cfg_d])
+    dX = read_trajectory(os.path.join(out, "trajectory.rblt"))[2]
+    np.testing.assert_allclose(dX, refX, atol=1e-10)
+
+
+def test_mesh_distributed_mode_validation(tmp_path):
+    cfg_path, _ = _config(tmp_path, mesh={"shape": [2, 4],
+                                          "mode": "distributed"})
+    with pytest.raises(ValueError, match="1-D"):
+        main([cfg_path])
+    cfg_path, _ = _config(tmp_path, mesh={"shape": [8], "mode": "ring"})
+    with pytest.raises(ValueError, match="gather"):
+        main([cfg_path])
