@@ -447,6 +447,12 @@ def real_space_apply(F, r, params: EwaldParams, row_tile=512, radii=None,
     """
     dtype = r.dtype
     n = r.shape[0]
+    poly = radii is not None
+    if not poly:
+        # monodisperse: one shared implementation with the distributed ring
+        # block (rows = all blobs, columns = all blobs)
+        ids = jnp.arange(n, dtype=jnp.int32)
+        return real_space_block(r, ids, r, ids, F, params, row_tile=row_tile)
     a = jnp.asarray(params.a, dtype)
     xi = jnp.asarray(params.xi, dtype)
     eta = jnp.asarray(params.eta, dtype)
@@ -455,12 +461,10 @@ def real_space_apply(F, r, params: EwaldParams, row_tile=512, radii=None,
     n_pad = n_tiles * tile
     r_pad = jnp.pad(r, ((0, n_pad - n), (0, 0)))
     ids = jnp.arange(n_pad, dtype=jnp.int32)
-    poly = radii is not None
-    if poly:
-        rad = jnp.asarray(radii, dtype)
-        rad_pad = jnp.pad(rad, (0, n_pad - n), constant_values=1.0)
-        if dtype == jnp.float32 and poly_tables is None:
-            poly_tables = make_poly_tables(params, radii)
+    rad = jnp.asarray(radii, dtype)
+    rad_pad = jnp.pad(rad, (0, n_pad - n), constant_values=1.0)
+    if dtype == jnp.float32 and poly_tables is None:
+        poly_tables = make_poly_tables(params, radii)
 
     multi_rhs = F.ndim == 3  # (k, N, 3) — shared pair fields across RHS
 
@@ -471,7 +475,7 @@ def real_space_apply(F, r, params: EwaldParams, row_tile=512, radii=None,
         r2 = jnp.sum(d * d, axis=-1)
         self_mask = rid[:, None] == ids[None, :n]
         rr = jnp.sqrt(jnp.where(self_mask, 1.0, jnp.maximum(r2, 1e-24)))
-        if poly and dtype == jnp.float32:
+        if dtype == jnp.float32:
             # masked per-pair-type Chebyshev sweeps (see PolyTables)
             pt = poly_tables
             sidx = jnp.asarray(pt.sidx, jnp.int32)
@@ -487,15 +491,9 @@ def real_space_apply(F, r, params: EwaldParams, row_tile=512, radii=None,
                 m = pair == p
                 A = jnp.where(m, Ap, A)
                 B = jnp.where(m, Bp, B)
-        elif poly:
+        else:
             ai = lax.dynamic_slice(rad_pad, (start,), (tile,))[:, None]
             A, B = real_space_ab(rr, a, xi, eta, ai=ai, aj=rad[None, :])
-        elif dtype == jnp.float32:
-            # f32 MUST use the f64 Chebyshev fit (see EwaldParams note)
-            A, B = _cheb_ab(rr, params.cheb_bounds, params.cheb_A,
-                            params.cheb_B)
-        else:
-            A, B = real_space_ab(rr, a, xi, eta)
         A = jnp.where(self_mask, 0.0, A)
         B = jnp.where(self_mask, 0.0, B)
         if params.rc is not None:
@@ -827,6 +825,14 @@ def mobility_apply_local(F_l, r_l, params: EwaldParams, n_devices: int,
     unlike minimum-image approximations, the distributed operator IS the
     exact periodic operator.  Monodisperse; F_l (N_l, 3) or multi-RHS
     (k, N_l, 3) with shared pair fields.
+
+    ``params.rc`` (balanced splitting) caveat: the ring honors the rc
+    cutoff exactly (pairs beyond rc are masked, so results match the
+    single-device linked-cell path), but it still *visits* all N²/D pairs
+    — the O(N·ρ·rc³) sorted-tile acceleration of ``ops/ewald_cells`` is
+    single-device only for now.  At the N where rc matters, prefer more
+    wavevectors (smaller rc → larger K rides the psum'd wave part, which
+    does scale) or the default splitting.
     """
     r_l = jnp.asarray(r_l).reshape(-1, 3)
     F_l = jnp.asarray(F_l, r_l.dtype)

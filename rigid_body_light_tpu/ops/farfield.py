@@ -517,32 +517,8 @@ def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
     t3 = (x - lo) / h - ci.astype(dtype)
     W3 = _blob_weights(t3, _cheb_nodes(p))                   # (N, p³)
 
-    # moment channels: â^m-weighted forces sharing one spread/FFT batch
-    if poly:
-        mom_scales = [None, ahat, ahat * ahat] if wall else [None,
-                                                             ahat * ahat]
-    else:
-        mom_scales = [None]
-    nm = len(mom_scales)
-    Fm = jnp.concatenate([Fs if s is None else Fs * s[None, :, None]
-                          for s in mom_scales])              # (nm·k, N, 3)
-    ncell = grid[0] * grid[1] * grid[2]
-    Q = _p2m(W3, cid, Fm, ncell, p).reshape(nm, k, ncell, -1)
-    Qm_free = jnp.stack([Q[0], Q[nm - 1]]) if poly else Q    # [F, â²F]
-    Un = _far_free(Qm_free, h, grid, p)                      # (nf, k, nc, B)
-    Uw = _far_wall(Q, lo[2], h, grid, p, h_floor) if wall else None
-    if not poly:
-        Unodes = Un[0] if Uw is None else Un[0] + Uw[0]
-        U_far = _l2p(W3, cid, Unodes, p)
-    else:
-        ch_1 = Un[0] if Uw is None else Un[0] + Uw[0]        # weight 1
-        ch_a2 = Un[1] if Uw is None else Un[1] + Uw[2]       # weight âᵢ²
-        chans = [ch_1, ch_a2] + ([Uw[1]] if wall else [])    # (+ weight âᵢ)
-        L = _l2p(W3, cid, jnp.concatenate(chans), p).reshape(
-            len(chans), k, n, 3)
-        U_far = L[0] + (ahat * ahat)[None, :, None] * L[1]
-        if wall:
-            U_far = U_far + ahat[None, :, None] * L[2]
+    U_far = _far_part(Fs, None if not poly else ahat, W3, cid, grid, h,
+                      lo[2], p, wall, h_floor)
 
     # ---- near: serpentine equal-population tiles, cell-offset mask
     vol_est = jnp.prod(jnp.asarray(grid, dtype) * h)
@@ -567,18 +543,67 @@ def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
     U_near = jnp.zeros_like(Fs).at[:, order, :].set(U_near_s)
     U_near = jnp.where(overflow, jnp.nan, U_near)
 
-    self_diag = jnp.full((n, 3), _SELF_COEF, dtype)
-    if poly:
-        self_diag = self_diag / ahat[:, None]
-    if wall:
-        self_diag = self_diag + rpy.wall_self_diag(r[:, 2], a, dtype,
-                                                   h_floor=h_floor,
-                                                   radii=radii)
-    U = U_near + U_far + self_diag * Fs
+    U = U_near + U_far + _self_diag_field(
+        n, dtype, None if not poly else ahat, wall, r[:, 2], a, h_floor,
+        radii) * Fs
     if wall:
         U = U * b[None, :, None]
     U = U * jnp.asarray(1.0 / (8.0 * jnp.pi * eta * a), dtype)
     return U if multi else U[0]
+
+
+def _far_part(Fs, ahat, W3, cid, grid, h, lo_z, p, wall, h_floor,
+              psum_fn=None):
+    """Moment channels → spread → kernel-lattice convolution → interpolate.
+
+    Shared by the single-device and distributed paths; in distributed mode
+    ``Fs``/``W3``/``cid`` are the local shard and ``psum_fn`` closes the
+    (tiny) node-grid moments over the mesh.  ahat: None (monodisperse) or
+    (N, ) normalized radii — â^m-weighted forces ride the same spread/FFT
+    batch as extra RHS channels, read back with â^m output weights.
+    """
+    poly = ahat is not None
+    k, n = Fs.shape[0], Fs.shape[1]
+    if poly:
+        mom_scales = [None, ahat, ahat * ahat] if wall else [None,
+                                                             ahat * ahat]
+    else:
+        mom_scales = [None]
+    nm = len(mom_scales)
+    Fm = jnp.concatenate([Fs if s is None else Fs * s[None, :, None]
+                          for s in mom_scales])              # (nm·k, N, 3)
+    ncell = grid[0] * grid[1] * grid[2]
+    Q = _p2m(W3, cid, Fm, ncell, p)
+    if psum_fn is not None:
+        Q = psum_fn(Q)
+    Q = Q.reshape(nm, k, ncell, -1)
+    Qm_free = jnp.stack([Q[0], Q[nm - 1]]) if poly else Q    # [F, â²F]
+    Un = _far_free(Qm_free, h, grid, p)                      # (nf, k, nc, B)
+    Uw = _far_wall(Q, lo_z, h, grid, p, h_floor) if wall else None
+    if not poly:
+        Unodes = Un[0] if Uw is None else Un[0] + Uw[0]
+        return _l2p(W3, cid, Unodes, p)
+    ch_1 = Un[0] if Uw is None else Un[0] + Uw[0]            # weight 1
+    ch_a2 = Un[1] if Uw is None else Un[1] + Uw[2]           # weight âᵢ²
+    chans = [ch_1, ch_a2] + ([Uw[1]] if wall else [])        # (+ weight âᵢ)
+    L = _l2p(W3, cid, jnp.concatenate(chans), p).reshape(
+        len(chans), k, n, 3)
+    U_far = L[0] + (ahat * ahat)[None, :, None] * L[1]
+    if wall:
+        U_far = U_far + ahat[None, :, None] * L[2]
+    return U_far
+
+
+def _self_diag_field(n, dtype, ahat, wall, rz, a, h_floor, radii):
+    """Per-blob self-mobility diagonal (units of 1/(8πηa))."""
+    self_diag = jnp.full((n, 3), _SELF_COEF, dtype)
+    if ahat is not None:
+        self_diag = self_diag / ahat[:, None]
+    if wall:
+        self_diag = self_diag + rpy.wall_self_diag(rz, a, dtype,
+                                                   h_floor=h_floor,
+                                                   radii=radii)
+    return self_diag
 
 
 def _near_sweep(x_s, ci_s, id_s, F_s, ah_s, nbr, max_nbr, wall, h_floor,
@@ -737,32 +762,9 @@ def mobility_apply_local(F_l, r_l, n_devices: int, axis_name: str, a=1.0,
 
     # far part: local spread, psum'd node moments, replicated convolution,
     # local interpolation — identical numbers on every device
-    if poly:
-        mom_scales = [None, ahat, ahat * ahat] if wall else [None,
-                                                             ahat * ahat]
-    else:
-        mom_scales = [None]
-    nm = len(mom_scales)
-    Fm = jnp.concatenate([Fs if s is None else Fs * s[None, :, None]
-                          for s in mom_scales])
-    ncell = grid[0] * grid[1] * grid[2]
-    Q = lax.psum(_p2m(W3, cid, Fm, ncell, p), axis_name).reshape(
-        nm, k, ncell, -1)
-    Qm_free = jnp.stack([Q[0], Q[nm - 1]]) if poly else Q
-    Un = _far_free(Qm_free, h, grid, p)
-    Uw = _far_wall(Q, lo[2], h, grid, p, h_floor) if wall else None
-    if not poly:
-        Unodes = Un[0] if Uw is None else Un[0] + Uw[0]
-        U_far = _l2p(W3, cid, Unodes, p)
-    else:
-        ch_1 = Un[0] if Uw is None else Un[0] + Uw[0]
-        ch_a2 = Un[1] if Uw is None else Un[1] + Uw[2]
-        chans = [ch_1, ch_a2] + ([Uw[1]] if wall else [])
-        L = _l2p(W3, cid, jnp.concatenate(chans), p).reshape(
-            len(chans), k, n_l, 3)
-        U_far = L[0] + (ahat * ahat)[None, :, None] * L[1]
-        if wall:
-            U_far = U_far + ahat[None, :, None] * L[2]
+    U_far = _far_part(Fs, None if not poly else ahat, W3, cid, grid, h,
+                      lo[2], p, wall, h_floor,
+                      psum_fn=lambda q: lax.psum(q, axis_name))
 
     # near part: gather the global (N, 3) arrays once, build the sorted
     # tile structure redundantly (O(N log N) sort + O(t²) adjacency —
@@ -812,14 +814,9 @@ def mobility_apply_local(F_l, r_l, n_devices: int, axis_name: str, a=1.0,
     U_near = lax.dynamic_slice_in_dim(U_near_g, idx * n_l, n_l, axis=1)
     U_near = jnp.where(overflow, jnp.nan, U_near)
 
-    self_diag = jnp.full((n_l, 3), _SELF_COEF, dtype)
-    if poly:
-        self_diag = self_diag / ahat[:, None]
-    if wall:
-        self_diag = self_diag + rpy.wall_self_diag(r_l[:, 2], a, dtype,
-                                                   h_floor=h_floor,
-                                                   radii=radii_l)
-    U = U_near + U_far + self_diag * Fs
+    U = U_near + U_far + _self_diag_field(
+        n_l, dtype, None if not poly else ahat, wall, r_l[:, 2], a, h_floor,
+        radii_l) * Fs
     if wall:
         U = U * b[None, :, None]
     U = U * jnp.asarray(1.0 / (8.0 * jnp.pi * eta * a), dtype)

@@ -259,13 +259,10 @@ def main_multi(conf, args):
 
     n_steps, save_every, chunk = _chunking(conf)
     B_total = sum(sizes)
-    traj_path = os.path.join(out_dir, "trajectory.rblt")
-    writer = TrajectoryWriter(
-        traj_path, B_total,
-        dtype=np.dtype(np.float64 if dtype == jnp.float64 else np.float32),
-        append=bool(args.resume),
-    )
 
+    # validate the mesh config BEFORE opening the trajectory writer — the
+    # writer truncates an existing trajectory.rblt on open (append=False),
+    # so a config error here must not destroy prior output
     mesh, mob_apply, mesh_mode = _build_mesh_mob(conf, cfg)
     if mesh_mode == "distributed":
         raise ValueError(
@@ -273,8 +270,15 @@ def main_multi(conf, args):
             "on the gather modes (omit 'mode' or set it to 'gather')")
     if mesh is not None:
         print(json.dumps({"mesh": dict(zip(map(str, mesh.axis_names),
-                                           map(int, mesh.devices.shape)))}),
-              flush=True)
+                                           map(int, mesh.devices.shape))),
+                          "mode": mesh_mode}), flush=True)
+
+    traj_path = os.path.join(out_dir, "trajectory.rblt")
+    writer = TrajectoryWriter(
+        traj_path, B_total,
+        dtype=np.dtype(np.float64 if dtype == jnp.float64 else np.float32),
+        append=bool(args.resume),
+    )
 
     run_chunk = jax.jit(functools.partial(
         multi.run_bd_multi, mgeom, cfg, n_steps=chunk, force_fn=force_fn,
@@ -365,18 +369,25 @@ def main(argv=None):
     n_steps, save_every, chunk = _chunking(conf)
 
     B = state.X.shape[0]
+
+    # mesh validation precedes the writer: opening trajectory.rblt without
+    # --resume truncates it, so config errors must fire first
+    mesh, mob_apply, mesh_mode = _build_mesh_mob(conf, cfg)
+    if mesh_mode == "distributed" and B % mesh.devices.size != 0:
+        raise ValueError(
+            f"mesh mode 'distributed' needs n_bodies divisible by the mesh "
+            f"size: B={B}, D={mesh.devices.size}")
+    if mesh is not None:
+        print(json.dumps({"mesh": dict(zip(map(str, mesh.axis_names),
+                                           map(int, mesh.devices.shape))),
+                          "mode": mesh_mode}), flush=True)
+
     traj_path = os.path.join(out_dir, "trajectory.rblt")
     writer = TrajectoryWriter(
         traj_path, B,
         dtype=np.dtype(np.float64 if dtype == jnp.float64 else np.float32),
         append=bool(args.resume),
     )
-
-    mesh, mob_apply, mesh_mode = _build_mesh_mob(conf, cfg)
-    if mesh is not None:
-        print(json.dumps({"mesh": dict(zip(map(str, mesh.axis_names),
-                                           map(int, mesh.devices.shape))),
-                          "mode": mesh_mode}), flush=True)
 
     if mesh_mode == "distributed":
         from rigid_body_light_tpu import parallel
