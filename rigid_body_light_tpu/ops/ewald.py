@@ -813,7 +813,7 @@ def real_space_block(r_rows, row_ids, r_cols, col_ids, F_cols,
 
 
 def mobility_apply_local(F_l, r_l, params: EwaldParams, n_devices: int,
-                         axis_name: str, row_tile=512):
+                         axis_name: str, row_tile=512, max_nbr=None):
     """Local-shard periodic RPY product for use INSIDE ``shard_map``.
 
     Distributed triply-periodic Ewald: the screened real-space sweep rides
@@ -826,34 +826,38 @@ def mobility_apply_local(F_l, r_l, params: EwaldParams, n_devices: int,
     exact periodic operator.  Monodisperse; F_l (N_l, 3) or multi-RHS
     (k, N_l, 3) with shared pair fields.
 
-    ``params.rc`` (balanced splitting) caveat: the ring honors the rc
-    cutoff exactly (pairs beyond rc are masked, so results match the
-    single-device linked-cell path), but it still *visits* all N²/D pairs
-    — the O(N·ρ·rc³) sorted-tile acceleration of ``ops/ewald_cells`` is
-    single-device only for now.  At the N where rc matters, prefer more
-    wavevectors (smaller rc → larger K rides the psum'd wave part, which
-    does scale) or the default splitting.
+    Balanced-splitting params (``rc=``) route the real part through the
+    distributed sorted-tile sweep instead of the ring
+    (:func:`rigid_body_light_tpu.ops.ewald_cells.
+    real_space_apply_cells_local` — O(N·ρ·rc³/D) per device), matching
+    the single-device dispatch; ``max_nbr`` is its neighbor-list width.
     """
     r_l = jnp.asarray(r_l).reshape(-1, 3)
     F_l = jnp.asarray(F_l, r_l.dtype)
     F_l = F_l if F_l.ndim == 3 else F_l.reshape(-1, 3)
     dtype = r_l.dtype
     n_l = r_l.shape[0]
-    idx = lax.axis_index(axis_name)
-    row_ids = idx * n_l + jnp.arange(n_l, dtype=jnp.int32)
-    perm = [(i, (i + 1) % n_devices) for i in range(n_devices)]
-    acc = jnp.zeros_like(F_l)
-    blk_r, blk_F = r_l, F_l
-    for s in range(n_devices):
-        if s < n_devices - 1:
-            nxt_r = lax.ppermute(blk_r, axis_name, perm)
-            nxt_F = lax.ppermute(blk_F, axis_name, perm)
-        src = (idx - s) % n_devices
-        col_ids = src * n_l + jnp.arange(n_l, dtype=jnp.int32)
-        acc = acc + real_space_block(r_l, row_ids, blk_r, col_ids, blk_F,
-                                     params, row_tile=row_tile)
-        if s < n_devices - 1:
-            blk_r, blk_F = nxt_r, nxt_F
+    if params.rc is not None:
+        from rigid_body_light_tpu.ops import ewald_cells
+
+        acc = ewald_cells.real_space_apply_cells_local(
+            F_l, r_l, params, n_devices, axis_name, max_nbr=max_nbr)
+    else:
+        idx = lax.axis_index(axis_name)
+        row_ids = idx * n_l + jnp.arange(n_l, dtype=jnp.int32)
+        perm = [(i, (i + 1) % n_devices) for i in range(n_devices)]
+        acc = jnp.zeros_like(F_l)
+        blk_r, blk_F = r_l, F_l
+        for s in range(n_devices):
+            if s < n_devices - 1:
+                nxt_r = lax.ppermute(blk_r, axis_name, perm)
+                nxt_F = lax.ppermute(blk_F, axis_name, perm)
+            src = (idx - s) % n_devices
+            col_ids = src * n_l + jnp.arange(n_l, dtype=jnp.int32)
+            acc = acc + real_space_block(r_l, row_ids, blk_r, col_ids,
+                                         blk_F, params, row_tile=row_tile)
+            if s < n_devices - 1:
+                blk_r, blk_F = nxt_r, nxt_F
     xi = jnp.asarray(params.xi, dtype)
     eta = jnp.asarray(params.eta, dtype)
     U = acc + self_coeff(jnp.asarray(params.a, dtype), xi, eta) * F_l

@@ -84,9 +84,27 @@ def real_space_apply_cells(F, r, params: "ewald.EwaldParams", max_nbr=None):
 
     adj = tiles.bbox_adjacency(r_pad, t, params.rc, box=params.box)
     nbr, overflow = tiles.pack_neighbor_lists(adj, max_nbr)
-    nbr_ix = jnp.maximum(nbr, 0)
 
-    ch = _chunk_rows(t, max_nbr, k)
+    U_s = _cell_sweep(r_pad, ids_pad, F_pad, nbr, max_nbr, params,
+                      0, t)[:, :n]
+    U = jnp.zeros_like(Fs).at[:, order, :].set(U_s)
+    U = jnp.where(overflow, jnp.nan, U)
+    return U if multi else U[0]
+
+
+def _cell_sweep(r_pad, ids_pad, F_pad, nbr, max_nbr, params, t0, nt):
+    """Cutoff pair sweep for the sorted tile range [t0, t0+nt).
+
+    r_pad/ids_pad (t·TILE, …) folded sorted padded arrays, F_pad
+    (k, t·TILE, 3), nbr (t, max_nbr) neighbor-tile lists.  Returns
+    (k, nt·TILE, 3) pair terms in sorted order.  ``t0`` may be traced
+    (the distributed caller passes its device's slice start).
+    """
+    dtype = r_pad.dtype
+    t = nbr.shape[0]
+    k = F_pad.shape[0]
+    nbr_ix = jnp.maximum(nbr, 0)
+    ch = _chunk_rows(nt, max_nbr, k)
     a = jnp.asarray(params.a, dtype)
     xi = jnp.asarray(params.xi, dtype)
     eta = jnp.asarray(params.eta, dtype)
@@ -126,10 +144,63 @@ def real_space_apply_cells(F, r, params: "ewald.EwaldParams", max_nbr=None):
         return (jnp.einsum("cpn,cknx->ckpx", A, cols_F)
                 + jnp.einsum("ckpn,cpn,cpnx->ckpx", eF, B, e))
 
-    starts = jnp.arange(t // ch, dtype=jnp.int32) * ch
-    U_pad = lax.map(chunk_fn, starts)              # (t/ch, ch, k, TILE, 3)
-    U_s = U_pad.reshape(t, k, TILE, 3).transpose(1, 0, 2, 3).reshape(
-        k, t * TILE, 3)[:, :n]
-    U = jnp.zeros_like(Fs).at[:, order, :].set(U_s)
+    starts = t0 + jnp.arange(nt // ch, dtype=jnp.int32) * ch
+    U_pad = lax.map(chunk_fn, starts)              # (nt/ch, ch, k, TILE, 3)
+    return U_pad.reshape(nt, k, TILE, 3).transpose(1, 0, 2, 3).reshape(
+        k, nt * TILE, 3)
+
+
+def real_space_apply_cells_local(F_l, r_l, params: "ewald.EwaldParams",
+                                 n_devices: int, axis_name: str,
+                                 max_nbr=None):
+    """Local-shard cutoff real sweep for use INSIDE ``shard_map``.
+
+    The distributed form of :func:`real_space_apply_cells` — the same
+    slice pattern as the proxy-grid far field's near sweep: gather the
+    (N, 3) arrays once, build the folded sorted-tile structure
+    redundantly (O(N log N) sort + O(t²) AABB adjacency — trivial next
+    to the sweep), sweep only this device's equal tile slice at
+    O(N·ρ·rc³/D), and regather the slices.  Closes the
+    ``mobility_apply_local`` caveat that balanced-splitting configs paid
+    an all-pairs ring.  F_l: (N_l, 3) or (k, N_l, 3); monodisperse only.
+    """
+    multi = F_l.ndim == 3
+    Fs = F_l if multi else F_l[None]
+    k, n_l = Fs.shape[0], r_l.shape[0]
+    n = n_l * n_devices
+    dtype = r_l.dtype
+    if max_nbr is None:
+        max_nbr = default_max_nbr(n, params)
+    idx = lax.axis_index(axis_name)
+    rf = _fold(r_l, params)
+    rf_all = lax.all_gather(rf, axis_name, tiled=True)        # (N, 3)
+    F_all = lax.all_gather(Fs, axis_name, axis=1, tiled=True)
+    order = tiles.serpentine_order(
+        rf_all, tiles.column_width(n, float(np.prod(params.box))))
+    t = -(-n // TILE)
+    t_pad = -(-t // n_devices) * n_devices
+    pad = t_pad * TILE - n
+    rf_s = rf_all[order]
+    # pad rows sit at blob 0's folded position (periodic wrap means there
+    # is no "far away"); they are masked by id −1, and the whole pad
+    # tiles they form are mutually adjacent plus adjacent to tiles near
+    # blob 0 — widen the neighbor list to absorb that (overflow there
+    # would NaN-poison the apply)
+    max_nbr = min(t_pad, max_nbr + (t_pad - t))
+    r_pad = jnp.concatenate([rf_s, jnp.broadcast_to(rf_s[:1], (pad, 3))])
+    ids_pad = jnp.concatenate(
+        [order.astype(jnp.int32), jnp.full((pad,), -1, jnp.int32)])
+    F_pad = jnp.concatenate(
+        [F_all[:, order, :], jnp.zeros((k, pad, 3), dtype)], axis=1)
+
+    adj = tiles.bbox_adjacency(r_pad, t_pad, params.rc, box=params.box)
+    nbr, overflow = tiles.pack_neighbor_lists(adj, max_nbr)
+    nt = t_pad // n_devices
+    U_slice = _cell_sweep(r_pad, ids_pad, F_pad, nbr, max_nbr, params,
+                          idx * nt, nt)            # (k, nt·TILE, 3)
+    U_sorted = lax.all_gather(U_slice, axis_name, axis=1,
+                              tiled=True)[:, :n]
+    U_g = jnp.zeros((k, n, 3), dtype).at[:, order, :].set(U_sorted)
+    U = lax.dynamic_slice_in_dim(U_g, idx * n_l, n_l, axis=1)
     U = jnp.where(overflow, jnp.nan, U)
     return U if multi else U[0]

@@ -363,10 +363,12 @@ def ewald_mobility_apply_local_fn(cfg: SimulationConfig, n_devices: int,
         rc=cfg.ewald_rc if cfg.ewald_rc > 0 else None,
     )
 
+    max_nbr = cfg.ewald_nbr_tiles if cfg.ewald_nbr_tiles > 0 else None
+
     def apply(F, r):
         return ewald.mobility_apply_local(
             F, r, params, n_devices, axis_name,
-            row_tile=cfg.matvec_row_tile,
+            row_tile=cfg.matvec_row_tile, max_nbr=max_nbr,
         )
 
     return apply
