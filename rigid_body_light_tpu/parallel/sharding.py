@@ -453,8 +453,8 @@ def make_distributed_step(geom, cfg: SimulationConfig, mesh: Mesh,
 
 
 def make_distributed_run_bd(geom, cfg: SimulationConfig, mesh: Mesh,
-                            n_steps: int, force_fn=None, save_every: int = 1,
-                            axis_name: str = None):
+                            n_steps: int, force_fn=None, slip_fn=None,
+                            save_every: int = 1, axis_name: str = None):
     """Whole-trajectory distributed ``run_bd``: one ``lax.scan`` inside one
     ``shard_map`` — bodies sharded, Krylov/Lanczos bases sharded, ring pair
     sweep, per-chunk trajectory output sharded too.
@@ -462,7 +462,8 @@ def make_distributed_run_bd(geom, cfg: SimulationConfig, mesh: Mesh,
     force_fn must be per-body-local (gravity, wall repulsion, traps); pair
     forces between bodies on different devices would need their own ring —
     gather body CENTERS (B, 3) yourself in a custom force_fn if needed
-    (body count is tiny compared to blobs).
+    (body count is tiny compared to blobs).  slip_fn (active squirmers)
+    likewise: (local BodyState, step) → (N_local·n, 3) blob slip.
     """
     if axis_name is None:
         axis_name = mesh.axis_names[0]
@@ -476,8 +477,8 @@ def make_distributed_run_bd(geom, cfg: SimulationConfig, mesh: Mesh,
         state_l = BodyState(X=X, Q=Q)
         final, traj = stepper_mod.run_bd(
             geom, cfg, state_l, key, n_steps, force_fn=force_fn,
-            mob_apply=mob_local, save_every=save_every, axis_name=axis_name,
-            mob_multi=mob_local,
+            slip_fn=slip_fn, mob_apply=mob_local, save_every=save_every,
+            axis_name=axis_name, mob_multi=mob_local,
         )
         return (final.X, final.Q, traj["X"], traj["Q"], traj["residual"],
                 traj["iters"], traj["noise_err"])
