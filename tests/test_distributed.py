@@ -280,3 +280,24 @@ def test_distributed_run_bd_with_slip():
                                atol=1e-11)
     # force-free swimming: bodies actually moved in +x
     assert (np.asarray(s_sh.X)[:, 0] > np.asarray(state.X)[:, 0]).all()
+
+
+@pytest.mark.medium
+def test_distributed_stochastic_farfield_and_adaptive_noise():
+    """Two robustness compositions in one compile: a fluctuating step on
+    the distributed far-field backend (multi-RHS fused Lanczos through the
+    sliced near sweep), and the adaptive noise mode (while_loop Lanczos
+    with psum'd recurrences) under the mesh axis."""
+    geom, cfg, state, mesh = _setup(kBT=1.0)
+    cfg = cfg.replace(farfield_grid=(2, 2, 2), farfield_p=3,
+                      lanczos_max_iters=24, lanczos_err_tol=1e-6)
+    F = jnp.zeros((8, 6), jnp.float64).at[:, 2].set(-1.0)
+    step = jax.jit(parallel.make_distributed_step(geom, cfg, mesh))
+    s1, a1 = step(state, jax.random.key(5), F)
+    assert np.isfinite(np.asarray(s1.X)).all()
+    assert float(a1.residual) < 1e-7
+    # adaptive mode drove the truncation estimate to (near) tolerance
+    assert 0 < float(a1.noise_err) < 1e-5
+    # reproducible
+    s2, _ = step(state, jax.random.key(5), F)
+    assert np.array_equal(np.asarray(s1.X), np.asarray(s2.X))
