@@ -301,3 +301,36 @@ def test_distributed_stochastic_farfield_and_adaptive_noise():
     # reproducible
     s2, _ = step(state, jax.random.key(5), F)
     assert np.array_equal(np.asarray(s1.X), np.asarray(s2.X))
+
+
+@pytest.mark.medium
+def test_distributed_noise_covariance_trace():
+    """⟨‖M^{1/2}W‖²⟩ → tr(M) with the SHARDED sampler: per-device folded
+    keys draw independent local W shards, the Lanczos recurrence closes
+    over the mesh with psums — the global covariance must still be exactly
+    M.  Certifies the distributed stepper's noise statistics (the other
+    distributed tests only check determinism/convergence)."""
+    import oracle
+    from rigid_body_light_tpu.ops import lanczos
+    from jax import lax as jlax
+
+    _, cfg, _, mesh = _setup()
+    cfg = cfg.replace(wall=False)
+    rng = np.random.default_rng(9)
+    n = 64
+    pos = jnp.asarray(rng.uniform(0, 10, (n, 3)), jnp.float64)
+    M = oracle.rpy_matrix(np.asarray(pos), cfg.a, cfg.eta, False)
+    mob_local = parallel.ring_mobility_apply_fn(cfg, 8, AX)
+
+    def local(r_l, k):
+        k = jax.random.fold_in(k, jlax.axis_index(AX))
+        y = lanczos.m_half_w(mob_local, r_l, k, iters=30, axis_name=AX)
+        return jlax.psum(jnp.vdot(y, y), AX)  # global ‖y‖², replicated
+
+    draw = jax.jit(shard_map(local, mesh=mesh, in_specs=(P(AX), P()),
+                             out_specs=P(), check_vma=False))
+    n_samp = 400
+    keys = jax.random.split(jax.random.key(11), n_samp)
+    traces = np.array([float(draw(pos, k)) for k in keys])
+    est, se = traces.mean(), traces.std() / np.sqrt(n_samp)
+    assert abs(est - np.trace(M)) < 5 * se + 1e-9
