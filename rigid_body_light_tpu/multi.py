@@ -170,7 +170,8 @@ def make_noise_preconditioner_multi(mgeom: MultiGeometry, a, eta, dtype=jnp.floa
     )
 
 
-def m_half_w_precond_multi(mob_apply_multi, opses, npcs, keys, iters: int = 10):
+def m_half_w_precond_multi(mob_apply_multi, opses, npcs, keys,
+                           iters: int = 10, axis_name=None):
     """Preconditioned M^{1/2}W draws on the mixture blob space.
 
     Same factor trick as the single-species path (noise = R̃L·G^{1/2}W with
@@ -213,7 +214,8 @@ def m_half_w_precond_multi(mob_apply_multi, opses, npcs, keys, iters: int = 10):
     w = jnp.stack(
         [jax.random.normal(kk, (3 * n_total,), dtype=dtype) for kk in keys]
     )
-    g = lanczos.sqrt_matvec_batched(mv, w, iters=iters)
+    g = lanczos.sqrt_matvec_batched(mv, w, iters=iters,
+                                    axis_name=axis_name)
     out = []
     start = 0
     for o, (L, _) in zip(opses, npcs):  # noise slice = R̃ L g_s
@@ -270,12 +272,17 @@ def solve_saddle_multi(
     opses=None,
     x0=None,
     pcs=None,
+    axis_name=None,
 ) -> MultiSolveResult:
     """Preconditioned GMRES solve of the mixed saddle system.
 
     slip: (N_total, 3) or None; forces: tuple of (B_s, 6).
     x0: optional (λ, Us) Krylov warm start (a previous MultiSolveResult's
     fields); pcs: optional prebuilt per-species PC tuple (lagged-PC reuse).
+    axis_name: distributed mode — states/slip/forces are LOCAL species
+    shards inside ``shard_map`` (every species' body count divisible by
+    the mesh), ``mob_apply`` a local-view operator, and the Krylov
+    recurrences psum over the axis.
     """
     if opses is None:
         opses = geometry_ops_multi(mgeom, states)
@@ -303,7 +310,7 @@ def solve_saddle_multi(
     max_restarts = max(1, -(-cfg.gmres_maxiter // cfg.gmres_restart))
     result = gmres_mod.gmres(
         matvec, b, x0=x0, tol=cfg.gmres_tol, restart=cfg.gmres_restart,
-        max_restarts=max_restarts,
+        max_restarts=max_restarts, axis_name=axis_name,
     )
     lam, Us = _unflatten(result.x, opses)
     return MultiSolveResult(
@@ -364,6 +371,8 @@ def stochastic_step_multi(
     x0=None,
     pcs=None,
     noise_pcs=None,
+    axis_name=None,
+    mob_multi=None,
 ):
     """One fluctuating BD step of the mixture — full parity with the
     single-species :func:`rigid_body_light_tpu.dynamics.stochastic_step`:
@@ -374,6 +383,17 @@ def stochastic_step_multi(
     (``pcs``).
     """
     default_mob = mob_apply is None
+    if axis_name is not None:
+        if default_mob:
+            raise ValueError(
+                "distributed stochastic_step_multi needs an explicit local "
+                "mob_apply (parallel.ring_mobility_apply_fn with the "
+                "mixture's radii)")
+        if cfg.drift_mode == "em_exact":
+            raise NotImplementedError(
+                "distributed mixture stepping supports the default midpoint "
+                "scheme only")
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
     opses = geometry_ops_multi(mgeom, states)
     if default_mob:
         mob_apply = _mob_fns(mgeom, opses, cfg)[0]
@@ -394,18 +414,21 @@ def stochastic_step_multi(
             # per-species body-frame factors (trace-time constants; run_bd_multi
             # precomputes and threads these through the scan)
             noise_pcs = make_noise_preconditioner_multi(mgeom, cfg.a, cfg.eta, dtype)
-        mob_multi = _mob_fns(mgeom, opses, cfg)[1] if default_mob else (
-            lambda xk, r: jnp.stack([mob_apply(x, r) for x in xk])
-        )
+        if mob_multi is None:
+            mob_multi = _mob_fns(mgeom, opses, cfg)[1] if default_mob else (
+                lambda xk, r: jnp.stack([mob_apply(x, r) for x in xk])
+            )
         if use_split:
             if cfg.lanczos_precond:
                 mhw1, mhw2 = m_half_w_precond_multi(
-                    mob_multi, opses, noise_pcs, (k1, k2), iters=cfg.lanczos_iters
+                    mob_multi, opses, noise_pcs, (k1, k2),
+                    iters=cfg.lanczos_iters, axis_name=axis_name
                 )
-            elif default_mob:
+            elif default_mob or mob_multi is not None:
                 # fused 2-RHS Lanczos: both recurrences share one pair-field sweep
                 mhw1, mhw2 = lanczos.m_half_w_pair(
-                    mob_multi, pos, k1, k2, iters=cfg.lanczos_iters
+                    mob_multi, pos, k1, k2, iters=cfg.lanczos_iters,
+                    axis_name=axis_name
                 )
             else:
                 mhw1 = lanczos.m_half_w(mob_apply, pos, k1, iters=cfg.lanczos_iters)
@@ -416,7 +439,8 @@ def stochastic_step_multi(
         else:
             if cfg.lanczos_precond:
                 (mhw1,) = m_half_w_precond_multi(
-                    mob_multi, opses, noise_pcs, (k1,), iters=cfg.lanczos_iters
+                    mob_multi, opses, noise_pcs, (k1,),
+                    iters=cfg.lanczos_iters, axis_name=axis_name
                 )
             else:
                 mhw1 = lanczos.m_half_w(mob_apply, pos, k1, iters=cfg.lanczos_iters)
@@ -464,7 +488,7 @@ def stochastic_step_multi(
 
     res = solve_saddle_multi(
         mgeom, cfg, states, slip_eff, forces, mob_apply=mob_apply,
-        opses=opses_solve, x0=x0, pcs=pcs,
+        opses=opses_solve, x0=x0, pcs=pcs, axis_name=axis_name,
     )
     Us_total = (
         res.Us if drift_Us is None
@@ -495,6 +519,8 @@ def run_bd_multi(
     slip_fn=None,
     mob_apply=None,
     save_every: int = 1,
+    axis_name=None,
+    mob_multi=None,
 ):
     """Whole mixture BD trajectory as one ``lax.scan`` — the multi-species
     analogue of :func:`rigid_body_light_tpu.dynamics.run_bd`, with the same
@@ -551,7 +577,8 @@ def run_bd_multi(
             pcs = None
         ss_new, res = stochastic_step_multi(
             mgeom, cfg, ss, sub, forces, slip=slip, mob_apply=mob_apply,
-            x0=x_prev, pcs=pcs, noise_pcs=noise_pcs,
+            x0=x_prev, pcs=pcs, noise_pcs=noise_pcs, axis_name=axis_name,
+            mob_multi=mob_multi,
         )
         out = (
             tuple(s.X for s in ss_new),

@@ -1,8 +1,12 @@
 """Multi-chip sharding of the mobility matvec and BD step."""
 
 from rigid_body_light_tpu.parallel.sharding import (
+    ewald_mobility_apply_local_fn,
+    farfield_mobility_apply_local_fn,
     make_distributed_run_bd,
+    make_distributed_run_bd_multi,
     make_distributed_step,
+    make_distributed_step_multi,
     make_mesh,
     make_mesh_2d,
     ring_mobility_apply_fn,
@@ -13,8 +17,12 @@ from rigid_body_light_tpu.parallel.sharding import (
 )
 
 __all__ = [
+    "ewald_mobility_apply_local_fn",
+    "farfield_mobility_apply_local_fn",
     "make_distributed_run_bd",
+    "make_distributed_run_bd_multi",
     "make_distributed_step",
+    "make_distributed_step_multi",
     "make_mesh",
     "make_mesh_2d",
     "ring_mobility_apply_fn",

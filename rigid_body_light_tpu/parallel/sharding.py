@@ -225,7 +225,7 @@ def sharded_mobility_apply_fn(
 
 def ring_pair_sum_local(
     r_l, F_l, n_devices: int, axis_name: str, a=1.0, wall=False, row_tile=512,
-    h_floor=None, box=None, use_pallas=False,
+    h_floor=None, box=None, use_pallas=False, radii_l=None,
 ):
     """Ring-pipelined Σ_j M_ij F_j for the LOCAL row shard (inside shard_map).
 
@@ -238,8 +238,10 @@ def ring_pair_sum_local(
     (the ring-attention pattern applied to the RPY pair sweep, SURVEY §5).
 
     r_l: (N_local, 3) local shard; F_l: (N_local, 3) or (k, N_local, 3)
-    multi-RHS (shared pair fields).  Returns matching-shape pair terms
-    (no self term / scaling / damping — same contract as ``rpy.pair_sum``).
+    multi-RHS (shared pair fields).  radii_l: optional (N_local,) per-blob
+    physical radii shard (polydisperse RPY) — rotates around the ring with
+    the positions.  Returns matching-shape pair terms (no self term /
+    scaling / damping — same contract as ``rpy.pair_sum``).
     """
     n_l = r_l.shape[0]
     idx = lax.axis_index(axis_name)
@@ -250,12 +252,14 @@ def ring_pair_sum_local(
 
         use_pallas = rpy_pallas.available() and r_l.dtype == jnp.float32
 
+    poly = radii_l is not None
     acc = jnp.zeros_like(F_l)
-    blk_r, blk_F = r_l, F_l
+    blk_r, blk_F, blk_a = r_l, F_l, radii_l
     for s in range(n_devices):
         if s < n_devices - 1:
             nxt_r = lax.ppermute(blk_r, axis_name, perm)
             nxt_F = lax.ppermute(blk_F, axis_name, perm)
+            nxt_a = lax.ppermute(blk_a, axis_name, perm) if poly else None
         src = (idx - s) % n_devices
         if use_pallas:
             from rigid_body_light_tpu.ops import rpy_pallas
@@ -265,22 +269,27 @@ def ring_pair_sum_local(
             part = rpy_pallas.pair_sum_slab(
                 r_l * inv_a, idx * n_l, blk_r * inv_a, blk_F, wall,
                 col_offset=src * n_l, h_floor=h_floor, box_over_a=boa,
+                ahat_rows=None if not poly else radii_l * inv_a,
+                ahat_cols=None if not poly else blk_a * inv_a,
             )
         else:
             col_ids = src * n_l + jnp.arange(n_l, dtype=jnp.int32)
             part = rpy.pair_sum(
                 r_l, row_ids, blk_r, col_ids, blk_F, a=a, wall=wall,
                 row_tile=row_tile, box=box,
+                radii_rows=radii_l, radii_cols=blk_a,
                 **({} if h_floor is None else {"h_floor": h_floor}),
             )
         acc = acc + part
         if s < n_devices - 1:
             blk_r, blk_F = nxt_r, nxt_F
+            blk_a = nxt_a
     return acc
 
 
 def ring_mobility_apply_fn(cfg: SimulationConfig, n_devices: int,
-                           axis_name: str = "bodies") -> Callable:
+                           axis_name: str = "bodies",
+                           radii=None) -> Callable:
     """Local-view ``mob_apply(F_l, r_l) → U_l`` for use INSIDE ``shard_map``.
 
     The elementwise pieces (damping sandwich, self term, scaling) are
@@ -297,17 +306,20 @@ def ring_mobility_apply_fn(cfg: SimulationConfig, n_devices: int,
         dtype = r.dtype
         Fd = F
         if cfg.wall:
-            b = rpy.damping_factors(r, cfg.a)
+            b = rpy.damping_factors(r, cfg.a, radii=radii)
             Fd = F * b[:, None]
         U = ring_pair_sum_local(
             r, Fd, n_devices, axis_name, a=cfg.a, wall=cfg.wall,
             row_tile=cfg.matvec_row_tile, h_floor=cfg.wall_h_floor,
-            box=cfg.box, use_pallas=cfg.use_pallas,
+            box=cfg.box, use_pallas=cfg.use_pallas, radii_l=radii,
         )
         self_diag = jnp.full(r.shape, 4.0 / 3.0, dtype=dtype)
+        if radii is not None:
+            self_diag = self_diag / (jnp.asarray(radii, dtype)[:, None]
+                                     / cfg.a)
         if cfg.wall:
             self_diag = self_diag + rpy.wall_self_diag(
-                r[:, 2], cfg.a, dtype, h_floor=cfg.wall_h_floor
+                r[:, 2], cfg.a, dtype, h_floor=cfg.wall_h_floor, radii=radii
             )
         U = U + self_diag * Fd
         U = U * jnp.asarray(1.0 / (8.0 * jnp.pi * cfg.eta * cfg.a), dtype)
@@ -503,5 +515,151 @@ def make_distributed_run_bd(geom, cfg: SimulationConfig, mesh: Mesh,
             "X": Xs, "Q": Qs, "residual": res, "iters": iters,
             "noise_err": nerr,
         }
+
+    return run
+
+
+def _local_mobility_multi_fn(cfg: SimulationConfig, n_devices: int,
+                             axis_name: str, radii_l) -> Callable:
+    """Per-domain LOCAL mixture mobility (radii_l: (N_local,) per-blob
+    radii shard or None).  Same dispatch as :func:`_local_mobility_fn`;
+    3-D boxes are monodisperse by config (``box`` forbids per-blob radii).
+    """
+    if cfg.box is not None and len(cfg.box) == 3:
+        return ewald_mobility_apply_local_fn(cfg, n_devices, axis_name)
+    if cfg.farfield_grid is not None:
+        from rigid_body_light_tpu.ops import farfield
+
+        grid = None if cfg.farfield_grid == "auto" else cfg.farfield_grid
+        max_nbr = cfg.farfield_nbr_tiles if cfg.farfield_nbr_tiles > 0 else None
+
+        def apply_ff(F, r):
+            return farfield.mobility_apply_local(
+                F, r, n_devices, axis_name, a=cfg.a, eta=cfg.eta,
+                wall=cfg.wall, grid=grid, p=cfg.farfield_p, max_nbr=max_nbr,
+                h_floor=cfg.wall_h_floor, radii_l=radii_l,
+            )
+
+        return apply_ff
+    return ring_mobility_apply_fn(cfg, n_devices, axis_name, radii=radii_l)
+
+
+def _local_radii_multi(mgeom, cfg: SimulationConfig, sizes_l, dtype):
+    """Local shard of the mixture's per-blob radii (None if monodisperse)."""
+    if not mgeom.is_poly():
+        return None
+    parts = [
+        jnp.full((b * g.ref_cfg.shape[0],), a_s, dtype)
+        for g, b, a_s in zip(mgeom.geoms, sizes_l, mgeom.species_a(cfg))
+    ]
+    return jnp.concatenate(parts)
+
+
+def make_distributed_step_multi(mgeom, cfg: SimulationConfig, mesh: Mesh,
+                                axis_name: str = None):
+    """Fully-sharded mixture BD step: every species' bodies sharded over a
+    1-D mesh (each ``B_s`` divisible by the mesh size), the concatenated
+    blob space coupled by the per-domain local operator (polydisperse ring
+    / sliced far field / distributed Ewald), Krylov/Lanczos recurrences
+    psum'd — the mixture analogue of :func:`make_distributed_step`.
+
+    Returns ``step(states, key, forces) → (states', MultiSolveResult)``
+    on GLOBAL per-species arrays.
+    """
+    from rigid_body_light_tpu import multi as multi_mod
+    from rigid_body_light_tpu.state import BodyState
+
+    if axis_name is None:
+        axis_name = mesh.axis_names[0]
+    D = mesh.shape[axis_name]
+    ax = axis_name
+
+    def local_step(Xs, Qs, key, forces):
+        states_l = tuple(BodyState(X=x, Q=q) for x, q in zip(Xs, Qs))
+        dtype = Xs[0].dtype
+        sizes_l = tuple(x.shape[0] for x in Xs)
+        radii_l = _local_radii_multi(mgeom, cfg, sizes_l, dtype)
+        mob_local = _local_mobility_multi_fn(cfg, D, ax, radii_l)
+        ss, res = multi_mod.stochastic_step_multi(
+            mgeom, cfg, states_l, key, forces, mob_apply=mob_local,
+            axis_name=ax, mob_multi=mob_local,
+        )
+        return (tuple(s.X for s in ss), tuple(s.Q for s in ss),
+                res.lam, res.Us, res.residual, res.iters)
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(ax), P(ax), P(), P(ax)),
+        out_specs=(P(ax), P(ax), P(ax), P(ax), P(), P()),
+        check_vma=False,
+    )
+
+    def step(states, key, forces):
+        for s in states:
+            if s.X.shape[0] % D != 0:
+                raise ValueError(
+                    f"distributed mixture step needs every species' body "
+                    f"count divisible by the mesh size: "
+                    f"B={s.X.shape[0]}, D={D}")
+        Xs, Qs, lam, Us, res, iters = sharded(
+            tuple(s.X for s in states), tuple(s.Q for s in states), key,
+            tuple(forces))
+        new_states = tuple(BodyState(X=x, Q=q) for x, q in zip(Xs, Qs))
+        return new_states, multi_mod.MultiSolveResult(
+            lam=lam, Us=Us, residual=res, iters=iters)
+
+    return step
+
+
+def make_distributed_run_bd_multi(mgeom, cfg: SimulationConfig, mesh: Mesh,
+                                  n_steps: int, force_fn=None, slip_fn=None,
+                                  save_every: int = 1,
+                                  axis_name: str = None):
+    """Whole distributed mixture trajectory — the multi-species analogue of
+    :func:`make_distributed_run_bd`.  force_fn/slip_fn must be per-body /
+    per-blob LOCAL (see that function's docstring).
+    """
+    from rigid_body_light_tpu import multi as multi_mod
+    from rigid_body_light_tpu.state import BodyState
+
+    if axis_name is None:
+        axis_name = mesh.axis_names[0]
+    D = mesh.shape[axis_name]
+    ax = axis_name
+
+    def local_run(Xs, Qs, key):
+        states_l = tuple(BodyState(X=x, Q=q) for x, q in zip(Xs, Qs))
+        dtype = Xs[0].dtype
+        sizes_l = tuple(x.shape[0] for x in Xs)
+        radii_l = _local_radii_multi(mgeom, cfg, sizes_l, dtype)
+        mob_local = _local_mobility_multi_fn(cfg, D, ax, radii_l)
+        final, traj = multi_mod.run_bd_multi(
+            mgeom, cfg, states_l, key, n_steps, force_fn=force_fn,
+            slip_fn=slip_fn, mob_apply=mob_local, save_every=save_every,
+            axis_name=ax, mob_multi=mob_local,
+        )
+        return (tuple(s.X for s in final), tuple(s.Q for s in final),
+                traj["X"], traj["Q"], traj["residual"], traj["iters"])
+
+    sharded = shard_map(
+        local_run,
+        mesh=mesh,
+        in_specs=(P(ax), P(ax), P()),
+        out_specs=(P(ax), P(ax), P(None, ax), P(None, ax), P(), P()),
+        check_vma=False,
+    )
+
+    def run(states, key):
+        for s in states:
+            if s.X.shape[0] % D != 0:
+                raise ValueError(
+                    f"distributed mixture run needs every species' body "
+                    f"count divisible by the mesh size: "
+                    f"B={s.X.shape[0]}, D={D}")
+        Xs, Qs, tX, tQ, res, iters = sharded(
+            tuple(s.X for s in states), tuple(s.Q for s in states), key)
+        final = tuple(BodyState(X=x, Q=q) for x, q in zip(Xs, Qs))
+        return final, {"X": tX, "Q": tQ, "residual": res, "iters": iters}
 
     return run
