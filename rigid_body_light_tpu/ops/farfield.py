@@ -17,11 +17,11 @@ black-box-FMM-style single-level scheme on a uniform supercell grid.
     Û(q) = K̂(q)·Q̂(q), a batched (3p³ × 3p³) matmul per frequency (MXU),
     with K̂ built from O((2G)³·p⁶) kernel evaluations instead of O(G⁶).
   - M_near: blob pairs in adjacent cells (∞-norm cell offset ≤ 1),
-    swept exactly over serpentine equal-population tiles
-    (:mod:`rigid_body_light_tpu.ops.tiles` — robust to body-scale
-    clustering), masked
-    PAIRWISE by cell adjacency so near/far partition every pair exactly
-    once.
+    swept exactly over cell-snake equal-population tiles
+    (:func:`rigid_body_light_tpu.ops.tiles.cell_snake_order` — robust to
+    body-scale clustering, and cell-aligned so neighbor-tile lists stay
+    narrow), masked PAIRWISE by cell adjacency so near/far partition
+    every pair exactly once.
 
 Everything is O(N·ρ·h³ + G³·p⁶) per apply with static shapes; the only
 static bound is the neighbor-tile list width (overflow NaN-poisons, as
@@ -453,13 +453,19 @@ def auto_grid(n: int, p: int, wall: bool, poly: bool = False) -> int:
 
 
 def default_max_nbr(n: int, grid, p: int) -> int:
-    """4× the uniform-density neighbor-tile estimate + 8."""
+    """Neighbor-tile width for the cell-snake tile order.
+
+    A tile of TILE blobs spans m ≈ TILE/per_cell + 1 consecutive snake
+    cells; candidate tiles live in a 3×3×(m+3)-cell window, so the count
+    is ≈ (9·(m+3))·per_cell/TILE = 9 + 36·per_cell/TILE.  Calibrated
+    against measured maxima at 40.96k–204.8k uniform cubes and 102.4k
+    wall slabs (model within 3–25% of the observed max); 1.35× margin
+    + 8 covers all of them.  Overflow still NaN-poisons loudly.
+    """
     t = -(-n // TILE)
-    cells = float(np.prod(grid))
-    per_cell = n / cells
-    # tiles covering 27 cells + tile granularity slack
-    est = 27.0 * per_cell / TILE + 2.0
-    return int(min(t, np.ceil(2.2 * est) + 8))
+    per_cell = n / float(np.prod(grid))
+    est = 9.0 + 36.0 * per_cell / TILE
+    return int(min(t, np.ceil(1.35 * est) + 8))
 
 
 def _chunk_rows(t: int, max_nbr: int, nrhs: int) -> int:
@@ -520,13 +526,17 @@ def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
     U_far = _far_part(Fs, None if not poly else ahat, W3, cid, grid, h,
                       lo[2], p, wall, h_floor)
 
-    # ---- near: serpentine equal-population tiles, cell-offset mask
-    vol_est = jnp.prod(jnp.asarray(grid, dtype) * h)
-    order = tiles.serpentine_order(x, tiles.column_width(n, vol_est))
+    # ---- near: cell-snake equal-population tiles, cell-offset mask
+    order = tiles.cell_snake_order(ci, grid)
     t = -(-n // TILE)
     pad = t * TILE - n
-    x_s = jnp.concatenate([x[order], jnp.broadcast_to(x[:1], (pad, 3))])
-    ci_s = jnp.concatenate([ci[order], jnp.broadcast_to(ci[:1], (pad, 3))])
+    # pad the partial tile with the LAST sorted entry: its cell coincides
+    # with the tile's final real cell, so the tile bbox (and hence the
+    # neighbor-list width) stays as tight as the unpadded case
+    x_s = jnp.concatenate([x[order], jnp.broadcast_to(x[order[-1:]],
+                                                      (pad, 3))])
+    ci_s = jnp.concatenate([ci[order], jnp.broadcast_to(ci[order[-1:]],
+                                                        (pad, 3))])
     id_s = jnp.concatenate(
         [order.astype(jnp.int32), jnp.full((pad,), -1, jnp.int32)])
     F_s = jnp.concatenate([Fs[:, order], jnp.zeros((k, pad, 3), dtype)],
@@ -774,22 +784,22 @@ def mobility_apply_local(F_l, r_l, n_devices: int, axis_name: str, a=1.0,
     x_all = lax.all_gather(x, axis_name, tiled=True)         # (N, 3)
     F_all = lax.all_gather(Fs, axis_name, axis=1, tiled=True)
     ci_all = lax.all_gather(ci, axis_name, tiled=True)
-    vol_est = jnp.prod(jnp.asarray(grid, dtype) * h)
-    order = tiles.serpentine_order(x_all, tiles.column_width(n, vol_est))
+    order = tiles.cell_snake_order(ci_all, grid)
     t = -(-n // TILE)
     t_pad = -(-t // n_devices) * n_devices
     pad = t_pad * TILE - n
-    # pad rows: the partial tile keeps blob-0's cell (as in mobility_apply);
-    # whole pad tiles sit at an isolated out-of-range cell so they link to
-    # no real tile (adjacency gap ≥ 2) and cost no neighbor-list width
+    # pad rows: the partial tile keeps the LAST sorted entry's cell (tight
+    # bbox, as in mobility_apply); whole pad tiles sit at an isolated
+    # out-of-range cell so they link to no real tile (adjacency gap ≥ 2)
+    # and cost no neighbor-list width
     pad_part = min(pad, t * TILE - n)
     iso = jnp.asarray(grid, jnp.int32) + 2
     ci_pad = jnp.concatenate([
-        jnp.broadcast_to(ci_all[:1], (pad_part, 3)),
+        jnp.broadcast_to(ci_all[order[-1:]], (pad_part, 3)),
         jnp.broadcast_to(iso, (pad - pad_part, 3)),
     ]) if pad else ci_all[:0]
-    x_s = jnp.concatenate([x_all[order], jnp.broadcast_to(x_all[:1],
-                                                          (pad, 3))])
+    x_s = jnp.concatenate([x_all[order], jnp.broadcast_to(
+        x_all[order[-1:]], (pad, 3))])
     ci_s = jnp.concatenate([ci_all[order], ci_pad])
     id_s = jnp.concatenate(
         [order.astype(jnp.int32), jnp.full((pad,), -1, jnp.int32)])

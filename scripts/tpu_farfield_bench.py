@@ -54,11 +54,16 @@ def main():
         F = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
         out = {"n_blobs": n, "wall": wall}
 
+        def _renorm(u):
+            # keep the chained M^k application O(1) in magnitude: repeated
+            # unnormalized application overflows f32 at this N (lam_max >> 1)
+            return u * jax.lax.rsqrt(jnp.mean(u * u) + 1e-30)
+
         @jax.jit
         def ap_chain(F):
             def body(_, v):
-                return rpy_pallas.mobility_apply(v, r, a=a, eta=eta,
-                                                 wall=wall)
+                return _renorm(rpy_pallas.mobility_apply(v, r, a=a, eta=eta,
+                                                         wall=wall))
             return jax.lax.fori_loop(0, REPS, body, F)
 
         t0 = time.perf_counter()
@@ -82,8 +87,8 @@ def main():
             @jax.jit
             def ff_chain(F):
                 def body(_, v):
-                    return farfield.mobility_apply(v, r, a=a, eta=eta,
-                                                   wall=wall, grid=grid, p=p)
+                    return _renorm(farfield.mobility_apply(
+                        v, r, a=a, eta=eta, wall=wall, grid=grid, p=p))
                 return jax.lax.fori_loop(0, REPS, body, F)
 
             t0 = time.perf_counter()

@@ -89,6 +89,40 @@ def test_clustered_bodies(cloud):
     assert float(jnp.abs(U - U_ref).max() / jnp.abs(U_ref).max()) < 3e-3
 
 
+def test_cell_snake_order_tiles_are_cell_compact():
+    """The snake sort must (a) be a permutation, (b) keep every TILE-run
+    inside a narrow band of consecutive snake cells, so per-tile cell
+    bboxes — and hence the neighbor-tile lists — stay tight even when N
+    is not a multiple of TILE (the partial tile pads with its own last
+    entry)."""
+    from rigid_body_light_tpu.ops import tiles
+
+    rng = np.random.default_rng(11)
+    grid = (5, 4, 3)
+    n = 3 * tiles.TILE + 77                                  # partial tile
+    ci = jnp.asarray(rng.integers(0, grid, size=(n, 3)), jnp.int32)
+    order = np.asarray(tiles.cell_snake_order(ci, grid))
+    assert sorted(order.tolist()) == list(range(n))
+    # snake position must be non-decreasing along the sort
+    gx, gy, gz = grid
+    c = np.asarray(ci)[order]
+    cy = np.where(c[:, 0] % 2 == 0, c[:, 1], gy - 1 - c[:, 1])
+    col = c[:, 0] * gy + cy
+    cz = np.where(col % 2 == 0, c[:, 2], gz - 1 - c[:, 2])
+    snake = col * gz + cz
+    assert (np.diff(snake) >= 0).all()
+    # pad entries must NOT expand the partial tile's cell bbox: padding
+    # with the last sorted entry keeps min/max over the padded tile equal
+    # to min/max over its real entries alone
+    t = -(-n // tiles.TILE)
+    pad = t * tiles.TILE - n
+    real_tail = c[(t - 1) * tiles.TILE:]
+    ci_s = np.concatenate([c, np.broadcast_to(c[-1:], (pad, 3))])
+    padded_tail = ci_s[(t - 1) * tiles.TILE:]
+    assert (padded_tail.min(0) == real_tail.min(0)).all()
+    assert (padded_tail.max(0) == real_tail.max(0)).all()
+
+
 def test_overflow_poisons(cloud):
     r, F = cloud
     U = farfield.mobility_apply(jnp.asarray(r), jnp.asarray(r), a=0.9,
