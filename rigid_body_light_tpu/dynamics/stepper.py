@@ -166,6 +166,11 @@ def stochastic_step(
         key = jax.random.fold_in(key, lax.axis_index(axis_name))
     dtype = state.X.dtype
     ops = saddle_mod.geometry_ops(geom, state)
+    # far-field backend: build the kernel lattices ONCE per step and share
+    # them across the noise draw, RFD's displaced applies, and the
+    # midpoint corrector solve (their position sets differ by ≪ a cell);
+    # no-op for the dense/Pallas/Ewald operators
+    mob_apply = saddle_mod.pin_geometry(mob_apply, ops.flat_positions)
     B, n, _ = ops.offsets.shape
     if slip is None:
         slip = jnp.zeros((B * n, 3), dtype)
@@ -198,7 +203,11 @@ def stochastic_step(
             # distributed local appliers are ndim-polymorphic, so the
             # distributed stepper passes its mob_apply here too)
             if mob_multi is None:
-                mob_multi = saddle_mod.mobility_apply_multi_fn(cfg)
+                # the far-field apply is ndim-polymorphic — reuse the
+                # geometry-pinned single-RHS callable instead of building
+                # a second operator (and a second kernel lattice)
+                mob_multi = (mob_apply if hasattr(mob_apply, "prepare")
+                             else saddle_mod.mobility_apply_multi_fn(cfg))
             if cfg.lanczos_precond:
                 mhw1, mhw2, noise_err = lanczos.m_half_w_precond(
                     mob_multi, pos, ops.rot, noise_pc[0], noise_pc[1], (k1, k2),

@@ -56,6 +56,7 @@ Reference counterpart: none — the reference evaluates dense O(N²) RPY
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -64,7 +65,14 @@ from jax import lax
 
 from rigid_body_light_tpu.ops import rpy, tiles
 
-TILE = tiles.TILE
+# Near-sweep tile size.  Deliberately FINER than the Pallas sweep tile
+# (tiles.TILE = 512): the neighbor lists are built at tile granularity, so
+# the candidate-over-true-pair waste scales with how many cells a tile
+# spans.  At bench density (~31 blobs/cell) 512-blob tiles span ~17 cells
+# and sweep ~33× more candidates than true adjacent-cell neighbors;
+# 128-blob tiles cut that to ~5× (measured 27648 → 4096 candidate columns
+# per blob at the 40.96k case) for the same O(t²) list build.
+TILE = 128
 _SELF_COEF = 4.0 / 3.0
 
 
@@ -158,8 +166,10 @@ def _far_kernel_hat(h, grid, p, dtype, poly=False):
     moments and read back with â² output weights).
 
     Built inside the trace (h is dynamic) — O((2G)³·p⁶) kernel
-    evaluations; XLA's loop-invariant code motion hoists it out of
-    Krylov loops for loop-constant r.  Memory discipline (the naive
+    evaluations.  XLA's loop-invariant code motion does NOT hoist this
+    ``lax.map`` out of Krylov ``while`` bodies (measured: ~160 ms per
+    GMRES iteration), so loop hosts must hoist it explicitly via
+    :func:`prepare` / :class:`FarCtx`.  Memory discipline (the naive
     one-shot build OOM'd a 16 GB chip at G=11, p=4 via 6.3×-padded
     (2G,2G,2G,B,B) temps): the lattice is built in x-offset slabs under
     ``lax.map`` (one (2Gy·2Gz, p³, p³) evaluation at a time), each slab
@@ -232,7 +242,7 @@ def _l2p(W3, cid, Unodes, p):
     return jnp.einsum("np,knpx->knx", W3, local)
 
 
-def _far_free(Qm, h, grid, p):
+def _far_free(Qm, h, grid, p, khat=None):
     """Free-space far field on nodes: 3-D FFT convolution over cells
     (half spectrum — K and Q are real).
 
@@ -252,7 +262,8 @@ def _far_free(Qm, h, grid, p):
     Qg = jnp.zeros((nm * k, 2 * gx, 2 * gy, 2 * gz, B), dtype)
     Qg = Qg.at[:, :gx, :gy, :gz, :].set(
         Qm.reshape(nm * k, gx, gy, gz, B))
-    Khat = _far_kernel_hat(h, grid, p, dtype, poly=poly)     # (nk, n_freq, B, B)
+    Khat = khat if khat is not None else _far_kernel_hat(
+        h, grid, p, dtype, poly=poly)                        # (nk, n_freq, B, B)
     Qhat = jnp.fft.rfftn(Qg, axes=(1, 2, 3))                 # (nm·k,2gx,2gy,gz+1,B)
     Qf = Qhat.reshape(nm, k, -1, B)
     if poly:
@@ -384,7 +395,7 @@ def _wall_kernel_hat(lo_z, h, grid, p, dtype, h_floor, poly=False):
         nk, gz, gz, 2 * gx * (gy + 1), B, B)
 
 
-def _far_wall(Qm, lo_z, h, grid, p, h_floor):
+def _far_wall(Qm, lo_z, h, grid, p, h_floor, khat=None):
     """Wall-image far field on nodes: Gz² coupled 2-D xy convolutions
     (y half-spectrum — the kernel lattices and Q are real).
 
@@ -402,7 +413,8 @@ def _far_wall(Qm, lo_z, h, grid, p, h_floor):
     Qg = Qm.reshape(nm * k, gx, gy, gz, B).transpose(0, 3, 1, 2, 4)
     Qp = jnp.zeros((nm * k, gz, 2 * gx, 2 * gy, B), dtype)
     Qp = Qp.at[:, :, :gx, :gy, :].set(Qg)
-    Khat = _wall_kernel_hat(lo_z, h, grid, p, dtype, h_floor, poly=poly)
+    Khat = khat if khat is not None else _wall_kernel_hat(
+        lo_z, h, grid, p, dtype, h_floor, poly=poly)
     Qhat = jnp.fft.rfftn(Qp, axes=(2, 3))                    # (nm·k,gz,2gx,gy+1,B)
     Qf = Qhat.reshape(nm, k, gz, -1, B)
     Uf = jnp.stack([
@@ -431,14 +443,23 @@ def _near_neighbor_lists(ci_sorted, t, max_nbr):
 KHAT_BUDGET = 2 * 2**30  # HBM budget for the resident kernel-hat lattices
 
 
+CELL_TARGET = 32  # blobs per supercell auto_grid aims for (near/far balance)
+
+
 def auto_grid(n: int, p: int, wall: bool, poly: bool = False) -> int:
-    """Density-targeted supercell count (cells of ~TILE blobs), capped so
-    the kernel-hat lattices stay under KHAT_BUDGET bytes — storage grows
-    as G³·p⁶, so large N at high p needs an explicit (anisotropic) grid
-    and accepts the larger near sweep instead.  ``poly`` doubles the
-    free-space lattice count and triples the wall one (the radius-split
-    kernel channels)."""
-    g = max(2, int(round((n / TILE) ** (1.0 / 3.0))))
+    """Density-targeted supercell count (cells of ~CELL_TARGET blobs),
+    capped so the kernel-hat lattices stay under KHAT_BUDGET bytes —
+    storage grows as G³·p⁶, so large N at high p needs an explicit
+    (anisotropic) grid and accepts the larger near sweep instead.
+    ``poly`` doubles the free-space lattice count and triples the wall
+    one (the radius-split kernel channels).
+
+    The occupancy target is NOT the near-sweep TILE: per-blob near-sweep
+    candidates ≈ 12·TILE + 49·per_cell (see :func:`default_max_nbr`), so
+    past per_cell ≈ TILE/4 finer cells stop paying while the lattice
+    cost grows as G³ — ~32 is the measured sweet spot at bench density.
+    """
+    g = max(2, int(round((n / CELL_TARGET) ** (1.0 / 3.0))))
     b2 = (3 * p ** 3) ** 2
     while g > 2:
         # free-space half spectrum (× kernel channels)
@@ -479,29 +500,38 @@ def _chunk_rows(t: int, max_nbr: int, nrhs: int) -> int:
 
 
 # --------------------------------------------------------------- top level
-def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
-                   max_nbr=None, h_floor=rpy.WALL_H_FLOOR, radii=None):
-    """U = M(r)·F via near-exact + proxy-grid far field.
+class FarCtx(NamedTuple):
+    """Position-dependent setup of the proxy-grid operator, hoistable out
+    of Krylov/Lanczos loops (XLA's loop-invariant code motion can NOT
+    hoist the ``lax.map``-built kernel lattices out of a ``while`` body —
+    measured at 160+ ms per GMRES iteration before this existed).
 
-    F: (N, 3) or (k, N, 3).  grid: int or (Gx, Gy, Gz) supercells (auto ≈
-    cells of ~TILE blobs at uniform density; wall-bounded slabs should
-    pass an anisotropic grid with small Gz); p: Chebyshev nodes per dim.
-    radii: optional (N,) per-blob physical radii — polydisperse RPY via
-    the radius-split kernel lattices (module docstring); near pairs use
-    :func:`rigid_body_light_tpu.ops.rpy._free_coeffs_poly` and the
-    geometric-mean a_eff wall convention, exactly like the O(N²) sweeps.
-    Same normalization/contract as :func:`rigid_body_light_tpu.ops.rpy.
-    mobility_apply`: self term included; ``wall`` adds the Swan–Brady
-    correction (near pairs exact, far pairs via the image-kernel
-    lattices) and the B·M·B damping sandwich.
+    Split in two tiers:
+      geometry (lo, h, khat_*): depends on positions only through the
+        bounding box — reusable across NEARBY position sets (RFD
+        displacements, the midpoint half-kick) via ``prepare(r, geo=...)``.
+      position structures (everything else): exact for the ``r`` that
+        built them; cheap (one argsort + O(t²) adjacency).
     """
-    r = jnp.asarray(r).reshape(-1, 3)
-    multi = jnp.asarray(F).ndim == 3
-    Fs = jnp.asarray(F, r.dtype)
-    Fs = Fs if multi else Fs[None]
-    k, n = Fs.shape[0], r.shape[0]
-    dtype = r.dtype
-    poly = radii is not None
+    lo: jax.Array            # (3,) grid origin, units of a
+    h: jax.Array             # (3,) cell sizes, units of a
+    khat_free: jax.Array     # (nk, n_freq, B, B) free-space lattices
+    khat_wall: jax.Array     # wall-image lattices, or None
+    b: jax.Array             # (N,) damping factors, or None (no wall)
+    ahat: jax.Array          # (N,) normalized radii, or None (mono)
+    cid: jax.Array           # (N,) flat cell ids
+    W3: jax.Array            # (N, p³) spread/interp weights
+    self_diag: jax.Array     # (N, 3) self-mobility diagonal
+    order: jax.Array         # (N,) cell-snake sort permutation
+    x_s: jax.Array           # (t·TILE, 3) sorted padded positions
+    ci_s: jax.Array          # (t·TILE, 3) sorted padded cell indices
+    id_s: jax.Array          # (t·TILE,) sorted padded blob ids (−1 pad)
+    ah_s: jax.Array          # (t·TILE,) sorted padded radii, or None
+    nbr: jax.Array           # (t, max_nbr) neighbor-tile lists
+    overflow: jax.Array      # () bool: neighbor lists overflowed
+
+
+def _resolve(n, wall, grid, p, max_nbr, poly):
     if grid is None:
         grid = auto_grid(n, p, wall, poly)
     if np.isscalar(grid):
@@ -509,24 +539,43 @@ def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
     grid = tuple(int(g) for g in grid)
     if max_nbr is None:
         max_nbr = default_max_nbr(n, grid, p)
+    return grid, max_nbr
+
+
+def prepare(r, a=1.0, eta=1.0, wall=False, grid=None, p=4, max_nbr=None,
+            h_floor=rpy.WALL_H_FLOOR, radii=None, geo: FarCtx = None):
+    """Build the :class:`FarCtx` for positions ``r`` (same kwargs as
+    :func:`mobility_apply`).
+
+    geo: reuse a previous ctx's geometry tier (lo/h/kernel lattices) —
+    valid for position sets within ~a cell fraction of the one that
+    built it (the grid map stays consistent; blobs just outside the box
+    clip to edge cells and extrapolate the Chebyshev basis mildly).
+    """
+    r = jnp.asarray(r).reshape(-1, 3)
+    n = r.shape[0]
+    dtype = r.dtype
+    poly = radii is not None
+    grid, max_nbr = _resolve(n, wall, grid, p, max_nbr, poly)
+    ahat = None
     if poly:
         ahat = jnp.asarray(radii, dtype).reshape(-1) * jnp.asarray(
             1.0 / a, dtype)
-
-    if wall:
-        b = rpy.damping_factors(r, a, radii=radii)
-        Fs = Fs * b[None, :, None]
+    b = rpy.damping_factors(r, a, radii=radii) if wall else None
 
     x = r * jnp.asarray(1.0 / a, dtype)                      # units of a
-    lo, h = _grid_geometry(x, grid)
+    if geo is not None:
+        lo, h = geo.lo, geo.h
+        khat_free, khat_wall = geo.khat_free, geo.khat_wall
+    else:
+        lo, h = _grid_geometry(x, grid)
+        khat_free = _far_kernel_hat(h, grid, p, dtype, poly=poly)
+        khat_wall = (_wall_kernel_hat(lo[2], h, grid, p, dtype, h_floor,
+                                      poly=poly) if wall else None)
     ci, cid = _cell_indices(x, lo, h, grid)
     t3 = (x - lo) / h - ci.astype(dtype)
     W3 = _blob_weights(t3, _cheb_nodes(p))                   # (N, p³)
 
-    U_far = _far_part(Fs, None if not poly else ahat, W3, cid, grid, h,
-                      lo[2], p, wall, h_floor)
-
-    # ---- near: cell-snake equal-population tiles, cell-offset mask
     order = tiles.cell_snake_order(ci, grid)
     t = -(-n // TILE)
     pad = t * TILE - n
@@ -539,31 +588,84 @@ def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
                                                         (pad, 3))])
     id_s = jnp.concatenate(
         [order.astype(jnp.int32), jnp.full((pad,), -1, jnp.int32)])
-    F_s = jnp.concatenate([Fs[:, order], jnp.zeros((k, pad, 3), dtype)],
-                          axis=1)
+    ah_s = None
     if poly:
         # pad with 1.0: padded entries are masked out, but 0 would divide
         # by zero inside the coefficient fields
         ah_s = jnp.concatenate([ahat[order], jnp.ones((pad,), dtype)])
-    else:
-        ah_s = None
     nbr, overflow = _near_neighbor_lists(ci_s, t, max_nbr)
-    U_near_s = _near_sweep(x_s, ci_s, id_s, F_s, ah_s, nbr, max_nbr,
-                           wall, h_floor, 0, t)[:, :n]
-    U_near = jnp.zeros_like(Fs).at[:, order, :].set(U_near_s)
-    U_near = jnp.where(overflow, jnp.nan, U_near)
+    self_diag = _self_diag_field(n, dtype, ahat, wall, r[:, 2], a,
+                                 h_floor, radii)
+    return FarCtx(lo=lo, h=h, khat_free=khat_free, khat_wall=khat_wall,
+                  b=b, ahat=ahat, cid=cid, W3=W3, self_diag=self_diag,
+                  order=order, x_s=x_s, ci_s=ci_s, id_s=id_s, ah_s=ah_s,
+                  nbr=nbr, overflow=overflow)
 
-    U = U_near + U_far + _self_diag_field(
-        n, dtype, None if not poly else ahat, wall, r[:, 2], a, h_floor,
-        radii) * Fs
+
+def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
+                   max_nbr=None, h_floor=rpy.WALL_H_FLOOR, radii=None,
+                   ctx: FarCtx = None):
+    """U = M(r)·F via near-exact + proxy-grid far field.
+
+    F: (N, 3) or (k, N, 3).  grid: int or (Gx, Gy, Gz) supercells (auto ≈
+    cells of ~CELL_TARGET blobs at uniform density; wall-bounded slabs
+    should pass an anisotropic grid with small Gz); p: Chebyshev nodes
+    per dim.
+    radii: optional (N,) per-blob physical radii — polydisperse RPY via
+    the radius-split kernel lattices (module docstring); near pairs use
+    :func:`rigid_body_light_tpu.ops.rpy._free_coeffs_poly` and the
+    geometric-mean a_eff wall convention, exactly like the O(N²) sweeps.
+    Same normalization/contract as :func:`rigid_body_light_tpu.ops.rpy.
+    mobility_apply`: self term included; ``wall`` adds the Swan–Brady
+    correction (near pairs exact, far pairs via the image-kernel
+    lattices) and the B·M·B damping sandwich.
+
+    ctx: a :func:`prepare` result for THIS ``r`` (same kwargs) — pass it
+    when applying the operator repeatedly at fixed positions (Krylov
+    loops) so the kernel-lattice build and sort/neighbor setup run once
+    per solve instead of once per iteration (see
+    :func:`rigid_body_light_tpu.ops.saddle.hoist_positions`).
+    """
+    r = jnp.asarray(r).reshape(-1, 3)
+    multi = jnp.asarray(F).ndim == 3
+    Fs = jnp.asarray(F, r.dtype)
+    Fs = Fs if multi else Fs[None]
+    k, n = Fs.shape[0], r.shape[0]
+    dtype = r.dtype
+    poly = radii is not None
+    grid, max_nbr = _resolve(n, wall, grid, p, max_nbr, poly)
+    if ctx is None:
+        ctx = prepare(r, a=a, eta=eta, wall=wall, grid=grid, p=p,
+                      max_nbr=max_nbr, h_floor=h_floor, radii=radii)
+
     if wall:
-        U = U * b[None, :, None]
+        Fs = Fs * ctx.b[None, :, None]
+
+    U_far = _far_part(Fs, ctx.ahat, ctx.W3, ctx.cid, grid, ctx.h,
+                      ctx.lo[2], p, wall, h_floor,
+                      khat_free=ctx.khat_free, khat_wall=ctx.khat_wall)
+
+    # ---- near: cell-snake equal-population tiles, cell-offset mask
+    t = -(-n // TILE)
+    pad = t * TILE - n
+    order = ctx.order
+    F_s = jnp.concatenate([Fs[:, order], jnp.zeros((k, pad, 3), dtype)],
+                          axis=1)
+    U_near_s = _near_sweep(ctx.x_s, ctx.ci_s, ctx.id_s, F_s, ctx.ah_s,
+                           ctx.nbr, ctx.nbr.shape[1], wall, h_floor,
+                           0, t)[:, :n]
+    U_near = jnp.zeros_like(Fs).at[:, order, :].set(U_near_s)
+    U_near = jnp.where(ctx.overflow, jnp.nan, U_near)
+
+    U = U_near + U_far + ctx.self_diag * Fs
+    if wall:
+        U = U * ctx.b[None, :, None]
     U = U * jnp.asarray(1.0 / (8.0 * jnp.pi * eta * a), dtype)
     return U if multi else U[0]
 
 
 def _far_part(Fs, ahat, W3, cid, grid, h, lo_z, p, wall, h_floor,
-              psum_fn=None):
+              psum_fn=None, khat_free=None, khat_wall=None):
     """Moment channels → spread → kernel-lattice convolution → interpolate.
 
     Shared by the single-device and distributed paths; in distributed mode
@@ -588,8 +690,9 @@ def _far_part(Fs, ahat, W3, cid, grid, h, lo_z, p, wall, h_floor,
         Q = psum_fn(Q)
     Q = Q.reshape(nm, k, ncell, -1)
     Qm_free = jnp.stack([Q[0], Q[nm - 1]]) if poly else Q    # [F, â²F]
-    Un = _far_free(Qm_free, h, grid, p)                      # (nf, k, nc, B)
-    Uw = _far_wall(Q, lo_z, h, grid, p, h_floor) if wall else None
+    Un = _far_free(Qm_free, h, grid, p, khat=khat_free)      # (nf, k, nc, B)
+    Uw = (_far_wall(Q, lo_z, h, grid, p, h_floor, khat=khat_wall)
+          if wall else None)
     if not poly:
         Unodes = Un[0] if Uw is None else Un[0] + Uw[0]
         return _l2p(W3, cid, Unodes, p)

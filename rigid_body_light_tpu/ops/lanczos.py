@@ -194,7 +194,10 @@ def m_half_w(
     re-seeds libc rand from the wall clock per call, ``c_rigid_obj.cpp:731``
     — a reproducibility defect this design removes).
     """
+    from rigid_body_light_tpu.ops.saddle import hoist_positions
+
     positions = positions.reshape(-1, 3)
+    mob_apply = hoist_positions(mob_apply, positions)
     n = positions.shape[0]
     w = jax.random.normal(key, (3 * n,), dtype=positions.dtype)
 
@@ -266,7 +269,10 @@ def m_half_w_precond(
 
     G·v = L⁻¹ R̃ᵀ · M · R̃ L⁻ᵀ v, noise = R̃ L · G^{1/2} W.
     """
+    from rigid_body_light_tpu.ops.saddle import hoist_positions
+
     positions = positions.reshape(-1, 3)
+    mob_apply_or_multi = hoist_positions(mob_apply_or_multi, positions)
     dtype = positions.dtype
     three_n = L.shape[0]
     B = positions.shape[0] * 3 // three_n
@@ -344,7 +350,10 @@ def m_half_w_pair(
     the pair coefficient fields and nearly halves the noise cost.
     Returns ((N,3), (N,3)), plus the max truncation estimate if asked.
     """
+    from rigid_body_light_tpu.ops.saddle import hoist_positions
+
     positions = positions.reshape(-1, 3)
+    mob_apply_multi = hoist_positions(mob_apply_multi, positions)
     n = positions.shape[0]
     dtype = positions.dtype
     w1 = jax.random.normal(key1, (3 * n,), dtype=dtype)

@@ -133,20 +133,80 @@ def _farfield_apply_fn(cfg: SimulationConfig, radii):
     """Proxy-grid near+far mobility (ops/farfield.py) — O(N) at fixed
     density.  Handles single- and multi-RHS (the module dispatches on
     F.ndim) and per-blob radii (radius-split kernel lattices), so it
-    serves both apply-fn entry points and mixtures."""
+    serves both apply-fn entry points and mixtures.
+
+    The returned callable carries ``prepare``/``prepare_geometry``
+    attributes — loop hosts hoist the kernel-lattice build and the
+    sort/neighbor setup out of their iterations with
+    :func:`hoist_positions`; steppers share one lattice build across a
+    step's position sets with :func:`pin_geometry`."""
     from rigid_body_light_tpu.ops import farfield
 
     grid = None if cfg.farfield_grid == "auto" else cfg.farfield_grid
     max_nbr = cfg.farfield_nbr_tiles if cfg.farfield_nbr_tiles > 0 else None
+    kw = dict(a=cfg.a, eta=cfg.eta, wall=cfg.wall, grid=grid,
+              p=cfg.farfield_p, max_nbr=max_nbr, h_floor=cfg.wall_h_floor,
+              radii=radii)
 
-    def apply(F, r):
-        return farfield.mobility_apply(
-            F, r, a=cfg.a, eta=cfg.eta, wall=cfg.wall, grid=grid,
-            p=cfg.farfield_p, max_nbr=max_nbr, h_floor=cfg.wall_h_floor,
-            radii=radii,
-        )
+    def apply(F, r, ctx=None):
+        return farfield.mobility_apply(F, r, ctx=ctx, **kw)
 
+    apply.prepare = lambda r, geo=None: farfield.prepare(r, geo=geo, **kw)
+    apply.prepare_geometry = lambda r: farfield.prepare(r, **kw)
     return apply
+
+
+def hoist_positions(mob, r):
+    """Bind a mobility apply-fn's position-dependent setup for fixed ``r``.
+
+    For operators with a ``prepare`` attribute (the proxy-grid far field),
+    builds the :class:`~rigid_body_light_tpu.ops.farfield.FarCtx` ONCE and
+    returns a same-signature callable that reuses it — call this at Krylov
+    / Lanczos loop-host entry, where the ops it emits land OUTSIDE the
+    ``while`` body (XLA cannot hoist the ``lax.map``-built kernel lattices
+    itself).  The returned callable assumes every call passes the SAME
+    ``r`` it was bound to.  Operators without ``prepare`` (dense sweeps,
+    Pallas, Ewald) are returned unchanged.
+    """
+    prep = getattr(mob, "prepare", None)
+    if prep is None:
+        return mob
+    ctx = prep(r)
+
+    def bound(F, r2, ctx2=None):
+        return mob(F, r2, ctx if ctx2 is None else ctx2)
+
+    bound.prepare = prep
+    gp = getattr(mob, "prepare_geometry", None)
+    if gp is not None:
+        bound.prepare_geometry = gp
+    return bound
+
+
+def pin_geometry(mob, r):
+    """Share one kernel-lattice build across a step's position sets.
+
+    Builds the geometry tier (grid origin/cell sizes/kernel lattices) from
+    ``r`` and returns a same-signature apply-fn whose ``prepare`` reuses
+    it, so the stepper's sub-solves (noise at the base configuration, the
+    half-kick solve, RFD's displaced applies) each rebuild only the cheap
+    position structures.  Valid while every position set stays within ~a
+    cell fraction of ``r`` (RFD deltas and one dt of drift are orders of
+    magnitude below that).  No-op for operators without geometry.
+    """
+    gp = getattr(mob, "prepare_geometry", None)
+    if gp is None:
+        return mob
+    geo = gp(r)
+    base_prep = mob.prepare
+
+    def pinned(F, r2, ctx=None):
+        return mob(F, r2, base_prep(r2, geo) if ctx is None else ctx)
+
+    pinned.prepare = lambda r2, g=None: base_prep(r2, geo if g is None
+                                                  else g)
+    pinned.prepare_geometry = lambda r2: geo
+    return pinned
 
 
 def _ewald_apply_fn(cfg: SimulationConfig, radii, multi: bool):

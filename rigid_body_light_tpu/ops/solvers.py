@@ -65,6 +65,9 @@ def solve_saddle(
     """
     if mob_apply is None:
         mob_apply = saddle_mod.mobility_apply_fn(cfg)
+    # far-field operators: build kernel lattices + sort/neighbor setup
+    # once HERE (outside the GMRES while body) instead of per iteration
+    mob_apply = saddle_mod.hoist_positions(mob_apply, ops.flat_positions)
     if pc is None:
         pc = saddle_mod.build_pc(ops, cfg)
     dtype = ops.positions.dtype
@@ -189,6 +192,7 @@ def solve_resistance(
     """
     if mob_apply is None:
         mob_apply = saddle_mod.mobility_apply_fn(cfg)
+    mob_apply = saddle_mod.hoist_positions(mob_apply, ops.flat_positions)
     from rigid_body_light_tpu.ops import kinematics as kin
 
     dtype = ops.positions.dtype

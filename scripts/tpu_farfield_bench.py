@@ -5,6 +5,7 @@ density: exact symmetric Pallas kernel vs near+far split for several
 (grid, p), with the component times (far-only vs total) and the f32
 operator error vs the exact sweep.  Run as a background job.
 """
+import functools
 import json
 import sys
 import time
@@ -103,12 +104,18 @@ def main():
             _sync(ff_chain(F))
             rec["farfield_ms"] = round(
                 (time.perf_counter() - t0) / REPS * 1e3, 2)
-            # one-shot operator error vs the exact kernel sweep
+            # one-shot operator error vs the exact kernel sweep — jitted
+            # (eager materializes every intermediate incl. the kernel-hat
+            # lattice and OOM'd 16 GB at the 102k wall case) and with the
+            # timed chains' buffers released first
+            jax.clear_caches()
             if u_ref1 is None:
-                u_ref1 = rpy_pallas.mobility_apply(F, r, a=a, eta=eta,
-                                                   wall=wall)
-            u1 = farfield.mobility_apply(F, r, a=a, eta=eta, wall=wall,
-                                         grid=grid, p=p)
+                u_ref1 = jax.jit(functools.partial(
+                    rpy_pallas.mobility_apply, r=r, a=a, eta=eta,
+                    wall=wall))(F)
+            u1 = jax.jit(functools.partial(
+                farfield.mobility_apply, r=r, a=a, eta=eta, wall=wall,
+                grid=grid, p=p))(F)
             rec["rel_err_vs_exact"] = float(
                 jnp.max(jnp.abs(u1 - u_ref1)) / jnp.max(jnp.abs(u_ref1)))
             print(json.dumps(rec), flush=True)

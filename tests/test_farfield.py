@@ -99,7 +99,7 @@ def test_cell_snake_order_tiles_are_cell_compact():
 
     rng = np.random.default_rng(11)
     grid = (5, 4, 3)
-    n = 3 * tiles.TILE + 77                                  # partial tile
+    n = 3 * farfield.TILE + 77                               # partial tile
     ci = jnp.asarray(rng.integers(0, grid, size=(n, 3)), jnp.int32)
     order = np.asarray(tiles.cell_snake_order(ci, grid))
     assert sorted(order.tolist()) == list(range(n))
@@ -114,11 +114,11 @@ def test_cell_snake_order_tiles_are_cell_compact():
     # pad entries must NOT expand the partial tile's cell bbox: padding
     # with the last sorted entry keeps min/max over the padded tile equal
     # to min/max over its real entries alone
-    t = -(-n // tiles.TILE)
-    pad = t * tiles.TILE - n
-    real_tail = c[(t - 1) * tiles.TILE:]
+    t = -(-n // farfield.TILE)
+    pad = t * farfield.TILE - n
+    real_tail = c[(t - 1) * farfield.TILE:]
     ci_s = np.concatenate([c, np.broadcast_to(c[-1:], (pad, 3))])
-    padded_tail = ci_s[(t - 1) * tiles.TILE:]
+    padded_tail = ci_s[(t - 1) * farfield.TILE:]
     assert (padded_tail.min(0) == real_tail.min(0)).all()
     assert (padded_tail.max(0) == real_tail.max(0)).all()
 
