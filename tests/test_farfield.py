@@ -390,3 +390,72 @@ def test_wall_symmetry():
     U2 = farfield.mobility_apply(F2, r, a=0.9, wall=True, grid=(4, 4, 2), p=4)
     s1, s2 = float(jnp.vdot(F2, U1)), float(jnp.vdot(F1, U2))
     assert abs(s1 - s2) / abs(s1) < 1e-12
+
+
+def test_prepare_ctx_matches_direct_apply(cloud):
+    """mobility_apply(ctx=prepare(r)) is bit-identical to the ctx-free
+    call — the hoisted setup must be the SAME computation, just moved."""
+    r, F = cloud
+    r64 = jnp.asarray(r, jnp.float64)
+    F64 = jnp.asarray(F[0], jnp.float64)
+    kw = dict(a=0.9, eta=1.3, grid=4, p=4)
+    U_direct = farfield.mobility_apply(F64, r64, **kw)
+    ctx = farfield.prepare(r64, **kw)
+    U_ctx = farfield.mobility_apply(F64, r64, ctx=ctx, **kw)
+    assert float(jnp.abs(U_ctx - U_direct).max()) == 0.0
+
+
+def test_hoist_positions_binds_and_passes_through(cloud):
+    """saddle.hoist_positions: far-field operators get a bound ctx that
+    reproduces the unbound apply; operators without .prepare pass
+    through unchanged."""
+    from rigid_body_light_tpu.config import SimulationConfig
+    from rigid_body_light_tpu.ops import saddle
+
+    r, F = cloud
+    r64 = jnp.asarray(r, jnp.float64)
+    F64 = jnp.asarray(F[0], jnp.float64)
+    cfg = SimulationConfig(a=0.9, eta=1.3, dtype=jnp.float64,
+                           farfield_grid=4, farfield_p=4)
+    mob = saddle.mobility_apply_fn(cfg)
+    bound = saddle.hoist_positions(mob, r64)
+    assert float(jnp.abs(bound(F64, r64) - mob(F64, r64)).max()) == 0.0
+
+    cfg_dense = SimulationConfig(a=0.9, eta=1.3, dtype=jnp.float64)
+    mob_dense = saddle.mobility_apply_fn(cfg_dense)
+    assert saddle.hoist_positions(mob_dense, r64) is mob_dense
+    assert saddle.pin_geometry(mob_dense, r64) is mob_dense
+
+
+def test_pin_geometry_reuses_lattices_across_nearby_positions(cloud):
+    """pin_geometry: applying at positions displaced by a small fraction
+    of a cell under the pinned geometry tier must stay at the operator's
+    own interpolation accuracy (the stepper reuses one lattice build
+    across noise/RFD/midpoint position sets)."""
+    from rigid_body_light_tpu.config import SimulationConfig
+    from rigid_body_light_tpu.ops import saddle
+
+    r, F = cloud
+    r64 = jnp.asarray(r, jnp.float64)
+    F64 = jnp.asarray(F[0], jnp.float64)
+    cfg = SimulationConfig(a=0.9, eta=1.3, dtype=jnp.float64,
+                           farfield_grid=4, farfield_p=4)
+    mob = saddle.mobility_apply_fn(cfg)
+    pinned = saddle.pin_geometry(mob, r64)
+    # at the pinning positions: identical to a fresh prepare
+    assert float(jnp.abs(pinned(F64, r64) - mob(F64, r64)).max()) == 0.0
+    # displaced by ~1e-3 cells (RFD deltas / one dt of drift scale)
+    r2 = r64 + 1e-3 * jnp.asarray(
+        np.random.default_rng(3).standard_normal(r.shape), jnp.float64)
+    U_pin = pinned(F64, r2)
+    U_fresh = mob(F64, r2)
+    # a fresh prepare re-fits the bounding box, moving a few boundary
+    # pairs between the exact-near and interpolated-far treatments — the
+    # pinned result must agree within the operator's own p=4 accuracy,
+    # far below it in practice (measured ~1e-4 here)
+    err = float(jnp.abs(U_pin - U_fresh).max() / jnp.abs(U_fresh).max())
+    assert err < 1e-3
+    # and the exact near part still tracks the dense sweep at p=4 accuracy
+    U_ref = rpy.mobility_apply(F64, r2, a=0.9, eta=1.3, wall=False)
+    rel = float(jnp.abs(U_pin - U_ref).max() / jnp.abs(U_ref).max())
+    assert rel < 3e-3
