@@ -124,6 +124,25 @@ class SimulationConfig:
                     )
                 # normalized tuple keeps the dataclass hashable/jit-static
                 object.__setattr__(self, "farfield_grid", g)
+            # The proxy-grid operator is APPROXIMATE: a Krylov solve running
+            # on it converges to the p-accurate operator's solution, so a
+            # gmres_tol below the operator error reports residuals the
+            # physics can't honor.  Measured operator error (BENCH_NOTES,
+            # monodisperse wall — the worst case): p=4 ≈ 5e-3, p=6 ≈ 5e-4.
+            est = {3: 2e-2, 4: 5e-3, 5: 1.5e-3, 6: 5e-4}.get(
+                self.farfield_p, 1e-4 if self.farfield_p > 6 else 5e-2)
+            if self.gmres_tol < est:
+                import warnings
+
+                warnings.warn(
+                    f"gmres_tol={self.gmres_tol:g} is below the proxy-grid "
+                    f"far field's measured operator error at farfield_p="
+                    f"{self.farfield_p} (~{est:g}): the solve will converge "
+                    f"to the approximate operator's solution, not to "
+                    f"gmres_tol of the exact one.  Raise farfield_p (6 ≈ "
+                    f"5e-4) or relax gmres_tol.",
+                    stacklevel=2,
+                )
         if self.ewald_rc > 0:
             if self.ewald_xi > 0:
                 raise ValueError(

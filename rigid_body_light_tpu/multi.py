@@ -182,6 +182,9 @@ def m_half_w_precond_multi(mob_apply_multi, opses, npcs, keys,
     midpoint stepper passes two).  Returns a tuple of k (N_total, 3) draws.
     """
     pos = concat_positions(opses)
+    # far-field operators: bind the lattice/neighbor setup outside the
+    # Lanczos while body (no-op otherwise)
+    mob_apply_multi = saddle_mod.hoist_positions(mob_apply_multi, pos)
     dtype = pos.dtype
     n_total = pos.shape[0]
     k = len(keys)
@@ -288,6 +291,9 @@ def solve_saddle_multi(
         opses = geometry_ops_multi(mgeom, states)
     if mob_apply is None:
         mob_apply = _mob_fns(mgeom, opses, cfg)[0]
+    # far-field operators: bind the kernel-lattice + sort/neighbor setup
+    # once per solve, outside the GMRES while body (no-op otherwise)
+    mob_apply = saddle_mod.hoist_positions(mob_apply, concat_positions(opses))
     dtype = opses[0].positions.dtype
     n_total = sum(_blob_counts(opses))
     if slip is None:
@@ -397,6 +403,9 @@ def stochastic_step_multi(
     opses = geometry_ops_multi(mgeom, states)
     if default_mob:
         mob_apply = _mob_fns(mgeom, opses, cfg)[0]
+    # far-field backend: share one kernel-lattice build across the step's
+    # noise draw, RFD applies and corrector solve (no-op otherwise)
+    mob_apply = saddle_mod.pin_geometry(mob_apply, concat_positions(opses))
     dtype = opses[0].positions.dtype
     n_total = sum(_blob_counts(opses))
     if slip is None:
@@ -415,9 +424,16 @@ def stochastic_step_multi(
             # precomputes and threads these through the scan)
             noise_pcs = make_noise_preconditioner_multi(mgeom, cfg.a, cfg.eta, dtype)
         if mob_multi is None:
-            mob_multi = _mob_fns(mgeom, opses, cfg)[1] if default_mob else (
-                lambda xk, r: jnp.stack([mob_apply(x, r) for x in xk])
-            )
+            if hasattr(mob_apply, "prepare"):
+                # the far-field apply is ndim-polymorphic — reuse the
+                # geometry-pinned callable instead of building a second
+                # operator (and a second kernel lattice)
+                mob_multi = mob_apply
+            elif default_mob:
+                mob_multi = _mob_fns(mgeom, opses, cfg)[1]
+            else:
+                def mob_multi(xk, r):
+                    return jnp.stack([mob_apply(x, r) for x in xk])
         if use_split:
             if cfg.lanczos_precond:
                 mhw1, mhw2 = m_half_w_precond_multi(

@@ -65,13 +65,15 @@ from jax import lax
 
 from rigid_body_light_tpu.ops import rpy, tiles
 
-# Near-sweep tile size.  Deliberately FINER than the Pallas sweep tile
-# (tiles.TILE = 512): the neighbor lists are built at tile granularity, so
-# the candidate-over-true-pair waste scales with how many cells a tile
-# spans.  At bench density (~31 blobs/cell) 512-blob tiles span ~17 cells
-# and sweep ~33× more candidates than true adjacent-cell neighbors;
-# 128-blob tiles cut that to ~5× (measured 27648 → 4096 candidate columns
-# per blob at the 40.96k case) for the same O(t²) list build.
+# Near-sweep tile size: 4× coarser than the generic pair-tiling unit
+# (tiles.TILE = 32, which sized the original farfield near sweep) but still
+# far finer than the Pallas pair-kernel column tile (rpy_pallas.TC = 512).
+# The neighbor lists are built at tile granularity, so the
+# candidate-over-true-pair waste scales with how many cells a tile spans.
+# At bench density (~31 blobs/cell) 512-blob tiles span ~17 cells and sweep
+# ~33× more candidates than true adjacent-cell neighbors; 128-blob tiles
+# cut that to ~5× (measured 27648 → 4096 candidate columns per blob at the
+# 40.96k case) while keeping the O(t²) list build small.
 TILE = 128
 _SELF_COEF = 4.0 / 3.0
 
@@ -480,13 +482,17 @@ def default_max_nbr(n: int, grid, p: int) -> int:
     cells; candidate tiles live in a 3×3×(m+3)-cell window, so the count
     is ≈ (9·(m+3))·per_cell/TILE = 9 + 36·per_cell/TILE.  Calibrated
     against measured maxima at 40.96k–204.8k uniform cubes and 102.4k
-    wall slabs (model within 3–25% of the observed max); 1.35× margin
-    + 8 covers all of them.  Overflow still NaN-poisons loudly.
+    wall slabs (model within 3–25% of the observed max); the 1.6× margin
+    + 8 covers all of them with headroom for moderate mid-trajectory
+    clustering.  Overflow still NaN-poisons loudly (every subsequent step
+    then rejects — the trajectory's ``iters``/``residual`` trace makes
+    the freeze visible); STRONGLY clustered runs should size the list
+    explicitly via ``farfield_nbr_tiles``.
     """
     t = -(-n // TILE)
     per_cell = n / float(np.prod(grid))
     est = 9.0 + 36.0 * per_cell / TILE
-    return int(min(t, np.ceil(1.35 * est) + 8))
+    return int(min(t, np.ceil(1.6 * est) + 8))
 
 
 def _chunk_rows(t: int, max_nbr: int, nrhs: int) -> int:
@@ -531,6 +537,38 @@ class FarCtx(NamedTuple):
     overflow: jax.Array      # () bool: neighbor lists overflowed
 
 
+class FarGeo(NamedTuple):
+    """The geometry tier of a :class:`FarCtx` alone — grid origin, cell
+    sizes and kernel-hat lattices.  What :func:`rigid_body_light_tpu.ops.
+    saddle.pin_geometry` shares across a step's position sets; built by
+    :func:`prepare_geometry` without the position tier's sort/adjacency/
+    neighbor-list work (a full ``prepare`` whose position structures would
+    be thrown away costs one argsort + O(t²) adjacency extra)."""
+
+    lo: jax.Array
+    h: jax.Array
+    khat_free: jax.Array
+    khat_wall: jax.Array
+
+
+def prepare_geometry(r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
+                     max_nbr=None, h_floor=rpy.WALL_H_FLOOR, radii=None):
+    """Build only the geometry tier (:class:`FarGeo`) for positions ``r``
+    — pass the result as ``geo=`` to :func:`prepare` to share one kernel-
+    lattice build across several nearby position sets."""
+    r = jnp.asarray(r).reshape(-1, 3)
+    n = r.shape[0]
+    dtype = r.dtype
+    poly = radii is not None
+    grid, _ = _resolve(n, wall, grid, p, max_nbr, poly)
+    x = r * jnp.asarray(1.0 / a, dtype)
+    lo, h = _grid_geometry(x, grid)
+    khat_free = _far_kernel_hat(h, grid, p, dtype, poly=poly)
+    khat_wall = (_wall_kernel_hat(lo[2], h, grid, p, dtype, h_floor,
+                                  poly=poly) if wall else None)
+    return FarGeo(lo=lo, h=h, khat_free=khat_free, khat_wall=khat_wall)
+
+
 def _resolve(n, wall, grid, p, max_nbr, poly):
     if grid is None:
         grid = auto_grid(n, p, wall, poly)
@@ -564,9 +602,20 @@ def prepare(r, a=1.0, eta=1.0, wall=False, grid=None, p=4, max_nbr=None,
     b = rpy.damping_factors(r, a, radii=radii) if wall else None
 
     x = r * jnp.asarray(1.0 / a, dtype)                      # units of a
+    geo_bad = None
     if geo is not None:
         lo, h = geo.lo, geo.h
         khat_free, khat_wall = geo.khat_free, geo.khat_wall
+        # Reused geometry is only valid while positions stay within ~a cell
+        # fraction of the bounding box that built it: blobs past the edge
+        # clip to edge cells and the Chebyshev basis extrapolates SILENTLY
+        # (accuracy degrades with no error signal, unlike neighbor
+        # overflow).  Poison the apply like overflow does, so a large dt /
+        # strong forcing surfaces through the stepper's rejection path.
+        u = (x - lo) / h
+        excur = jnp.maximum(jnp.max(-u),
+                            jnp.max(u - jnp.asarray(grid, dtype)))
+        geo_bad = excur > jnp.asarray(0.5, dtype)
     else:
         lo, h = _grid_geometry(x, grid)
         khat_free = _far_kernel_hat(h, grid, p, dtype, poly=poly)
@@ -594,6 +643,8 @@ def prepare(r, a=1.0, eta=1.0, wall=False, grid=None, p=4, max_nbr=None,
         # by zero inside the coefficient fields
         ah_s = jnp.concatenate([ahat[order], jnp.ones((pad,), dtype)])
     nbr, overflow = _near_neighbor_lists(ci_s, t, max_nbr)
+    if geo_bad is not None:
+        overflow = overflow | geo_bad
     self_diag = _self_diag_field(n, dtype, ahat, wall, r[:, 2], a,
                                  h_floor, radii)
     return FarCtx(lo=lo, h=h, khat_free=khat_free, khat_wall=khat_wall,
@@ -820,7 +871,8 @@ def _near_sweep(x_s, ci_s, id_s, F_s, ah_s, nbr, max_nbr, wall, h_floor,
 # ------------------------------------------------------------- distributed
 def mobility_apply_local(F_l, r_l, n_devices: int, axis_name: str, a=1.0,
                          eta=1.0, wall=False, grid=None, p=4, max_nbr=None,
-                         h_floor=rpy.WALL_H_FLOOR, radii_l=None):
+                         h_floor=rpy.WALL_H_FLOOR, radii_l=None,
+                         ctx: FarCtx = None):
     """Local-shard proxy-grid mobility for use INSIDE ``shard_map``.
 
     Multi-chip far field (the O(N) analogue of
@@ -849,47 +901,137 @@ def mobility_apply_local(F_l, r_l, n_devices: int, axis_name: str, a=1.0,
     n = n_l * n_devices
     dtype = r_l.dtype
     poly = radii_l is not None
-    if grid is None:
-        grid = auto_grid(n, p, wall, poly)
-    if np.isscalar(grid):
-        grid = (int(grid),) * 3
-    grid = tuple(int(g) for g in grid)
-    if max_nbr is None:
-        max_nbr = default_max_nbr(n, grid, p)
-    if poly:
-        ahat = jnp.asarray(radii_l, dtype).reshape(-1) * jnp.asarray(
-            1.0 / a, dtype)
+    grid, max_nbr, t, t_pad = _resolve_local(n, wall, grid, p, max_nbr,
+                                             poly, n_devices)
+    if ctx is None:
+        ctx = prepare_local(r_l, n_devices, axis_name, a=a, eta=eta,
+                            wall=wall, grid=grid, p=p, max_nbr=max_nbr,
+                            h_floor=h_floor, radii_l=radii_l)
 
     if wall:
-        b = rpy.damping_factors(r_l, a, radii=radii_l)
-        Fs = Fs * b[None, :, None]
+        Fs = Fs * ctx.b[None, :, None]
 
-    # global grid geometry: bbox closes over the mesh with pmin/pmax
-    x = r_l * jnp.asarray(1.0 / a, dtype)                    # units of a
+    # far part: local spread, psum'd node moments, replicated convolution,
+    # local interpolation — identical numbers on every device
+    U_far = _far_part(Fs, ctx.ahat, ctx.W3, ctx.cid, grid, ctx.h,
+                      ctx.lo[2], p, wall, h_floor,
+                      psum_fn=lambda q: lax.psum(q, axis_name),
+                      khat_free=ctx.khat_free, khat_wall=ctx.khat_wall)
+
+    # near part: gather the global forces once per apply (the sorted tile
+    # structure comes prebuilt from the ctx), sweep only this device's
+    # tile slice, and regather the slices
+    idx = lax.axis_index(axis_name)
+    F_all = lax.all_gather(Fs, axis_name, axis=1, tiled=True)
+    pad = t_pad * TILE - n
+    F_s = jnp.concatenate([F_all[:, ctx.order],
+                           jnp.zeros((k, pad, 3), dtype)], axis=1)
+    nt = t_pad // n_devices
+    U_slice = _near_sweep(ctx.x_s, ctx.ci_s, ctx.id_s, F_s, ctx.ah_s,
+                          ctx.nbr, max_nbr, wall, h_floor,
+                          idx * nt, nt)                      # (k, nt·TILE, 3)
+    U_sorted = lax.all_gather(U_slice, axis_name, axis=1,
+                              tiled=True)[:, :n]
+    U_near_g = jnp.zeros((k, n, 3), dtype).at[:, ctx.order, :].set(U_sorted)
+    U_near = lax.dynamic_slice_in_dim(U_near_g, idx * n_l, n_l, axis=1)
+    U_near = jnp.where(ctx.overflow, jnp.nan, U_near)
+
+    U = U_near + U_far + ctx.self_diag * Fs
+    if wall:
+        U = U * ctx.b[None, :, None]
+    U = U * jnp.asarray(1.0 / (8.0 * jnp.pi * eta * a), dtype)
+    return U if multi else U[0]
+
+
+def _resolve_local(n, wall, grid, p, max_nbr, poly, n_devices):
+    """Static shapes of the distributed applier: grid, the neighbor-list
+    width (widened so the isolated-cell pad tiles can't overflow it), the
+    real and device-padded tile counts."""
+    grid, max_nbr = _resolve(n, wall, grid, p, max_nbr, poly)
+    t = -(-n // TILE)
+    t_pad = -(-t // n_devices) * n_devices
+    # pad tiles share one isolated cell, so each sees (pad-tile count)
+    # neighbors — widen the list to cover them (their rows are masked
+    # anyway, but an overflow there would NaN-poison the whole apply)
+    max_nbr = min(t_pad, max(max_nbr, t_pad - t + 1))
+    return grid, max_nbr, t, t_pad
+
+
+def prepare_geometry_local(r_l, n_devices: int, axis_name: str, a=1.0,
+                           eta=1.0, wall=False, grid=None, p=4,
+                           max_nbr=None, h_floor=rpy.WALL_H_FLOOR,
+                           radii_l=None):
+    """Distributed analogue of :func:`prepare_geometry`: the grid bounding
+    box closes over the mesh (pmin/pmax); the kernel-hat lattices are
+    computed replicated (identical on every device)."""
+    r_l = jnp.asarray(r_l).reshape(-1, 3)
+    n = r_l.shape[0] * n_devices
+    dtype = r_l.dtype
+    poly = radii_l is not None
+    grid, _, _, _ = _resolve_local(n, wall, grid, p, max_nbr, poly,
+                                   n_devices)
+    x = r_l * jnp.asarray(1.0 / a, dtype)
     lo = lax.pmin(jnp.min(x, axis=0), axis_name)
     hi = lax.pmax(jnp.max(x, axis=0), axis_name)
     lo, h = _geometry_from_bounds(lo, hi, grid)
+    khat_free = _far_kernel_hat(h, grid, p, dtype, poly=poly)
+    khat_wall = (_wall_kernel_hat(lo[2], h, grid, p, dtype, h_floor,
+                                  poly=poly) if wall else None)
+    return FarGeo(lo=lo, h=h, khat_free=khat_free, khat_wall=khat_wall)
+
+
+def prepare_local(r_l, n_devices: int, axis_name: str, a=1.0, eta=1.0,
+                  wall=False, grid=None, p=4, max_nbr=None,
+                  h_floor=rpy.WALL_H_FLOOR, radii_l=None, geo=None):
+    """Build the F-independent setup of :func:`mobility_apply_local` once
+    — the distributed :class:`FarCtx` analogue, hoistable out of Krylov /
+    Lanczos loops exactly like the single-device ``prepare`` (without it
+    the kernel-lattice build re-runs EVERY iteration inside the
+    ``while`` body; measured ~160 ms/iteration single-device).
+
+    geo: reuse a :func:`prepare_geometry_local` result across nearby
+    position sets (same validity contract and excursion poisoning as the
+    single-device path)."""
+    r_l = jnp.asarray(r_l).reshape(-1, 3)
+    n_l = r_l.shape[0]
+    n = n_l * n_devices
+    dtype = r_l.dtype
+    poly = radii_l is not None
+    grid, max_nbr, t, t_pad = _resolve_local(n, wall, grid, p, max_nbr,
+                                             poly, n_devices)
+    ahat = None
+    if poly:
+        ahat = jnp.asarray(radii_l, dtype).reshape(-1) * jnp.asarray(
+            1.0 / a, dtype)
+    b = rpy.damping_factors(r_l, a, radii=radii_l) if wall else None
+
+    x = r_l * jnp.asarray(1.0 / a, dtype)                    # units of a
+    geo_bad = None
+    if geo is not None:
+        lo, h = geo.lo, geo.h
+        khat_free, khat_wall = geo.khat_free, geo.khat_wall
+        u = (x - lo) / h
+        excur = jnp.maximum(jnp.max(-u),
+                            jnp.max(u - jnp.asarray(grid, dtype)))
+        geo_bad = lax.pmax(excur, axis_name) > jnp.asarray(0.5, dtype)
+    else:
+        # global grid geometry: bbox closes over the mesh with pmin/pmax
+        lo = lax.pmin(jnp.min(x, axis=0), axis_name)
+        hi = lax.pmax(jnp.max(x, axis=0), axis_name)
+        lo, h = _geometry_from_bounds(lo, hi, grid)
+        khat_free = _far_kernel_hat(h, grid, p, dtype, poly=poly)
+        khat_wall = (_wall_kernel_hat(lo[2], h, grid, p, dtype, h_floor,
+                                      poly=poly) if wall else None)
     ci, cid = _cell_indices(x, lo, h, grid)
     t3 = (x - lo) / h - ci.astype(dtype)
     W3 = _blob_weights(t3, _cheb_nodes(p))                   # (N_l, p³)
 
-    # far part: local spread, psum'd node moments, replicated convolution,
-    # local interpolation — identical numbers on every device
-    U_far = _far_part(Fs, None if not poly else ahat, W3, cid, grid, h,
-                      lo[2], p, wall, h_floor,
-                      psum_fn=lambda q: lax.psum(q, axis_name))
-
-    # near part: gather the global (N, 3) arrays once, build the sorted
-    # tile structure redundantly (O(N log N) sort + O(t²) adjacency —
-    # trivial next to the pair sweep), sweep only this device's tile
-    # slice, and regather the slices
-    idx = lax.axis_index(axis_name)
+    # sorted tile structure, built redundantly from one gather of the
+    # global positions (O(N log N) sort + O(t²) adjacency — trivial next
+    # to the pair sweep, and now amortized over the whole solve)
     x_all = lax.all_gather(x, axis_name, tiled=True)         # (N, 3)
-    F_all = lax.all_gather(Fs, axis_name, axis=1, tiled=True)
     ci_all = lax.all_gather(ci, axis_name, tiled=True)
     order = tiles.cell_snake_order(ci_all, grid)
-    t = -(-n // TILE)
-    t_pad = -(-t // n_devices) * n_devices
     pad = t_pad * TILE - n
     # pad rows: the partial tile keeps the LAST sorted entry's cell (tight
     # bbox, as in mobility_apply); whole pad tiles sit at an isolated
@@ -906,31 +1048,17 @@ def mobility_apply_local(F_l, r_l, n_devices: int, axis_name: str, a=1.0,
     ci_s = jnp.concatenate([ci_all[order], ci_pad])
     id_s = jnp.concatenate(
         [order.astype(jnp.int32), jnp.full((pad,), -1, jnp.int32)])
-    F_s = jnp.concatenate([F_all[:, order], jnp.zeros((k, pad, 3), dtype)],
-                          axis=1)
     if poly:
         ah_all = lax.all_gather(ahat, axis_name, tiled=True)
         ah_s = jnp.concatenate([ah_all[order], jnp.ones((pad,), dtype)])
     else:
         ah_s = None
-    # pad tiles share one isolated cell, so each sees (pad-tile count)
-    # neighbors — widen the list to cover them (their rows are masked
-    # anyway, but an overflow there would NaN-poison the whole apply)
-    max_nbr = min(t_pad, max(max_nbr, t_pad - t + 1))
     nbr, overflow = _near_neighbor_lists(ci_s, t_pad, max_nbr)
-    nt = t_pad // n_devices
-    U_slice = _near_sweep(x_s, ci_s, id_s, F_s, ah_s, nbr, max_nbr,
-                          wall, h_floor, idx * nt, nt)       # (k, nt·TILE, 3)
-    U_sorted = lax.all_gather(U_slice, axis_name, axis=1,
-                              tiled=True)[:, :n]
-    U_near_g = jnp.zeros((k, n, 3), dtype).at[:, order, :].set(U_sorted)
-    U_near = lax.dynamic_slice_in_dim(U_near_g, idx * n_l, n_l, axis=1)
-    U_near = jnp.where(overflow, jnp.nan, U_near)
-
-    U = U_near + U_far + _self_diag_field(
-        n_l, dtype, None if not poly else ahat, wall, r_l[:, 2], a, h_floor,
-        radii_l) * Fs
-    if wall:
-        U = U * b[None, :, None]
-    U = U * jnp.asarray(1.0 / (8.0 * jnp.pi * eta * a), dtype)
-    return U if multi else U[0]
+    if geo_bad is not None:
+        overflow = overflow | geo_bad
+    self_diag = _self_diag_field(n_l, dtype, ahat, wall, r_l[:, 2], a,
+                                 h_floor, radii_l)
+    return FarCtx(lo=lo, h=h, khat_free=khat_free, khat_wall=khat_wall,
+                  b=b, ahat=ahat, cid=cid, W3=W3, self_diag=self_diag,
+                  order=order, x_s=x_s, ci_s=ci_s, id_s=id_s, ah_s=ah_s,
+                  nbr=nbr, overflow=overflow)

@@ -562,6 +562,47 @@ def mobility_matrix(r, a=1.0, eta=1.0, wall=False, h_floor=WALL_H_FLOOR,
     return M.transpose(0, 2, 1, 3).reshape(3 * n, 3 * n)
 
 
+def cross_mobility_blocks(ri, rj, a=1.0, eta=1.0, wall=False,
+                          h_floor=WALL_H_FLOOR):
+    """Pair mobility blocks between two position sets, (..., P, Q, 3, 3).
+
+    Same physics/normalization as :func:`mobility_matrix` (free-space RPY
+    + Swan–Brady wall correction, scaled by 1/(8πηa)) for CROSS pairs of
+    ``ri`` (..., P, 3) and ``rj`` (..., Q, 3): no self branch (coincident
+    pairs get the r→0 overlap limit α→4/3, β·d⊗d→0 — callers that need
+    self terms overwrite them, e.g. with :func:`self_mobility_blocks`)
+    and no damping sandwich (apply ``damping_factors`` externally).
+    Monodisperse.  Used by the RAS preconditioner's halo coupling blocks
+    (:func:`rigid_body_light_tpu.ops.saddle.build_pc_ras`).
+    """
+    ri = jnp.asarray(ri)
+    rj = jnp.asarray(rj)
+    dtype = ri.dtype
+    inv_a = jnp.asarray(1.0 / a, dtype)
+    d = (ri[..., :, None, :] - rj[..., None, :, :]) * inv_a  # (..., P, Q, 3)
+    r2 = jnp.sum(d * d, axis=-1)
+    alpha, beta = _free_coeffs(r2, dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    M = (alpha[..., None, None] * eye3
+         + beta[..., None, None] * d[..., :, None] * d[..., None, :])
+    if wall:
+        zi = ri[..., :, None, 2] * inv_a
+        zj = rj[..., None, :, 2] * inv_a
+        if h_floor > 0:
+            zi = jnp.maximum(zi, h_floor)
+            zj = jnp.maximum(zj, h_floor)
+        d_img = d.at[..., 2].set(zi + zj)
+        f1, f2, f3, f4, f5, invR = _wall_coeffs(d_img, zj)
+        e = d_img * invR[..., None]
+        zhat = jnp.zeros((3,), dtype).at[2].set(1.0)
+        M = (M + f1[..., None, None] * eye3
+             + f2[..., None, None] * e[..., :, None] * e[..., None, :]
+             + f3[..., None, None] * e[..., :, None] * zhat
+             + f4[..., None, None] * zhat[:, None] * e[..., None, :]
+             + f5[..., None, None] * zhat[:, None] * zhat[None, :])
+    return M * jnp.asarray(1.0 / (8.0 * jnp.pi * eta * a), dtype)
+
+
 def apply_M_dense(F, r, a=1.0, eta=1.0, wall=False, h_floor=WALL_H_FLOOR,
                   box=None, radii=None):
     """Dense-path U = B·M·B·F (damping iff wall), for small N / validation."""

@@ -152,7 +152,7 @@ def _farfield_apply_fn(cfg: SimulationConfig, radii):
         return farfield.mobility_apply(F, r, ctx=ctx, **kw)
 
     apply.prepare = lambda r, geo=None: farfield.prepare(r, geo=geo, **kw)
-    apply.prepare_geometry = lambda r: farfield.prepare(r, **kw)
+    apply.prepare_geometry = lambda r: farfield.prepare_geometry(r, **kw)
     return apply
 
 
@@ -173,8 +173,11 @@ def hoist_positions(mob, r):
         return mob
     ctx = prep(r)
 
-    def bound(F, r2, ctx2=None):
-        return mob(F, r2, ctx if ctx2 is None else ctx2)
+    def bound(F, _r_ignored, ctx2=None):
+        # the bound context is only valid at the pinned ``r`` — the
+        # positions argument is deliberately ignored so misuse reads as
+        # misuse at the call site (see docstring contract above)
+        return mob(F, _r_ignored, ctx if ctx2 is None else ctx2)
 
     bound.prepare = prep
     gp = getattr(mob, "prepare_geometry", None)

@@ -345,14 +345,21 @@ def farfield_mobility_apply_local_fn(cfg: SimulationConfig, n_devices: int,
 
     grid = None if cfg.farfield_grid == "auto" else cfg.farfield_grid
     max_nbr = cfg.farfield_nbr_tiles if cfg.farfield_nbr_tiles > 0 else None
+    kw = dict(a=cfg.a, eta=cfg.eta, wall=cfg.wall, grid=grid,
+              p=cfg.farfield_p, max_nbr=max_nbr, h_floor=cfg.wall_h_floor)
 
-    def apply(F, r):
+    def apply(F, r, ctx=None):
         return farfield.mobility_apply_local(
-            F, r, n_devices, axis_name, a=cfg.a, eta=cfg.eta, wall=cfg.wall,
-            grid=grid, p=cfg.farfield_p, max_nbr=max_nbr,
-            h_floor=cfg.wall_h_floor,
-        )
+            F, r, n_devices, axis_name, ctx=ctx, **kw)
 
+    # same hoist surface as the single-device far-field apply-fn: the
+    # stepper's pin_geometry shares one kernel-lattice build across the
+    # step's position sets, and solve_saddle/Lanczos bind a prepared ctx
+    # once per solve via hoist_positions — now on the distributed path too
+    apply.prepare = lambda r, geo=None: farfield.prepare_local(
+        r, n_devices, axis_name, geo=geo, **kw)
+    apply.prepare_geometry = lambda r: farfield.prepare_geometry_local(
+        r, n_devices, axis_name, **kw)
     return apply
 
 
@@ -532,14 +539,19 @@ def _local_mobility_multi_fn(cfg: SimulationConfig, n_devices: int,
 
         grid = None if cfg.farfield_grid == "auto" else cfg.farfield_grid
         max_nbr = cfg.farfield_nbr_tiles if cfg.farfield_nbr_tiles > 0 else None
+        kw = dict(a=cfg.a, eta=cfg.eta, wall=cfg.wall, grid=grid,
+                  p=cfg.farfield_p, max_nbr=max_nbr,
+                  h_floor=cfg.wall_h_floor, radii_l=radii_l)
 
-        def apply_ff(F, r):
+        def apply_ff(F, r, ctx=None):
             return farfield.mobility_apply_local(
-                F, r, n_devices, axis_name, a=cfg.a, eta=cfg.eta,
-                wall=cfg.wall, grid=grid, p=cfg.farfield_p, max_nbr=max_nbr,
-                h_floor=cfg.wall_h_floor, radii_l=radii_l,
-            )
+                F, r, n_devices, axis_name, ctx=ctx, **kw)
 
+        apply_ff.prepare = lambda r, geo=None: farfield.prepare_local(
+            r, n_devices, axis_name, geo=geo, **kw)
+        apply_ff.prepare_geometry = (
+            lambda r: farfield.prepare_geometry_local(
+                r, n_devices, axis_name, **kw))
         return apply_ff
     return ring_mobility_apply_fn(cfg, n_devices, axis_name, radii=radii_l)
 

@@ -131,6 +131,91 @@ def test_distributed_step_on_farfield_backend():
     assert int(aux_sh.iters) == int(aux_ref.iters)
 
 
+@pytest.mark.medium
+def test_distributed_farfield_prepare_ctx_parity():
+    """prepare_local/prepare_geometry_local: a prebuilt ctx (with or
+    without a reused geometry tier) is bit-identical to the ctx-free
+    apply — the hoisted setup is the SAME computation, just moved."""
+    from rigid_body_light_tpu.ops import farfield
+
+    _, _, _, mesh = _setup()
+    rng = np.random.default_rng(5)
+    n = 640
+    r = jnp.asarray(rng.uniform(0, 12, (n, 3)) + [0, 0, 1.0], jnp.float64)
+    F = jnp.asarray(rng.standard_normal((n, 3)), jnp.float64)
+    kw = dict(a=0.9, eta=1.3, grid=(3, 3, 2), p=3, wall=True)
+
+    def local(F_l, r_l):
+        base = farfield.mobility_apply_local(F_l, r_l, 8, AX, **kw)
+        ctx = farfield.prepare_local(r_l, 8, AX, **kw)
+        hoisted = farfield.mobility_apply_local(F_l, r_l, 8, AX, ctx=ctx,
+                                                **kw)
+        geo = farfield.prepare_geometry_local(r_l, 8, AX, **kw)
+        ctx_g = farfield.prepare_local(r_l, 8, AX, geo=geo, **kw)
+        pinned = farfield.mobility_apply_local(F_l, r_l, 8, AX, ctx=ctx_g,
+                                               **kw)
+        return base, hoisted, pinned
+
+    base, hoisted, pinned = shard_map(
+        local, mesh=mesh, in_specs=(P(AX), P(AX)),
+        out_specs=(P(AX), P(AX), P(AX)), check_vma=False)(F, r)
+    np.testing.assert_array_equal(np.asarray(hoisted), np.asarray(base))
+    np.testing.assert_array_equal(np.asarray(pinned), np.asarray(base))
+
+
+def _fft_eqn_counts(jaxpr, inside_while=False):
+    """(ffts inside any while body, total ffts) over a jaxpr, recursively."""
+    try:
+        from jax.extend import core as jcore
+    except ImportError:  # older jax
+        from jax import core as jcore
+    inside = 0
+    total = 0
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if "fft" in name:
+            total += 1
+            if inside_while:
+                inside += 1
+        sub_inside = inside_while or name == "while"
+        for val in eqn.params.values():
+            subs = val if isinstance(val, (tuple, list)) else (val,)
+            for v in subs:
+                if isinstance(v, jcore.ClosedJaxpr):
+                    v = v.jaxpr
+                if isinstance(v, jcore.Jaxpr):
+                    i, t = _fft_eqn_counts(v, sub_inside)
+                    inside += i
+                    total += t
+    return inside, total
+
+
+@pytest.mark.medium
+def test_distributed_farfield_hoist_leaves_no_lattice_build_in_krylov(
+        monkeypatch):
+    """The kernel-lattice build must execute once per solve, not once per
+    GMRES iteration: with the hoist active, the only FFTs inside the
+    Krylov ``while`` body are the per-iteration spread/convolve ones;
+    disabling the hoist (identity hoist_positions) pulls the whole
+    lattice build into the loop body — strictly more FFTs there."""
+    geom, cfg, state, mesh = _setup()
+    cfg = cfg.replace(farfield_grid=(2, 2, 2), farfield_p=3)
+    F = jnp.zeros((8, 6), jnp.float64).at[:, 2].set(-1.0)
+
+    step = parallel.make_distributed_step(geom, cfg, mesh,
+                                          deterministic=True)
+    jaxpr = jax.make_jaxpr(step)(state, jax.random.key(0), F).jaxpr
+    in_while, total = _fft_eqn_counts(jaxpr)
+    assert total > in_while > 0  # build FFTs outside, apply FFTs inside
+
+    monkeypatch.setattr(saddle, "hoist_positions", lambda mob, r: mob)
+    step_bare = parallel.make_distributed_step(geom, cfg, mesh,
+                                               deterministic=True)
+    jaxpr_bare = jax.make_jaxpr(step_bare)(state, jax.random.key(0), F).jaxpr
+    in_while_bare, _ = _fft_eqn_counts(jaxpr_bare)
+    assert in_while_bare > in_while
+
+
 def test_distributed_body_count_must_divide():
     geom, cfg, state, mesh = _setup(B=8)
     step = parallel.make_distributed_step(geom, cfg, mesh)
