@@ -63,7 +63,9 @@ class SimulationConfig:
     farfield_p: int = 4  # Chebyshev nodes per dim for the far field: 4 ≈ 5e-3 relative operator error, 6 ≈ 3e-4 (measured, tests/test_farfield.py)
     farfield_nbr_tiles: int = 0  # static neighbor-tile list width for the near sweep; 0 = auto (overflow NaN-poisons the step, caught by the stepper's rejection guards — raise for extreme density contrast)
     block_diag_pc: bool = False
-    pc_mode: str = ""  # "", "diag", "block", "block_free" — "" derives from block_diag_pc
+    pc_mode: str = ""  # "", "diag", "block", "block_free", "ras" — "" derives from block_diag_pc.  "ras" = block_free static core + per-solve restricted-additive-Schwarz halo coupling (ops/saddle.build_pc_ras): the dense-settled-suspension PC — captures inter-body near-contact coupling via per-body overlapping clusters solved exactly (Woodbury around the static core), with a consistent coupled (6B)² body matrix.  Monodisperse, single-device; dispersed suspensions see block_free behavior (empty halos reduce to it exactly).
+    pc_halo: float = 4.0  # "ras": halo cutoff — other-body blobs within this many radii of a body's nearest blob join its cluster
+    pc_halo_max: int = 64  # "ras": fixed cluster-halo width H (top-H closest within pc_halo; more near blobs than H degrades the PC gracefully, never correctness).  0 disables the coupling (pure block_free).
     pc_refresh: int = 1  # rebuild the preconditioner every k steps in run_bd (k>1 = lagged PC)
     split_rand: bool = True
     drift_mode: str = "midpoint_slip"  # or "em_exact" — see dynamics/stepper.py

@@ -366,9 +366,11 @@ def run_bd(
             return jnp.zeros((B, 6), dtype)
 
     # the block_free PC holds only body-frame constants (configuration-
-    # independent) — build it once outside the scan and never rebuild
+    # independent) — build it once outside the scan and never rebuild.
+    # "ras" carries the same static tier; its per-solve halo coupling is
+    # attached inside solve_saddle at each step's solve geometry.
     pc_mode = cfg.pc_mode or ("block" if cfg.block_diag_pc else "diag")
-    static_pc = pc_mode == "block_free"
+    static_pc = pc_mode in ("block_free", "ras")
     lagged_pc = cfg.pc_refresh > 1 and not static_pc
     noise_pc = (
         lanczos.make_noise_preconditioner(geom.ref_cfg, cfg.a, cfg.eta, dtype)

@@ -343,6 +343,17 @@ class PCData(NamedTuple):
     n_mat: Optional[jax.Array]
     minv_ref: Optional[jax.Array] = None
     n_ref: Optional[jax.Array] = None
+    # --- RAS (restricted additive Schwarz) halo coupling, pc_mode="ras":
+    # per-body overlapping clusters = the body's own blobs + up to H
+    # other-body blobs within pc_halo·a, solved exactly via a Woodbury
+    # split around the STATIC body-frame core above (A = minv_ref — zero
+    # build cost), with only the body's own rows kept (RAS).  Built per
+    # solve by build_pc_ras; None for the body-diagonal PC flavors.
+    halo_idx: Optional[jax.Array] = None   # (B, H) global blob ids
+    halo_w: Optional[jax.Array] = None     # (B, 3n, 3H)  W = A⁻¹C
+    halo_sinv: Optional[jax.Array] = None  # (B, 3H, 3H)  (D − CᵀA⁻¹C)⁻¹
+    n_full: Optional[jax.Array] = None     # (6B, 6B) consistent Ñ =
+                                           # (Kᵀ M̃⁻¹ K)⁻¹ (dense, coupled)
 
 
 # Floor (relative to the free-space 4/3 self mobility) applied to the PC's
@@ -438,8 +449,15 @@ def grand_body_mobility(ops: GeometryOps, cfg: SimulationConfig, n_ref,
 def build_pc(ops: GeometryOps, cfg: SimulationConfig) -> PCData:
     B, n, _ = ops.offsets.shape
     mode = cfg.pc_mode or ("block" if cfg.block_diag_pc else "diag")
-    if mode not in ("diag", "block", "block_free"):
-        raise ValueError(f"unknown pc_mode {mode!r}; use diag, block or block_free")
+    if mode not in ("diag", "block", "block_free", "ras"):
+        raise ValueError(f"unknown pc_mode {mode!r}; use diag, block, "
+                         "block_free or ras")
+    if mode == "ras":
+        # the STATIC tier of the RAS PC is exactly block_free (body-frame
+        # constants, built once per trajectory); the configuration-dependent
+        # halo coupling is attached per solve by build_pc_ras (solve_saddle
+        # does this automatically when cfg.pc_mode == "ras")
+        mode = "block_free"
     if mode == "block_free":
         # body-frame constants: loop-invariant under scan/jit (XLA hoists),
         # recovered from body 0's rotation so no geometry handle is needed
@@ -491,9 +509,166 @@ def build_pc(ops: GeometryOps, cfg: SimulationConfig) -> PCData:
     return pc
 
 
+def _ras_core_apply(minv_ref, rot, v):
+    """Static body-frame core A⁻¹·v = R̃ M̂⁻¹ R̃ᵀ v; v (..., B, n, 3)."""
+    B, n = v.shape[-3], v.shape[-2]
+    v_body = jnp.einsum("bji,...bnj->...bni", rot, v)
+    v_body = v_body.reshape(*v.shape[:-3], B, 3 * n)
+    w = jnp.einsum("pq,...bq->...bp", minv_ref, v_body)
+    w = w.reshape(*v.shape[:-3], B, n, 3)
+    return jnp.einsum("bij,...bnj->...bni", rot, w)
+
+
+def _ras_apply(v, minv_ref, rot, halo_idx, W, S_inv):
+    """RAS M̃⁻¹·v: per-body Woodbury solve of [[A, C], [Cᵀ, D]], own rows
+    kept.  v (..., N, 3) → (..., N, 3); all cluster algebra is batched
+    matmuls (MXU).
+    """
+    B, H = halo_idx.shape
+    N = v.shape[-2]
+    n = N // B
+    lead = v.shape[:-2]
+    v1 = v.reshape(*lead, B, n, 3)
+    y_core = _ras_core_apply(minv_ref, rot, v1)            # A⁻¹ v1
+    v2 = v[..., halo_idx.reshape(-1), :].reshape(
+        *lead, B, 3 * H)                                   # halo values
+    v1f = v1.reshape(*lead, B, 3 * n)
+    t = v2 - jnp.einsum("bph,...bp->...bh", W, v1f)        # v2 − Cᵀ A⁻¹ v1
+    y2 = jnp.einsum("bhg,...bg->...bh", S_inv, t)          # Schur solve
+    y = y_core.reshape(*lead, B, 3 * n) - jnp.einsum(
+        "bph,...bh->...bp", W, y2)
+    return y.reshape(*v.shape[:-2], N, 3)
+
+
+def build_pc_ras(ops: GeometryOps, cfg: SimulationConfig,
+                 static_pc: PCData = None) -> PCData:
+    """Attach the configuration-dependent RAS halo coupling to the static
+    block_free core — the settled-dense-suspension preconditioner.
+
+    Design (measured in ``scripts/pc_schwarz_study.py``): the deep-settled
+    iteration growth comes from INTER-BODY near-field coupling, which no
+    body-diagonal PC captures (round-2/3 negative results), and which must
+    NOT be injected by truncating the off-diagonal mobility (a sparsified
+    mobility is indefinite — hard or tapered truncation ballooned 13 → 22–58
+    iters).  The SPD-safe construction is overlapping clusters: per body,
+    an exact solve of the PRINCIPAL SUBMATRIX of the damped wall mobility
+    on {body blobs} ∪ {≤ H nearest other-body blobs within pc_halo·a},
+    restricted to the body's own rows (RAS; 13 → 8–9 iters on the study
+    system at halo 2–4a).
+
+    TPU shape: the cluster solve is a Woodbury split around the STATIC
+    rotation-equivariant free-space body core A (``minv_ref`` — the
+    measured-equivalent stand-in for the exact wall body block, built once
+    per trajectory): per solve this builds only the (3n × 3H) coupling
+    W = A⁻¹C and the (3H)² Schur inverse (batched MXU matmuls + one small
+    batched inverse), never a per-body (3n)² factorization — the 237 ms
+    per-step dense-inverse trap of the wall block PC (BENCH_NOTES round 2)
+    is avoided entirely.  Ñ is the CONSISTENT dense (6B)² body matrix
+    (Kᵀ M̃⁻¹ K)⁻¹ — consistency is load-bearing (round-3 study: 15 vs 38
+    iters).  Generalizes reference ``apply_PC`` (``c_rigid_obj.cpp:589-616``)
+    to coupled clusters.
+
+    Monodisperse, single-device (the distributed PC stays block_free —
+    ``solve_saddle`` raises if asked).  Falls back to the bare static PC
+    when B == 1 or pc_halo_max == 0.
+    """
+    B, n, _ = ops.offsets.shape
+    if static_pc is None or static_pc.minv_ref is None:
+        static_pc = build_pc(ops, cfg.replace(pc_mode="block_free"))
+    H = min(cfg.pc_halo_max, (B - 1) * n)
+    if H <= 0 or B == 1:
+        return static_pc
+    pos = ops.flat_positions                               # (N, 3)
+    N = B * n
+    dtype = pos.dtype
+    from jax import lax
+
+    # ---- halo selection: coarse top-2H by distance to the body center,
+    # refined by exact distance to the body's nearest blob, cutoff-masked
+    X = ops.positions[:, 0, :] - ops.offsets[:, 0, :]      # (B, 3) tracking
+    body_of = jnp.repeat(jnp.arange(B), n)
+    d_c = jnp.linalg.norm(pos[None, :, :] - X[:, None, :], axis=-1)
+    d_c = jnp.where(body_of[None, :] == jnp.arange(B)[:, None],
+                    jnp.inf, d_c)                          # (B, N)
+    K2 = min(2 * H, (B - 1) * n)
+    _, cand = lax.top_k(-d_c, K2)                          # (B, K2)
+    cand_pos = pos[cand.reshape(-1)].reshape(B, K2, 3)
+    d_exact = jnp.min(jnp.linalg.norm(
+        ops.positions[:, :, None, :] - cand_pos[:, None, :, :], axis=-1),
+        axis=1)                                            # (B, K2)
+    neg_d, sel = lax.top_k(-d_exact, H)
+    halo_idx = jnp.take_along_axis(cand, sel, axis=1)      # (B, H)
+    mask = (-neg_d) < jnp.asarray(cfg.pc_halo * cfg.a, dtype)  # (B, H)
+    halo_pos = pos[halo_idx.reshape(-1)].reshape(B, H, 3)
+
+    # ---- coupling C (B, 3n, 3H) and halo block D (B, 3H, 3H): exact
+    # damped wall pair blocks of the OPERATOR (masked columns → zero, so
+    # an empty halo reduces the PC to block_free exactly)
+    wall = cfg.wall
+    mf = mask.astype(dtype)
+    Cb = rpy.cross_mobility_blocks(ops.positions, halo_pos, cfg.a, cfg.eta,
+                                   wall=wall, h_floor=cfg.wall_h_floor)
+    Db = rpy.cross_mobility_blocks(halo_pos, halo_pos, cfg.a, cfg.eta,
+                                   wall=wall, h_floor=cfg.wall_h_floor)
+    if wall:
+        b_all = rpy.damping_factors(pos, cfg.a)            # (N,)
+        b_body = b_all.reshape(B, n)
+        b_halo = b_all[halo_idx.reshape(-1)].reshape(B, H)
+        Cb = Cb * (b_body[:, :, None] * b_halo[:, None, :])[..., None, None]
+        Db = Db * (b_halo[:, :, None] * b_halo[:, None, :])[..., None, None]
+    Cb = Cb * mf[:, None, :, None, None]
+    Db = Db * (mf[:, :, None] * mf[:, None, :])[..., None, None]
+    # halo self blocks (incl. wall self term and damping²); ghost slots
+    # get an identity diagonal so the Schur block stays invertible
+    selfb = rpy.self_mobility_blocks(
+        halo_pos.reshape(-1, 3), cfg.a, cfg.eta, wall,
+        h_floor=cfg.wall_h_floor).reshape(B, H, 3, 3)
+    if wall:
+        selfb = selfb * (b_halo * b_halo)[:, :, None, None]
+    eye3 = jnp.eye(3, dtype=dtype)
+    diag_blocks = jnp.where(mask[:, :, None, None], selfb, eye3)
+    hh = jnp.arange(H)
+    Db = Db.at[:, hh, hh].set(diag_blocks)
+    C = Cb.transpose(0, 1, 3, 2, 4).reshape(B, 3 * n, 3 * H)
+    D = Db.transpose(0, 1, 3, 2, 4).reshape(B, 3 * H, 3 * H)
+
+    # ---- Woodbury factors: W = A⁻¹C (A = rotated static body core), and
+    # the Schur inverse (D − CᵀW)⁻¹ — identity on ghost slots by the
+    # masking above
+    minv_ref, rot = static_pc.minv_ref, ops.rot
+    W = _ras_core_apply(
+        minv_ref, rot, C.reshape(B, n, 3, 3 * H).transpose(3, 0, 1, 2)
+    ).transpose(1, 2, 3, 0).reshape(B, 3 * n, 3 * H)
+    S = D - jnp.einsum("bph,bpg->bhg", C, W)
+    S_inv = jnp.linalg.inv(S)
+
+    # ---- consistent coupled Ñ = (Kᵀ M̃⁻¹ K)⁻¹, built by applying the RAS
+    # inverse to K's 6 columns per body (lax.map bounds memory to one
+    # body's (6, N, 3) column block at a time)
+    Kb = body_K_blocks(ops.offsets)                        # (B, n, 3, 6)
+
+    def n_cols(j):
+        cols = jnp.zeros((6, N, 3), dtype)
+        cols = lax.dynamic_update_slice(
+            cols, Kb[j].transpose(2, 0, 1), (0, j * n, 0))
+        y = _ras_apply(cols, minv_ref, rot, halo_idx, W, S_inv)
+        # (6, N, 3) → Kᵀy → (6, B, 6): rows p = (body, comp)
+        return jnp.einsum("bnif,cbni->cbf", Kb, y.reshape(6, B, n, 3))
+
+    ninv = lax.map(n_cols, jnp.arange(B))                  # (B, 6, B, 6)
+    ninv = ninv.reshape(6 * B, 6 * B).T                    # [p, q] = KₚᵀM̃⁻¹K_q
+    n_full = jnp.linalg.inv(ninv)
+    return static_pc._replace(halo_idx=halo_idx, halo_w=W, halo_sinv=S_inv,
+                              n_full=n_full)
+
+
 def _inv_m_apply(pc: PCData, v, ops: GeometryOps):
     """M̃⁻¹ · v for any PC flavor; v, result (B, n, 3)."""
     B, n, _ = v.shape
+    if pc.halo_w is not None:
+        return _ras_apply(v.reshape(B * n, 3), pc.minv_ref, ops.rot,
+                          pc.halo_idx, pc.halo_w, pc.halo_sinv
+                          ).reshape(B, n, 3)
     if pc.minv_ref is not None:
         v_body = jnp.einsum("bji,bnj->bni", ops.rot, v).reshape(B, 3 * n)
         w = jnp.einsum("pq,bq->bp", pc.minv_ref, v_body).reshape(B, n, 3)
@@ -507,6 +682,10 @@ def _inv_m_apply(pc: PCData, v, ops: GeometryOps):
 
 def _n_solve(pc: PCData, rhs, ops: GeometryOps):
     """Solve Ñ⁻¹ U = rhs per body; rhs (B, 6)."""
+    if pc.n_full is not None:
+        # coupled consistent Ñ of the RAS PC: one dense (6B)² matvec
+        B = rhs.shape[0]
+        return (pc.n_full @ rhs.reshape(-1)).reshape(B, 6)
     if pc.n_ref is not None:
         f_b = jnp.einsum("bji,bj->bi", ops.rot, rhs[:, 0:3])
         t_b = jnp.einsum("bji,bj->bi", ops.rot, rhs[:, 3:6])

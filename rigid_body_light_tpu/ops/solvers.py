@@ -70,6 +70,16 @@ def solve_saddle(
     mob_apply = saddle_mod.hoist_positions(mob_apply, ops.flat_positions)
     if pc is None:
         pc = saddle_mod.build_pc(ops, cfg)
+    if cfg.pc_mode == "ras" and pc.halo_w is None:
+        # attach the configuration-dependent RAS halo coupling at THIS
+        # solve's geometry (the static block_free tier arrives prebuilt
+        # from the scan drivers; standalone calls built it just above)
+        if axis_name is not None:
+            raise NotImplementedError(
+                "pc_mode='ras' is single-device for now — halo clusters "
+                "cross body shards; distributed runs use pc_mode="
+                "'block_free'")
+        pc = saddle_mod.build_pc_ras(ops, cfg, static_pc=pc)
     dtype = ops.positions.dtype
     B, n, _ = ops.offsets.shape
     nb = 3 * B * n

@@ -6,7 +6,7 @@ noise-error observable.  This is the honest A/B harness for the settled
 dense-suspension performance problem (round-2 soak: 9.13 steps/s at 16
 mean / 33 max iters vs 13.0 dispersed).
 
-Usage: python scripts/tpu_settled_variants.py [ckpt=/tmp/settled_642.npz] [steps=200]
+Usage: python scripts/tpu_settled_variants.py [ckpt=scripts/data/settled_642.npz] [steps=100] [variants...]
 """
 import functools
 import json
@@ -19,7 +19,8 @@ sys.path.insert(0, ".")
 
 
 def main():
-    ckpt_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/settled_642.npz"
+    ckpt_path = (sys.argv[1] if len(sys.argv) > 1
+                 else "scripts/data/settled_642.npz")
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     import jax
     import jax.numpy as jnp
@@ -47,6 +48,14 @@ def main():
         "restart60": dict(gmres_restart=60),
         "restart60_adaptive_noise": dict(
             gmres_restart=60, lanczos_max_iters=14, lanczos_err_tol=1e-3),
+        # round 4: RAS halo-coupling PC (ops/saddle.build_pc_ras) — the
+        # inter-body near-contact coupling the body-diagonal PCs miss
+        "ras_h4": dict(gmres_restart=60, pc_mode="ras",
+                       pc_halo=4.0, pc_halo_max=64),
+        "ras_h8": dict(gmres_restart=60, pc_mode="ras",
+                       pc_halo=8.0, pc_halo_max=128),
+        "ras_h8_cap64": dict(gmres_restart=60, pc_mode="ras",
+                             pc_halo=8.0, pc_halo_max=64),
     }
     # run one variant per process (the axon tunnel wedges on long-lived
     # clients issuing several distinct compile RPCs back to back)

@@ -138,3 +138,102 @@ def test_true_residual_reporting(wall):
     assert float(res.true_residual) < 1e-6  # converged in the true norm too
     # default path must not compute it
     assert solvers.solve_saddle(ops, cfg, slip, force).true_residual is None
+
+
+# ---------------------------------------------------------------- RAS PC
+def _settled_layer(B=8, spacing=2.3, z=1.35, seed=11, **cfg_kw):
+    """A dense near-wall layer of 12-blob shells — the regime whose
+    inter-body coupling no body-diagonal PC captures."""
+    params, config = utils.load_config(utils.struct_shell_12)
+    rng = np.random.default_rng(seed)
+    xs = np.array([[spacing * (i % 4), spacing * (i // 4), z]
+                   for i in range(B)], float)
+    xs[:, :2] += 0.1 * rng.standard_normal((B, 2))
+    xs[:, 2] += 0.05 * rng.standard_normal(B)
+    qs = rng.standard_normal((B, 4))
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    kw = dict(wall=True, dtype=jnp.float64, gmres_tol=1e-8,
+              gmres_maxiter=200, a=params["sep"] / 2)
+    kw.update(cfg_kw)
+    cfg = SimulationConfig(**kw)
+    geom = kin.make_ref_geometry(config, dtype=cfg.dtype)
+    state = make_state(xs, qs, dtype=cfg.dtype)
+    return cfg, geom, state, saddle_mod.geometry_ops(geom, state)
+
+
+def test_ras_pc_cuts_iterations_and_matches_block_free_solution():
+    """On a settled layer the RAS halo coupling must reduce GMRES
+    iterations vs block_free while solving the SAME saddle system (the PC
+    only changes convergence, never the answer)."""
+    cfg, geom, state, ops = _settled_layer()
+    B, n, _ = ops.offsets.shape
+    rng = np.random.default_rng(3)
+    slip = jnp.asarray(rng.standard_normal((B * n, 3)))
+    force = jnp.asarray(rng.standard_normal((B, 6)))
+
+    cfg_bf = cfg.replace(pc_mode="block_free")
+    cfg_ras = cfg.replace(pc_mode="ras", pc_halo=4.0, pc_halo_max=16)
+    res_bf = solvers.solve_saddle(ops, cfg_bf, slip, force)
+    res_ras = solvers.solve_saddle(ops, cfg_ras, slip, force)
+    assert float(res_bf.residual) < 1e-8
+    assert float(res_ras.residual) < 1e-8
+    np.testing.assert_allclose(np.asarray(res_ras.U), np.asarray(res_bf.U),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_ras.lam),
+                               np.asarray(res_bf.lam), atol=1e-5)
+    assert int(res_ras.iters) < int(res_bf.iters), (
+        int(res_ras.iters), int(res_bf.iters))
+
+
+def test_ras_pc_reduces_to_block_free_when_dispersed():
+    """Bodies farther apart than the halo cutoff: every halo slot masks
+    out, the Woodbury correction vanishes, and the solve behaves exactly
+    like block_free (same iteration count, same answer)."""
+    cfg, geom, state, ops = _settled_layer(spacing=9.0, z=4.0)
+    B, n, _ = ops.offsets.shape
+    rng = np.random.default_rng(5)
+    slip = jnp.asarray(rng.standard_normal((B * n, 3)))
+    force = jnp.asarray(rng.standard_normal((B, 6)))
+    res_bf = solvers.solve_saddle(ops, cfg.replace(pc_mode="block_free"),
+                                  slip, force)
+    res_ras = solvers.solve_saddle(
+        ops, cfg.replace(pc_mode="ras", pc_halo=2.0, pc_halo_max=8),
+        slip, force)
+    assert int(res_ras.iters) == int(res_bf.iters)
+    np.testing.assert_allclose(np.asarray(res_ras.U), np.asarray(res_bf.U),
+                               atol=1e-9)
+
+
+def test_ras_pc_single_body_falls_back():
+    params, config = utils.load_config(utils.struct_shell_12)
+    X, Q = utils.create_random_positions(1, wall_PC=True, seed=8)
+    cfg = SimulationConfig(wall=True, dtype=jnp.float64, gmres_tol=1e-9,
+                           pc_mode="ras")
+    geom = kin.make_ref_geometry(config, dtype=jnp.float64)
+    state = make_state(X, Q, dtype=jnp.float64)
+    ops = saddle_mod.geometry_ops(geom, state)
+    pc = saddle_mod.build_pc_ras(ops, cfg)
+    assert pc.halo_w is None  # bare static tier
+    res = solvers.solve_saddle(ops, cfg, jnp.zeros((12, 3)),
+                               jnp.ones((1, 6)))
+    assert float(res.residual) < 1e-9
+
+
+def test_ras_pc_fluctuating_trajectory_runs():
+    """run_bd with pc_mode='ras': static tier outside the scan, per-solve
+    halo coupling inside — finite physics, converged solves, f32."""
+    import jax
+
+    from rigid_body_light_tpu import forces
+    from rigid_body_light_tpu.dynamics import run_bd
+
+    cfg, geom, state, _ = _settled_layer(
+        dtype=jnp.float32, gmres_tol=1e-4, kBT=1.0, dt=0.01,
+        lanczos_iters=8, pc_mode="ras", pc_halo=4.0, pc_halo_max=16,
+        use_pallas=False)
+    force_fn = forces.gravity(np.array([0, 0, -0.5, 0, 0, 0]))
+    final, traj = jax.jit(
+        lambda s, k: run_bd(geom, cfg, s, k, n_steps=3, force_fn=force_fn)
+    )(state, jax.random.key(0))
+    assert np.isfinite(np.asarray(final.X)).all()
+    assert float(np.asarray(traj["residual"]).max()) < 1e-2
