@@ -6,7 +6,14 @@ spheres (10,272 blobs) sedimenting above a no-slip wall, full stochastic
 step (2× Lanczos M^{1/2}W, RFD drift, predictor half-kick, preconditioned
 GMRES saddle solve, quaternion commit), float32.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+TWO regimes, one JSON line: the dispersed-lattice headline (the historical
+artifact metric) plus the DEEP-SETTLED continuation from the committed
+real checkpoint (``scripts/data/settled_642.npz`` — 500 soak steps under
+gravity + wall repulsion; two-layer pile at z ∈ [1.5, 3.4]).  The settled
+regime is the honest steady-state number for dense near-wall suspensions
+(round-3 verdict) and is reported as the ``settled_steps_per_s`` key.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 vs_baseline compares against the measured CPU-reference cost model
 (BENCH_NOTES.md): the reference's per-step work at this size — dense RPY
@@ -80,11 +87,44 @@ def main():
     assert bool(jnp.isfinite(s.X).all()), "trajectory diverged"
     assert float(jnp.max(jnp.asarray(traj["residual"]))) < 10 * cfg.gmres_tol, "solver not converging"
     steps_per_sec = 1.0 / dt
+
+    # ---- deep-settled continuation (same physics, the committed real
+    # checkpoint, the production force field of the soak): the regime
+    # where the RAS halo-coupling PC earns its keep
+    from rigid_body_light_tpu import forces
+    from rigid_body_light_tpu.utils import checkpoint as ckpt
+
+    settled_cfg = cfg.replace(gmres_restart=60, pc_mode="ras",
+                              pc_halo=4.0, pc_halo_max=64)
+    s_state, s_key, _, _ = ckpt.load_checkpoint(
+        "scripts/data/settled_642.npz", dtype=jnp.float32)
+    settled_force = forces.sum_forces(
+        forces.gravity(np.array([0, 0, -1.0, 0, 0, 0])),
+        forces.wall_repulsion(strength=4.0, debye_length=0.3, radius=1.0),
+    )
+    n_set = 20
+    settled_runner = jax.jit(functools.partial(
+        run_bd, geom, settled_cfg, n_steps=n_set, force_fn=settled_force,
+        save_every=n_set))
+    s2, straj = settled_runner(s_state, s_key)
+    _ = float(jnp.sum(s2.X))
+    t0 = time.perf_counter()
+    s2, straj = settled_runner(s2, jax.random.split(s_key)[0])
+    _ = float(jnp.sum(s2.X))
+    settled_sps = n_set / (time.perf_counter() - t0)
+    assert bool(jnp.isfinite(s2.X).all()), "settled trajectory diverged"
+    settled_iters = float(np.asarray(straj["iters"]).mean())
+    assert float(np.asarray(straj["residual"]).max()) < 10 * cfg.gmres_tol
     print(json.dumps({
         "metric": f"fluctuating BD steps/sec @ {n_blobs} blobs (16x shell_N_642, wall)",
         "value": round(steps_per_sec, 4),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / CPU_REFERENCE_STEPS_PER_SEC, 1),
+        # the deep-settled continuation (real checkpoint, RAS PC) — the
+        # steady-state number for dense near-wall suspensions
+        "settled_steps_per_s": round(settled_sps, 4),
+        "settled_mean_iters": round(settled_iters, 1),
+        "settled_pc": settled_cfg.pc_mode,
         # exact solver config measured — the artifact is self-describing
         "config": {
             "dtype": "float32",

@@ -159,10 +159,6 @@ def stochastic_step(
                 "mob_apply (parallel.ring_mobility_apply_fn)")
         mob_apply = saddle_mod.mobility_apply_fn(cfg)
     if axis_name is not None:
-        if cfg.drift_mode == "em_exact":
-            raise NotImplementedError(
-                "distributed stepping supports the default midpoint scheme "
-                "only (em_exact's inner RFD solves are not yet axis-aware)")
         key = jax.random.fold_in(key, lax.axis_index(axis_name))
     dtype = state.X.dtype
     ops = saddle_mod.geometry_ops(geom, state)
@@ -252,7 +248,7 @@ def stochastic_step(
             slip_eff = slip - bi
             ops_solve = ops
             drift_U = jnp.asarray(kBT, dtype) * rfd.n_rfd_exact(
-                geom, state, cfg, k3, mob_apply, pc=pc
+                geom, state, cfg, k3, mob_apply, pc=pc, axis_name=axis_name
             )
         else:
             # midpoint slip scheme (reference intent, c_rigid_obj.cpp:917-976)

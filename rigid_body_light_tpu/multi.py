@@ -331,6 +331,7 @@ def n_rfd_exact_multi(
     key,
     mob_apply=None,
     pcs=None,
+    axis_name=None,
 ):
     """Mixture analogue of :func:`rigid_body_light_tpu.ops.rfd.n_rfd_exact`:
     body-space divergence drift ∂·N per species via centered RFD on the
@@ -339,6 +340,9 @@ def n_rfd_exact_multi(
     Returns a tuple of per-species (B_s, 6) arrays (multiply by kBT at the
     call site).  δ is floored at 1e-2 in float32 (the difference of two
     GMRES solutions must sit above solver-tolerance noise — VALIDATION.md).
+    axis_name: distributed mode — states are LOCAL species shards, the
+    inner mixture solves psum over the axis (see
+    :func:`rigid_body_light_tpu.ops.rfd.n_rfd_exact`).
     """
     dtype = states[0].X.dtype
     keys = jax.random.split(key, len(states))
@@ -357,7 +361,8 @@ def n_rfd_exact_multi(
             for s, w in zip(states, ws)
         )
         res = solve_saddle_multi(
-            mgeom, cfg, displaced, None, ws, mob_apply=mob_apply, pcs=pcs
+            mgeom, cfg, displaced, None, ws, mob_apply=mob_apply, pcs=pcs,
+            axis_name=axis_name,
         )
         return res.Us
 
@@ -395,10 +400,6 @@ def stochastic_step_multi(
                 "distributed stochastic_step_multi needs an explicit local "
                 "mob_apply (parallel.ring_mobility_apply_fn with the "
                 "mixture's radii)")
-        if cfg.drift_mode == "em_exact":
-            raise NotImplementedError(
-                "distributed mixture stepping supports the default midpoint "
-                "scheme only")
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
     opses = geometry_ops_multi(mgeom, states)
     if default_mob:
@@ -471,7 +472,8 @@ def stochastic_step_multi(
             drift_Us = tuple(
                 jnp.asarray(kBT, dtype) * d
                 for d in n_rfd_exact_multi(
-                    mgeom, cfg, states, k3, mob_apply=mob_apply, pcs=pcs
+                    mgeom, cfg, states, k3, mob_apply=mob_apply, pcs=pcs,
+                    axis_name=axis_name,
                 )
             )
         else:

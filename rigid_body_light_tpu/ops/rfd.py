@@ -112,6 +112,7 @@ def n_rfd_exact(
     key,
     mob_apply: Callable = None,
     pc=None,
+    axis_name=None,
 ):
     """Direct body-space divergence drift kBT·∂·N via centered RFD on the
     *solved* body mobility N(q) = (KᵀM⁻¹K)⁻¹:
@@ -122,6 +123,12 @@ def n_rfd_exact(
     cancellation arguments — the textbook-correct Itô drift for the plain
     Euler–Maruyama stepper (``drift_mode='em_exact'``).  Returns (B, 6)
     (multiply by kBT at the call site).
+
+    axis_name: distributed mode — ``state`` is the LOCAL body shard inside
+    ``shard_map``, ``mob_apply`` the local-view operator, ``key`` already
+    device-folded by the stepper (RFD directions are per-body, so
+    independent per-shard draws are the correct distribution); the two
+    inner saddle solves psum their Krylov recurrences over the axis.
 
     Precision note (VALIDATION.md): this differences two GMRES *solutions*;
     in float32 the difference (~δ·∂N·W) must sit above solver-tolerance
@@ -148,7 +155,9 @@ def n_rfd_exact(
         X, Q = kin.update_X_Q(state.X, state.Q, dU_signed)
         ops = saddle_mod.geometry_ops(geom, BodyState(X=X, Q=Q))
         # a PC built at q^n is a perfectly good preconditioner at q ± δW/2
-        res = solvers.solve_saddle(ops, cfg, zero_slip, w, mob_apply=mob_apply, pc=pc)
+        res = solvers.solve_saddle(ops, cfg, zero_slip, w,
+                                   mob_apply=mob_apply, pc=pc,
+                                   axis_name=axis_name)
         return res.U
 
     return (n_dot_w(dU) - n_dot_w(-dU)) / delta

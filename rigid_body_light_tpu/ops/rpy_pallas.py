@@ -618,6 +618,49 @@ def pair_sum_slab(r_rows_over_a, row_offset, r_cols_over_a, F_cols, wall: bool,
     return U if multi else U[0]
 
 
+def mobility_apply_rows(F, r, row_start: int, row_len: int, a=1.0, eta=1.0,
+                        wall=False, h_floor=None, interpret=False, box=None,
+                        radii=None):
+    """Rows [row_start, row_start + row_len) of :func:`mobility_apply`,
+    computed WITHOUT materializing the full output or any square packing
+    beyond one row slab — the streamed exact comparator for scales where
+    holding the full exact sweep next to a proxy-grid context OOMs the
+    chip (the ≥102k wall compare, BENCH_NOTES far-field table footnote).
+    Exact same physics/normalization as ``mobility_apply`` restricted to
+    the row block (damping sandwich, self term, 1/(8πηa)).  ``row_start``
+    must be a static int (it offsets the self-pair masking).  Validation
+    use; not differentiable.
+    """
+    if h_floor is None:
+        h_floor = rpy_xla.WALL_H_FLOOR
+    r = jnp.asarray(r, jnp.float32).reshape(-1, 3)
+    F = jnp.asarray(F, jnp.float32).reshape(-1, 3)
+    inv_a = jnp.float32(1.0 / a)
+    ahat = None if radii is None else jnp.asarray(radii, jnp.float32) * inv_a
+    rows = slice(row_start, row_start + row_len)
+    rad_rows = None if radii is None else radii[rows]
+    Fd = F
+    if wall:
+        b = rpy_xla.damping_factors(r, a, radii=radii)
+        Fd = F * b[:, None]
+    boa = None if box is None else (box[0] / a, box[1] / a)
+    U = pair_sum_slab(
+        r[rows] * inv_a, row_start, r * inv_a, Fd, wall, h_floor=h_floor,
+        interpret=interpret, box_over_a=boa,
+        ahat_rows=None if ahat is None else ahat[rows], ahat_cols=ahat)
+    self_diag = jnp.full((row_len, 3), _SELF_COEF, jnp.float32)
+    if ahat is not None:
+        self_diag = self_diag / ahat[rows, None]
+    if wall:
+        self_diag = self_diag + rpy_xla.wall_self_diag(
+            r[rows, 2], a, jnp.float32, h_floor=h_floor, radii=rad_rows)
+    U = U + self_diag * Fd[rows]
+    U = U * jnp.float32(1.0 / (8.0 * jnp.pi * eta * a))
+    if wall:
+        U = U * b[rows, None]
+    return U
+
+
 def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, damp=None,
                    h_floor=None, interpret=False, box=None, radii=None):
     """Drop-in for :func:`rigid_body_light_tpu.ops.rpy.mobility_apply` on TPU

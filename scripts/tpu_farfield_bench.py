@@ -109,15 +109,37 @@ def main():
             # lattice and OOM'd 16 GB at the 102k wall case) and with the
             # timed chains' buffers released first
             jax.clear_caches()
-            if u_ref1 is None:
-                u_ref1 = jax.jit(functools.partial(
-                    rpy_pallas.mobility_apply, r=r, a=a, eta=eta,
-                    wall=wall))(F)
             u1 = jax.jit(functools.partial(
                 farfield.mobility_apply, r=r, a=a, eta=eta, wall=wall,
                 grid=grid, p=p))(F)
-            rec["rel_err_vs_exact"] = float(
-                jnp.max(jnp.abs(u1 - u_ref1)) / jnp.max(jnp.abs(u_ref1)))
+            if n <= 50000 and not wall:
+                if u_ref1 is None:
+                    u_ref1 = jax.jit(functools.partial(
+                        rpy_pallas.mobility_apply, r=r, a=a, eta=eta,
+                        wall=wall))(F)
+                rec["rel_err_vs_exact"] = float(
+                    jnp.max(jnp.abs(u1 - u_ref1)) / jnp.max(jnp.abs(u_ref1)))
+            else:
+                # streamed row-block compare (mobility_apply_rows): never
+                # holds the full exact output next to the proxy context —
+                # this is what measures wall accuracy at >=102k ON CHIP
+                # (previously inferred from f64 CPU only).  A row sample
+                # bounds the max-norm error estimate.
+                blk, nblk = 8192, 4
+                starts = [int(s) for s in
+                          np.linspace(0, n - blk, nblk).round()]
+                err = 0.0
+                scale = 0.0
+                for s0 in starts:
+                    ur = jax.jit(functools.partial(
+                        rpy_pallas.mobility_apply_rows, r=r,
+                        row_start=s0, row_len=blk, a=a, eta=eta,
+                        wall=wall))(F)
+                    err = max(err, float(jnp.max(jnp.abs(
+                        u1[s0:s0 + blk] - ur))))
+                    scale = max(scale, float(jnp.max(jnp.abs(ur))))
+                rec["rel_err_vs_exact_streamed"] = err / scale
+                rec["streamed_rows"] = [blk, nblk]
             print(json.dumps(rec), flush=True)
             time.sleep(5)
 

