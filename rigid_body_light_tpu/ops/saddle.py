@@ -643,20 +643,32 @@ def build_pc_ras(ops: GeometryOps, cfg: SimulationConfig,
     S_inv = jnp.linalg.inv(S)
 
     # ---- consistent coupled Ñ = (Kᵀ M̃⁻¹ K)⁻¹, built by applying the RAS
-    # inverse to K's 6 columns per body (lax.map bounds memory to one
-    # body's (6, N, 3) column block at a time)
+    # inverse to all 6B K columns.  One batched apply when the column
+    # block fits comfortably (a sequential lax.map over bodies is
+    # latency-bound on TPU — 2B tiny dispatches); chunked otherwise.
     Kb = body_K_blocks(ops.offsets)                        # (B, n, 3, 6)
+    cols_bytes = 6 * B * N * 3 * 4
 
-    def n_cols(j):
-        cols = jnp.zeros((6, N, 3), dtype)
-        cols = lax.dynamic_update_slice(
-            cols, Kb[j].transpose(2, 0, 1), (0, j * n, 0))
-        y = _ras_apply(cols, minv_ref, rot, halo_idx, W, S_inv)
-        # (6, N, 3) → Kᵀy → (6, B, 6): rows p = (body, comp)
-        return jnp.einsum("bnif,cbni->cbf", Kb, y.reshape(6, B, n, 3))
+    if cols_bytes <= 256 * 2**20:
+        arr = jnp.zeros((B, 6, B, n, 3), dtype)
+        idx = jnp.arange(B)
+        arr = arr.at[idx, :, idx].set(Kb.transpose(0, 3, 1, 2))
+        y = _ras_apply(arr.reshape(6 * B, N, 3), minv_ref, rot, halo_idx,
+                       W, S_inv)
+        ninv = jnp.einsum("bnif,qbni->qbf", Kb,
+                          y.reshape(6 * B, B, n, 3))       # (6B, B, 6)
+        ninv = ninv.reshape(6 * B, 6 * B).T                # [p,q]=KₚᵀM̃⁻¹K_q
+    else:
+        def n_cols(j):
+            cols = jnp.zeros((6, N, 3), dtype)
+            cols = lax.dynamic_update_slice(
+                cols, Kb[j].transpose(2, 0, 1), (0, j * n, 0))
+            y = _ras_apply(cols, minv_ref, rot, halo_idx, W, S_inv)
+            # (6, N, 3) → Kᵀy → (6, B, 6): rows p = (body, comp)
+            return jnp.einsum("bnif,cbni->cbf", Kb, y.reshape(6, B, n, 3))
 
-    ninv = lax.map(n_cols, jnp.arange(B))                  # (B, 6, B, 6)
-    ninv = ninv.reshape(6 * B, 6 * B).T                    # [p, q] = KₚᵀM̃⁻¹K_q
+        ninv = lax.map(n_cols, jnp.arange(B))              # (B, 6, B, 6)
+        ninv = ninv.reshape(6 * B, 6 * B).T
     n_full = jnp.linalg.inv(ninv)
     return static_pc._replace(halo_idx=halo_idx, halo_w=W, halo_sinv=S_inv,
                               n_full=n_full)
