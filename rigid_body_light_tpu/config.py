@@ -159,6 +159,15 @@ class SimulationConfig:
                 "or 'em_exact' (a typo here would otherwise silently run the "
                 "midpoint scheme)"
             )
+        if self.pc_mode == "ras" and self.pc_refresh > 1:
+            raise ValueError(
+                "pc_refresh > 1 with pc_mode='ras' is not supported: a "
+                "lagged halo tier is MEASURED catastrophic (settled 9.2 → "
+                "27-29 mean GMRES iters even at refresh 4 — the stale "
+                "Woodbury blocks are inconsistent with the fresh rotation "
+                "core; BENCH_NOTES round 4).  The RAS build is cheap per "
+                "step instead (bf16 matmuls + Newton–Schulz inverses)."
+            )
         if self.max_step_residual > 0 and self.gmres_tol >= self.max_step_residual:
             raise ValueError(
                 f"gmres_tol ({self.gmres_tol}) must be below max_step_residual "

@@ -364,15 +364,15 @@ def run_bd(
     # the block_free PC holds only body-frame constants (configuration-
     # independent) — build it once outside the scan and never rebuild.
     # "ras" carries the same static tier; its per-solve halo coupling is
-    # attached inside solve_saddle at each step's solve geometry — UNLESS
-    # pc_refresh > 1, in which case the halo tier is rebuilt every
-    # pc_refresh steps and carried (lagged).  Unlike the round-2 lagged
-    # block PC (whose staleness ballooned iterations — the body-frame M̂⁻¹
-    # rotations went stale), the RAS core applies FRESH rotations every
-    # step; only the halo *correction* lags, which degrades gently.
+    # attached FRESH inside solve_saddle at each step's solve geometry.
+    # (Lagging the halo tier across steps was measured CATASTROPHIC —
+    # settled 9.2 → 27-29 mean iters even at refresh 4: the stale Woodbury
+    # blocks bake old rotations while the core applies fresh ones, the
+    # exact Ñ/M̃-inconsistency failure mode of the round-3 study.  The
+    # per-step build is made cheap instead: bf16 matmuls + Newton–Schulz
+    # inverses, see saddle._RAS_PRECISION / _ns_inverse.)
     pc_mode = cfg.pc_mode or ("block" if cfg.block_diag_pc else "diag")
-    lagged_ras = pc_mode == "ras" and cfg.pc_refresh > 1
-    static_pc = pc_mode in ("block_free", "ras") and not lagged_ras
+    static_pc = pc_mode in ("block_free", "ras")
     lagged_pc = cfg.pc_refresh > 1 and not static_pc
     noise_pc = (
         lanczos.make_noise_preconditioner(geom.ref_cfg, cfg.a, cfg.eta, dtype)
@@ -386,17 +386,6 @@ def run_bd(
         slip = slip_fn(s, i) if slip_fn is not None else None
         if static_pc:
             pc = pc_prev
-        elif lagged_ras:
-            # rebuild the RAS halo tier every pc_refresh steps around the
-            # loop-invariant static core (XLA hoists the core build)
-            pc = lax.cond(
-                i % cfg.pc_refresh == 0,
-                lambda _: saddle_mod.build_pc_ras(
-                    saddle_mod.geometry_ops(geom, s), cfg,
-                    static_pc=pc_static_ref),
-                lambda _: pc_prev,
-                None,
-            )
         elif lagged_pc:
             # rebuild the (expensive) PC only every pc_refresh steps; a
             # preconditioner lagging a few small steps barely affects the
@@ -423,8 +412,7 @@ def run_bd(
             jnp.where(solve_ok, aux.lam, 0.0),
             jnp.where(solve_ok, aux.U, 0.0),
         )
-        return (s_new, k, x_carry,
-                pc if (lagged_pc or lagged_ras) else pc_prev), out
+        return (s_new, k, x_carry, pc if lagged_pc else pc_prev), out
 
     n_blb = geom.ref_cfg.shape[0]
     x_init = (
@@ -434,14 +422,9 @@ def run_bd(
     # in lagged mode the carry needs a PCData pytree of the right structure
     # (the cond at i=0 always rebuilds it); in static (block_free) mode the
     # init IS the PC for the whole scan; otherwise carry nothing
-    pc_static_ref = (
-        saddle_mod.build_pc(saddle_mod.geometry_ops(geom, state), cfg)
-        if (lagged_pc or static_pc or lagged_ras) else None
-    )
     pc_init = (
-        saddle_mod.build_pc_ras(saddle_mod.geometry_ops(geom, state), cfg,
-                                static_pc=pc_static_ref)
-        if lagged_ras else pc_static_ref
+        saddle_mod.build_pc(saddle_mod.geometry_ops(geom, state), cfg)
+        if (lagged_pc or static_pc) else None
     )
     (final, _, _, _), (Xs, Qs, residuals, iters, noise_errs) = lax.scan(
         body, (state, key, x_init, pc_init), jnp.arange(n_steps)

@@ -509,12 +509,51 @@ def build_pc(ops: GeometryOps, cfg: SimulationConfig) -> PCData:
     return pc
 
 
+# Matmul precision of RAS build/apply ingredients.  The RAS tier only
+# steers Krylov convergence (the PC never changes the solution), so its
+# matmuls run at the TPU's native bf16-input precision (~1e-3 relative)
+# instead of the package-wide f32-"highest" pin — measured ~3x on the
+# build's W/Ñ einsums.  CPU/f64 runs are unaffected (precision flags are
+# a TPU notion).
+_RAS_PRECISION = jax.lax.Precision.DEFAULT
+
+
+def _ns_inverse(S, iters: int):
+    """Batched Newton–Schulz inverse X_{k+1} = X_k(2I − S·X_k) with the
+    Pan–Reif init X₀ = Sᵀ/(‖S‖₁‖S‖∞) (spectral radius of I − X₀S < 1 for
+    any nonsingular S).  Pure matmuls — no LU/triangular solves, which
+    run orders of magnitude below the MXU on TPU (the measured 237 ms
+    block-PC trap was exactly batched LU).  Preconditioner-grade
+    accuracy: quadratic convergence to ~1e-3 well within ``iters`` for
+    the cluster Schur/body-mobility conditioning seen in practice; an
+    under-converged inverse degrades iteration count, never correctness.
+    """
+    from jax import lax
+
+    m = S.shape[-1]
+    eye = jnp.eye(m, dtype=S.dtype)
+    n1 = jnp.max(jnp.sum(jnp.abs(S), axis=-2), axis=-1)
+    ninf = jnp.max(jnp.sum(jnp.abs(S), axis=-1), axis=-1)
+    X = jnp.swapaxes(S, -1, -2) / (n1 * ninf)[..., None, None]
+
+    def body(_, X):
+        SX = jnp.matmul(S, X, precision=_RAS_PRECISION)
+        return jnp.matmul(X, 2.0 * eye - SX, precision=_RAS_PRECISION)
+
+    return lax.fori_loop(0, iters, body, X)
+
+
+_NS_ITERS_S = 30      # halo Schur inverses (B, 3H, 3H)
+_NS_ITERS_N = 40      # coupled body matrix (6B, 6B)
+
+
 def _ras_core_apply(minv_ref, rot, v):
     """Static body-frame core A⁻¹·v = R̃ M̂⁻¹ R̃ᵀ v; v (..., B, n, 3)."""
     B, n = v.shape[-3], v.shape[-2]
     v_body = jnp.einsum("bji,...bnj->...bni", rot, v)
     v_body = v_body.reshape(*v.shape[:-3], B, 3 * n)
-    w = jnp.einsum("pq,...bq->...bp", minv_ref, v_body)
+    w = jnp.einsum("pq,...bq->...bp", minv_ref, v_body,
+                   precision=_RAS_PRECISION)
     w = w.reshape(*v.shape[:-3], B, n, 3)
     return jnp.einsum("bij,...bnj->...bni", rot, w)
 
@@ -533,10 +572,12 @@ def _ras_apply(v, minv_ref, rot, halo_idx, W, S_inv):
     v2 = v[..., halo_idx.reshape(-1), :].reshape(
         *lead, B, 3 * H)                                   # halo values
     v1f = v1.reshape(*lead, B, 3 * n)
-    t = v2 - jnp.einsum("bph,...bp->...bh", W, v1f)        # v2 − Cᵀ A⁻¹ v1
-    y2 = jnp.einsum("bhg,...bg->...bh", S_inv, t)          # Schur solve
+    t = v2 - jnp.einsum("bph,...bp->...bh", W, v1f,
+                        precision=_RAS_PRECISION)          # v2 − Cᵀ A⁻¹ v1
+    y2 = jnp.einsum("bhg,...bg->...bh", S_inv, t,
+                    precision=_RAS_PRECISION)              # Schur solve
     y = y_core.reshape(*lead, B, 3 * n) - jnp.einsum(
-        "bph,...bh->...bp", W, y2)
+        "bph,...bh->...bp", W, y2, precision=_RAS_PRECISION)
     return y.reshape(*v.shape[:-2], N, 3)
 
 
@@ -639,8 +680,8 @@ def build_pc_ras(ops: GeometryOps, cfg: SimulationConfig,
     W = _ras_core_apply(
         minv_ref, rot, C.reshape(B, n, 3, 3 * H).transpose(3, 0, 1, 2)
     ).transpose(1, 2, 3, 0).reshape(B, 3 * n, 3 * H)
-    S = D - jnp.einsum("bph,bpg->bhg", C, W)
-    S_inv = jnp.linalg.inv(S)
+    S = D - jnp.einsum("bph,bpg->bhg", C, W, precision=_RAS_PRECISION)
+    S_inv = _ns_inverse(S, _NS_ITERS_S)
 
     # ---- consistent coupled Ñ = (Kᵀ M̃⁻¹ K)⁻¹, built by applying the RAS
     # inverse to all 6B K columns.  One batched apply when the column
@@ -656,7 +697,8 @@ def build_pc_ras(ops: GeometryOps, cfg: SimulationConfig,
         y = _ras_apply(arr.reshape(6 * B, N, 3), minv_ref, rot, halo_idx,
                        W, S_inv)
         ninv = jnp.einsum("bnif,qbni->qbf", Kb,
-                          y.reshape(6 * B, B, n, 3))       # (6B, B, 6)
+                          y.reshape(6 * B, B, n, 3),
+                          precision=_RAS_PRECISION)        # (6B, B, 6)
         ninv = ninv.reshape(6 * B, 6 * B).T                # [p,q]=KₚᵀM̃⁻¹K_q
     else:
         def n_cols(j):
@@ -669,7 +711,7 @@ def build_pc_ras(ops: GeometryOps, cfg: SimulationConfig,
 
         ninv = lax.map(n_cols, jnp.arange(B))              # (B, 6, B, 6)
         ninv = ninv.reshape(6 * B, 6 * B).T
-    n_full = jnp.linalg.inv(ninv)
+    n_full = _ns_inverse(ninv, _NS_ITERS_N)
     return static_pc._replace(halo_idx=halo_idx, halo_w=W, halo_sinv=S_inv,
                               n_full=n_full)
 

@@ -138,33 +138,89 @@ def main():
         "rel_err": err,
     }), flush=True)
 
-    # ---- build-shaped slab: (22, 22, B, B) rfft over axis 1 + fft axis 0
-    xs = jnp.asarray(rng.standard_normal((gy, gz, B, B // 4)), jnp.float32)
+    # ---- spread (P2M), interpolation (L2P) and the conv einsum at the
+    # measured 40.96k-blob shapes: is the 166 ms far apply scatter/gather-
+    # bound?  Compare the current segment_sum/gather against one-hot
+    # matmuls (ctx-resident (ncell, N) indicator, MXU contraction).
+    N = 40960
+    ncell = G ** 3
+    p3 = 64
+    cid = jnp.asarray(rng.integers(0, ncell, N), jnp.int32)
+    W3 = jnp.asarray(rng.standard_normal((N, p3)), jnp.float32)
+    Fv = jnp.asarray(rng.standard_normal((1, N, 3)), jnp.float32)
 
-    def fft_slab(v):
-        vf = jnp.fft.rfft(v, axis=1)
-        return jnp.abs(jnp.fft.fft(vf, axis=0)).astype(v.dtype)
+    from rigid_body_light_tpu.ops import farfield
 
-    t_fft_s = timeit(chain(fft_slab, xs), xs)
+    @jax.jit
+    def p2m_only(F):
+        return farfield._p2m(W3, cid, F, ncell, 4)
 
-    def dft_slab(v):
-        ar = jnp.einsum("fz,yzbc->yfbc", j(dzr), v)
-        ai = jnp.einsum("fz,yzbc->yfbc", j(dzi), v)
-        br = jnp.einsum("gy,yfbc->gfbc", j(dyr), ar) - jnp.einsum(
-            "gy,yfbc->gfbc", j(dyi), ai)
-        bi = jnp.einsum("gy,yfbc->gfbc", j(dyr), ai) + jnp.einsum(
-            "gy,yfbc->gfbc", j(dyi), ar)
-        return jnp.sqrt(br * br + bi * bi)
+    def timeit_plain(fn, x, reps=10):
+        y = fn(x)
+        _sync(y)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            y = fn(x)
+        _sync(y)
+        return (time.perf_counter() - t0) / reps * 1e3
 
-    ref = fft_slab(xs)
-    got = dft_slab(xs)
-    err_s = float(jnp.max(jnp.abs(ref - got)) / jnp.max(jnp.abs(ref)))
-    t_dft_s = timeit(chain(dft_slab, xs), xs)
-    print(json.dumps({
-        "case": "build_slab", "shape": [gy, gz, B, B // 4],
-        "fft_ms": round(t_fft_s, 2), "dftmm_ms": round(t_dft_s, 2),
-        "rel_err": err_s,
-    }), flush=True)
+    t_p2m = timeit_plain(p2m_only, Fv)
+
+    onehot = jax.nn.one_hot(cid, ncell, dtype=jnp.float32)  # (N, ncell)
+
+    @jax.jit
+    def p2m_mm(F):
+        V = (W3[None, :, :, None] * F[:, :, None, :]).reshape(1, N, p3 * 3)
+        return jnp.einsum("nc,knb->kcb", onehot, V)
+
+    t_p2m_mm = timeit_plain(p2m_mm, Fv)
+    ref = p2m_only(Fv)
+    got = p2m_mm(Fv)
+    err_p2m = float(jnp.max(jnp.abs(ref - got)) /
+                    (1e-30 + jnp.max(jnp.abs(ref))))
+    print(json.dumps({"case": "p2m_40960",
+                      "segment_sum_ms": round(t_p2m, 2),
+                      "onehot_mm_ms": round(t_p2m_mm, 2),
+                      "rel_err": err_p2m}), flush=True)
+
+    Unodes = jnp.asarray(rng.standard_normal((1, ncell, p3 * 3)),
+                         jnp.float32)
+
+    @jax.jit
+    def l2p_gather(U):
+        return farfield._l2p(W3, cid, U, 4)
+
+    @jax.jit
+    def l2p_mm(U):
+        local = jnp.einsum("nc,kcb->knb", onehot, U).reshape(1, N, p3, 3)
+        return jnp.einsum("np,knpx->knx", W3, local)
+
+    t_l2p = timeit_plain(l2p_gather, Unodes)
+    t_l2p_mm = timeit_plain(l2p_mm, Unodes)
+    ref = l2p_gather(Unodes)
+    got = l2p_mm(Unodes)
+    err_l2p = float(jnp.max(jnp.abs(ref - got)) /
+                    (1e-30 + jnp.max(jnp.abs(ref))))
+    print(json.dumps({"case": "l2p_40960",
+                      "gather_ms": round(t_l2p, 2),
+                      "onehot_mm_ms": round(t_l2p_mm, 2),
+                      "rel_err": err_l2p}), flush=True)
+
+    # conv einsum: (nf, B, B) complex khat × (k, nf, B) — reads the
+    # resident lattice once per apply
+    nf = 2 * G * 2 * G * (G + 1)
+    khat = (jnp.asarray(rng.standard_normal((nf, B, B)), jnp.float32)
+            + 1j * jnp.asarray(rng.standard_normal((nf, B, B)), jnp.float32))
+    Qf = (jnp.asarray(rng.standard_normal((1, nf, B)), jnp.float32)
+          + 1j * jnp.asarray(rng.standard_normal((1, nf, B)), jnp.float32))
+
+    @jax.jit
+    def conv(q):
+        return jnp.einsum("oij,koj->koi", khat, q)
+
+    t_conv = timeit_plain(conv, Qf)
+    print(json.dumps({"case": "conv_einsum", "nf": int(nf), "B": B,
+                      "complex_ms": round(t_conv, 2)}), flush=True)
 
 
 if __name__ == "__main__":

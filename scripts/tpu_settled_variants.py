@@ -56,14 +56,9 @@ def main():
                        pc_halo=8.0, pc_halo_max=128),
         "ras_h8_cap64": dict(gmres_restart=60, pc_mode="ras",
                              pc_halo=8.0, pc_halo_max=64),
-        # lagged halo tier: rebuild every pc_refresh steps (the static
-        # core stays rotation-fresh; only the coupling correction lags)
-        "ras_h8_cap64_lag4": dict(gmres_restart=60, pc_mode="ras",
-                                  pc_halo=8.0, pc_halo_max=64, pc_refresh=4),
-        "ras_h8_lag8": dict(gmres_restart=60, pc_mode="ras",
-                            pc_halo=8.0, pc_halo_max=128, pc_refresh=8),
-        "ras_h8_lag16": dict(gmres_restart=60, pc_mode="ras",
-                             pc_halo=8.0, pc_halo_max=128, pc_refresh=16),
+        # (lagged halo-tier variants were measured catastrophic — 27-29
+        # mean iters even at refresh 4 — and the config now rejects them;
+        # the fresh build is cheap instead: bf16 + Newton–Schulz.)
     }
     # run one variant per process (the axon tunnel wedges on long-lived
     # clients issuing several distinct compile RPCs back to back)

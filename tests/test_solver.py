@@ -237,31 +237,3 @@ def test_ras_pc_fluctuating_trajectory_runs():
     )(state, jax.random.key(0))
     assert np.isfinite(np.asarray(final.X)).all()
     assert float(np.asarray(traj["residual"]).max()) < 1e-2
-
-
-def test_ras_pc_lagged_refresh_trajectory():
-    """pc_refresh > 1 with pc_mode='ras': the halo tier is rebuilt every k
-    steps and carried — runs, converges, and matches the fresh-build
-    trajectory closely (the lagged correction only perturbs convergence)."""
-    import jax
-
-    from rigid_body_light_tpu import forces
-    from rigid_body_light_tpu.dynamics import run_bd
-
-    kw = dict(dtype=jnp.float32, gmres_tol=1e-4, kBT=1.0, dt=0.01,
-              lanczos_iters=8, pc_mode="ras", pc_halo=4.0, pc_halo_max=16,
-              use_pallas=False)
-    cfg, geom, state, _ = _settled_layer(**kw)
-    cfg_lag, _, _, _ = _settled_layer(**kw, pc_refresh=3)
-    force_fn = forces.gravity(np.array([0, 0, -0.5, 0, 0, 0]))
-    run = lambda c: jax.jit(
-        lambda s, k: run_bd(geom, c, s, k, n_steps=4, force_fn=force_fn)
-    )(state, jax.random.key(2))
-    f_fresh, t_fresh = run(cfg)
-    f_lag, t_lag = run(cfg_lag)
-    assert np.isfinite(np.asarray(f_lag.X)).all()
-    assert float(np.asarray(t_lag["residual"]).max()) < 1e-2
-    # same noise keys, same physics — identical trajectories up to the
-    # solver tolerance (the PC never changes the solution)
-    np.testing.assert_allclose(np.asarray(f_lag.X), np.asarray(f_fresh.X),
-                               atol=1e-3)
