@@ -55,6 +55,7 @@ class SimulationConfig:
     kBT: float = 0.0
     wall: bool = False
     box: Any = None  # None (open domain); (Lx, Ly): pseudo-periodic in the plane via minimum-image wrapping (z open — the wall geometry; not guaranteed SPD at high density); or (Lx, Ly, Lz): TRUE triply-periodic RPY via positively-split Ewald (ops/ewald.py) — exact periodic operator, SPD for every splitting, validated against Hasimoto's lattice constants.  3-D boxes require wall=False and are incompatible with per-blob radii for now.  Trajectories keep unwrapped coordinates; only pair interactions see the wrap.
+    image_shells: int = 0  # 2-D boxes only: 0 = minimum-image wrapping (the classic pseudo-periodic approximation); S ≥ 1 = exact doubly-periodic operator truncated at the (2S+1)² nearest in-plane lattice images (ops/rpy.image_offsets).  The wall-corrected pair mobility decays like 1/ρ³, so the sum converges absolutely with an O(1/S) tail (measured in tests/test_pseudo2d.py).  Cost ≈ (2S+1)² × the pair sweep (routes to the XLA sweep — the Pallas kernel and distributed modes stay minimum-image for now).
     ewald_xi: float = 0.0  # Ewald splitting parameter for 3-D boxes; 0 = auto (real-space error ~ewald_tol at min(L)/2, so the real sweep needs no image loop)
     ewald_tol: float = 1.0e-6  # truncation tolerance of both Ewald parts (sets xi and kmax)
     ewald_rc: float = 0.0  # balanced splitting: real-space cutoff (2a < rc < min(L)/2).  Shifts cost from the O(N²) real sweep to MXU wave matmuls and runs the real part over a sorted-tile neighbor structure at O(N·ρ·rc³) — the at-scale periodic mode (ops/ewald_cells.py).  0 = off (classic min(L)/2 split).  Monodisperse only; incompatible with ewald_xi.
@@ -104,6 +105,16 @@ class SimulationConfig:
                 )
             # normalized tuple keeps the frozen dataclass hashable/jit-static
             object.__setattr__(self, "box", box)
+        if self.image_shells:
+            if self.image_shells < 0:
+                raise ValueError(
+                    f"image_shells must be ≥ 0, got {self.image_shells}"
+                )
+            if self.box is None or len(self.box) != 2:
+                raise ValueError(
+                    "image_shells needs a 2-D (Lx, Ly) box — the exact "
+                    "image sum is the doubly-periodic (pseudo-2D) geometry"
+                )
         if self.farfield_grid is not None:
             if self.box is not None:
                 raise ValueError(

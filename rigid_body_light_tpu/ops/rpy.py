@@ -257,9 +257,86 @@ def damping_factors(r, a=1.0, radii=None):
     return jnp.clip(r[:, 2] / az, 0.0, 1.0).astype(r.dtype)
 
 
+def image_offsets(box_n, shells, dtype):
+    """Nonzero in-plane lattice offsets n·(Lx, Ly, 0), |n|∞ ≤ shells.
+
+    Units of a (box_n is the box in units of a).  The zero offset is the
+    minimum-image sweep itself and is excluded.  Used by the exact
+    doubly-periodic (pseudo-2D) image summation: the wall-corrected pair
+    mobility decays like 1/ρ³ in-plane (the no-slip images cancel the bare
+    1/ρ Stokeslet), so the lattice sum converges absolutely and shell
+    truncation has an O(1/shells) tail — see tests/test_pseudo2d.py for the
+    measured convergence.
+    """
+    import numpy as np
+
+    n = np.arange(-shells, shells + 1)
+    nx, ny = np.meshgrid(n, n, indexing="ij")
+    sel = (nx != 0) | (ny != 0)
+    off = np.stack([nx[sel] * float(box_n[0]), ny[sel] * float(box_n[1]),
+                    np.zeros(int(sel.sum()))], axis=-1)
+    return jnp.asarray(off, dtype)
+
+
+def _pair_field_sum(d, keep, Fk, wall, dtype, zi, zj, inv_ae,
+                    ahat_rows, ahat_cols):
+    """Σ_j M(d_ij)·F_j for one displacement set d (T, N, 3) → (k, T, 3).
+
+    keep: optional (T, N) bool — False pairs contribute nothing (self-pair
+    masking; only the zero lattice offset masks them — a blob DOES interact
+    with its own periodic images).  zi/zj: floored heights in wall units
+    (broadcastable to (T, N)); inv_ae: polydisperse pair radius factor or
+    None.  All are offset-independent and precomputed by the caller.
+    """
+    poly = ahat_rows is not None
+    r2 = jnp.sum(d * d, axis=-1)
+    if keep is not None:
+        # gradient safety: the self-pair r²=0 is masked out of the primal
+        # below, but d(r^{-3/2})/dr² at the 1e-24 floor overflows float32 and
+        # poisons reverse-mode AD with inf·0 = NaN — substitute a harmless
+        # distance first
+        r2 = jnp.where(keep, r2, 4.0)
+    if poly:
+        alpha, beta = _free_coeffs_poly(
+            r2, ahat_rows[:, None], ahat_cols[None, :], dtype)
+    else:
+        alpha, beta = _free_coeffs(r2, dtype)
+    if keep is not None:
+        alpha = jnp.where(keep, alpha, 0.0)
+        beta = jnp.where(keep, beta, 0.0)
+    dF = jnp.einsum("tnx,knx->ktn", d, Fk)
+    out = jnp.einsum("tn,knx->ktx", alpha, Fk) + jnp.einsum(
+        "ktn,tn,tnx->ktx", dF, beta, d
+    )
+    if wall:
+        if poly:
+            d_img = (d * inv_ae[:, :, None]).at[:, :, 2].set(zi + zj)
+        else:
+            d_img = d.at[:, :, 2].set(jnp.broadcast_to(zi + zj, d.shape[:2]))
+        f1, f2, f3, f4, f5, invR = _wall_coeffs(d_img, zj)
+        if poly:
+            f1, f2, f3, f4, f5 = (f * inv_ae for f in (f1, f2, f3, f4, f5))
+        e = d_img * invR[:, :, None]
+        if keep is not None:
+            f1 = jnp.where(keep, f1, 0.0)
+            f2 = jnp.where(keep, f2, 0.0)
+            f3 = jnp.where(keep, f3, 0.0)
+            f4 = jnp.where(keep, f4, 0.0)
+            f5 = jnp.where(keep, f5, 0.0)
+        f1, f2, f3, f4, f5 = (f.astype(dtype) for f in (f1, f2, f3, f4, f5))
+        eF = jnp.einsum("tnx,knx->ktn", e, Fk)
+        Fz = Fk[:, :, 2]
+        out = out + jnp.einsum("tn,knx->ktx", f1, Fk)
+        out = out + jnp.einsum("ktn,tn,tnx->ktx", eF, f2, e)
+        out = out + jnp.einsum("tn,kn,tnx->ktx", f3, Fz, e)
+        z_part = jnp.einsum("tn,ktn->kt", f4, eF) + jnp.einsum("tn,kn->kt", f5, Fz)
+        out = out.at[:, :, 2].add(z_part)
+    return out
+
+
 def _pair_tile(ri, zi_img_unused, rj, row_ids, col_ids, F, inv_a, wall, dtype,
                h_floor=WALL_H_FLOOR, box_n=None, ahat_rows=None,
-               ahat_cols=None):
+               ahat_cols=None, img_offsets=None):
     """Mobility contribution of all column blobs onto a tile of row blobs.
 
     ri: (T, 3) row positions;  rj: (N, 3) all positions;
@@ -273,62 +350,37 @@ def _pair_tile(ri, zi_img_unused, rj, row_ids, col_ids, F, inv_a, wall, dtype,
     has no published closed form at Swan–Brady order, so the finite-size
     image terms are an a_eff approximation — the leading point-image term
     is radius-independent and remains exact).
+    img_offsets: optional (O, 3) nonzero in-plane lattice offsets (units of
+    a, see :func:`image_offsets`) — the exact doubly-periodic image sum,
+    accumulated by a scan so peak memory stays O(T·N).
     Returns (T, 3) / (k, T, 3) = Σ_j M_ij F_j (pair terms only).
     """
     multi = F.ndim == 3
     poly = ahat_rows is not None
     Fk = F if multi else F[None]
     d = _wrap_xy((ri[:, None, :] - rj[None, :, :]) * inv_a, box_n)  # (T, N, 3)
-    r2 = jnp.sum(d * d, axis=-1)
-    self_mask = row_ids[:, None] == col_ids[None, :]
-    # gradient safety: the self-pair r²=0 is masked out of the primal below,
-    # but d(r^{-3/2})/dr² at the 1e-24 floor overflows float32 and poisons
-    # reverse-mode AD with inf·0 = NaN — substitute a harmless distance first
-    r2 = jnp.where(self_mask, 4.0, r2)
-    if poly:
-        alpha, beta = _free_coeffs_poly(
-            r2, ahat_rows[:, None], ahat_cols[None, :], dtype)
-    else:
-        alpha, beta = _free_coeffs(r2, dtype)
-    alpha = jnp.where(self_mask, 0.0, alpha)
-    beta = jnp.where(self_mask, 0.0, beta)
-    dF = jnp.einsum("tnx,knx->ktn", d, Fk)
-    out = jnp.einsum("tn,knx->ktx", alpha, Fk) + jnp.einsum(
-        "ktn,tn,tnx->ktx", dF, beta, d
-    )
+    keep = row_ids[:, None] != col_ids[None, :]
+    inv_ae = zi = zj = None
     if wall:
         if poly:
             inv_ae = 1.0 / jnp.sqrt(ahat_rows[:, None] * ahat_cols[None, :])
             zj = rj[None, :, 2] * inv_a * inv_ae
             zi = ri[:, None, 2] * inv_a * inv_ae
-            if h_floor > 0:
-                zj = jnp.maximum(zj, h_floor)
-                zi = jnp.maximum(zi, h_floor)
-            d_img = (d * inv_ae[:, :, None]).at[:, :, 2].set(zi + zj)
-            f1, f2, f3, f4, f5, invR = _wall_coeffs(d_img, zj)
-            f1, f2, f3, f4, f5 = (f * inv_ae for f in (f1, f2, f3, f4, f5))
         else:
-            zj = rj[:, 2] * inv_a
-            zi = ri[:, 2] * inv_a
-            if h_floor > 0:
-                zj = jnp.maximum(zj, h_floor)
-                zi = jnp.maximum(zi, h_floor)
-            d_img = d.at[:, :, 2].set(zi[:, None] + zj[None, :])
-            f1, f2, f3, f4, f5, invR = _wall_coeffs(d_img, zj[None, :])
-        e = d_img * invR[:, :, None]
-        keep = jnp.logical_not(self_mask)
-        f1 = jnp.where(keep, f1, 0.0).astype(dtype)
-        f2 = jnp.where(keep, f2, 0.0).astype(dtype)
-        f3 = jnp.where(keep, f3, 0.0).astype(dtype)
-        f4 = jnp.where(keep, f4, 0.0).astype(dtype)
-        f5 = jnp.where(keep, f5, 0.0).astype(dtype)
-        eF = jnp.einsum("tnx,knx->ktn", e, Fk)
-        Fz = Fk[:, :, 2]
-        out = out + jnp.einsum("tn,knx->ktx", f1, Fk)
-        out = out + jnp.einsum("ktn,tn,tnx->ktx", eF, f2, e)
-        out = out + jnp.einsum("tn,kn,tnx->ktx", f3, Fz, e)
-        z_part = jnp.einsum("tn,ktn->kt", f4, eF) + jnp.einsum("tn,kn->kt", f5, Fz)
-        out = out.at[:, :, 2].add(z_part)
+            zj = rj[None, :, 2] * inv_a
+            zi = ri[:, None, 2] * inv_a
+        if h_floor > 0:
+            zj = jnp.maximum(zj, h_floor)
+            zi = jnp.maximum(zi, h_floor)
+    out = _pair_field_sum(d, keep, Fk, wall, dtype, zi, zj, inv_ae,
+                          ahat_rows, ahat_cols)
+    if img_offsets is not None:
+        def add_offset(acc, off):
+            return acc + _pair_field_sum(
+                d + off[None, None, :], None, Fk, wall, dtype, zi, zj,
+                inv_ae, ahat_rows, ahat_cols), None
+
+        out, _ = lax.scan(add_offset, out, img_offsets)
     return out if multi else out[0]
 
 
@@ -345,6 +397,7 @@ def pair_sum(
     box=None,
     radii_rows=None,
     radii_cols=None,
+    image_shells=0,
 ):
     """Σ_j M_ij·F_j over all column blobs, for a set of row blobs.
 
@@ -353,10 +406,23 @@ def pair_sum(
     single-device streamed matvec and the ``shard_map`` row-sharded matvec
     are built from.  Shapes: r_rows (R, 3), r_cols/F_cols (N, 3),
     row_ids (R,), col_ids (N,) global indices for self-pair masking.
+
+    image_shells: 0 = minimum-image only (the classic pseudo-periodic
+    approximation); S ≥ 1 adds the exact sum over the (2S+1)²−1 nearest
+    nonzero in-plane lattice images (requires a 2-D ``box``) — the exact
+    doubly-periodic wall-bounded operator up to the O(1/S) shell tail.
     """
     dtype = r_rows.dtype
     inv_a = jnp.asarray(1.0 / a, dtype)
     box_n = None if box is None else tuple(b / a for b in box)
+    img_off = None
+    if image_shells:
+        if box_n is None or len(box_n) != 2:
+            raise ValueError(
+                "image_shells needs a 2-D (Lx, Ly) box — the exact image "
+                "sum is the doubly-periodic (pseudo-2D) geometry"
+            )
+        img_off = image_offsets(box_n, int(image_shells), dtype)
     n_rows = r_rows.shape[0]
     tile = min(row_tile, n_rows)
     n_tiles = -(-n_rows // tile)
@@ -379,7 +445,8 @@ def pair_sum(
         return _pair_tile(ri, None, r_cols, rid, col_ids.astype(jnp.int32),
                           F_cols, inv_a, wall, dtype, h_floor=h_floor,
                           box_n=box_n, ahat_rows=ar,
-                          ahat_cols=ac if poly else None)
+                          ahat_cols=ac if poly else None,
+                          img_offsets=img_off)
 
     multi = F_cols.ndim == 3
     if n_tiles == 1:
@@ -405,6 +472,7 @@ def mobility_apply(
     h_floor=WALL_H_FLOOR,
     box=None,
     radii=None,
+    image_shells=0,
 ):
     """Matrix-free U = M(r)·F (optionally B·M·B·F), shapes (N, 3)→(N, 3).
 
@@ -414,6 +482,7 @@ def mobility_apply(
 
     damp: None → apply damping iff ``wall`` (reference semantics);
       True/False forces it.
+    image_shells: exact doubly-periodic image sum — see :func:`pair_sum`.
     """
     r = jnp.asarray(r).reshape(-1, 3)
     F = jnp.asarray(F, dtype=r.dtype).reshape(-1, 3)
@@ -428,7 +497,8 @@ def mobility_apply(
 
     ids = jnp.arange(n, dtype=jnp.int32)
     U = pair_sum(r, ids, r, ids, Fd, a=a, wall=wall, row_tile=row_tile,
-                 h_floor=h_floor, box=box, radii_rows=radii, radii_cols=radii)
+                 h_floor=h_floor, box=box, radii_rows=radii, radii_cols=radii,
+                 image_shells=image_shells)
 
     # self term (4/3 + wall self) — diagonal, added outside the pair sweep
     self_diag = jnp.full((n, 3), _SELF_COEF, dtype=dtype)
@@ -457,6 +527,7 @@ def mobility_apply_multi(
     h_floor=WALL_H_FLOOR,
     box=None,
     radii=None,
+    image_shells=0,
 ):
     """Multi-RHS U_k = M(r)·F_k (damped iff wall), (k, N, 3)×(N, 3)→(k, N, 3).
 
@@ -480,7 +551,8 @@ def mobility_apply_multi(
 
     ids = jnp.arange(n, dtype=jnp.int32)
     U = pair_sum(r, ids, r, ids, Fd, a=a, wall=wall, row_tile=row_tile,
-                 h_floor=h_floor, box=box, radii_rows=radii, radii_cols=radii)
+                 h_floor=h_floor, box=box, radii_rows=radii, radii_cols=radii,
+                 image_shells=image_shells)
 
     self_diag = jnp.full((n, 3), _SELF_COEF, dtype=dtype)
     if radii is not None:
@@ -495,54 +567,35 @@ def mobility_apply_multi(
     return U
 
 
-def mobility_matrix(r, a=1.0, eta=1.0, wall=False, h_floor=WALL_H_FLOOR,
-                    box=None, radii=None):
-    """Dense (3N, 3N) RPY mobility — small-N reference path and PC blocks.
+def _dense_pair_blocks(d, keep, wall, dtype, zi, zj, inv_ae, ahat):
+    """(N, N, 3, 3) pair mobility blocks for one displacement set d.
 
-    Parity: ``rotne_prager_tensor`` (``c_rigid_obj.cpp:413-459``), evaluated
-    for every ordered pair (valid because the wall block satisfies
-    C_ji = C_ijᵀ — see module docstring).  radii: optional (N,) per-blob
-    physical radii — polydisperse RPY (see :func:`_free_coeffs_poly` and the
-    wall a_eff note in :func:`_pair_tile`).
+    keep: optional (N, N) bool — False pairs zeroed (self masking at the
+    zero lattice offset; the caller re-adds the self diagonal).  zi/zj/
+    inv_ae as in :func:`_pair_field_sum` (offset-independent).
     """
-    r = jnp.asarray(r).reshape(-1, 3)
-    dtype = r.dtype
-    n = r.shape[0]
-    inv_a = jnp.asarray(1.0 / a, dtype)
-    poly = radii is not None
-    if poly:
-        ahat = jnp.asarray(radii, dtype) * inv_a
-    box_n = None if box is None else tuple(b / a for b in box)
-    d = _wrap_xy((r[:, None, :] - r[None, :, :]) * inv_a, box_n)  # (N, N, 3)
+    poly = ahat is not None
     r2 = jnp.sum(d * d, axis=-1)
-    eye_n = jnp.eye(n, dtype=bool)
-    r2 = jnp.where(eye_n, 4.0, r2)  # gradient safety — see _pair_tile
+    if keep is not None:
+        r2 = jnp.where(keep, r2, 4.0)  # gradient safety — see _pair_tile
     if poly:
         alpha, beta = _free_coeffs_poly(r2, ahat[:, None], ahat[None, :], dtype)
-        alpha = jnp.where(eye_n, _SELF_COEF / ahat[:, None], alpha)
     else:
         alpha, beta = _free_coeffs(r2, dtype)
-        alpha = jnp.where(eye_n, _SELF_COEF, alpha)
-    beta = jnp.where(eye_n, 0.0, beta)
+    if keep is not None:
+        alpha = jnp.where(keep, alpha, 0.0)
+        beta = jnp.where(keep, beta, 0.0)
     eye3 = jnp.eye(3, dtype=dtype)
-    M = alpha[:, :, None, None] * eye3 + beta[:, :, None, None] * d[:, :, :, None] * d[:, :, None, :]
+    M = (alpha[:, :, None, None] * eye3
+         + beta[:, :, None, None] * d[:, :, :, None] * d[:, :, None, :])
     if wall:
         if poly:
-            inv_ae = 1.0 / jnp.sqrt(ahat[:, None] * ahat[None, :])
-            zj = r[:, 2] * inv_a * inv_ae
-            zi = r[:, 2][:, None] * inv_a * inv_ae
-            if h_floor > 0:
-                zj = jnp.maximum(zj, h_floor)
-                zi = jnp.maximum(zi, h_floor)
             d_img = (d * inv_ae[:, :, None]).at[:, :, 2].set(zi + zj)
-            f1, f2, f3, f4, f5, invR = _wall_coeffs(d_img, zj)
-            f1, f2, f3, f4, f5 = (f * inv_ae for f in (f1, f2, f3, f4, f5))
         else:
-            zj = r[:, 2] * inv_a
-            if h_floor > 0:
-                zj = jnp.maximum(zj, h_floor)
-            d_img = d.at[:, :, 2].set(zj[:, None] + zj[None, :])
-            f1, f2, f3, f4, f5, invR = _wall_coeffs(d_img, zj[None, :])
+            d_img = d.at[:, :, 2].set(jnp.broadcast_to(zi + zj, d.shape[:2]))
+        f1, f2, f3, f4, f5, invR = _wall_coeffs(d_img, zj)
+        if poly:
+            f1, f2, f3, f4, f5 = (f * inv_ae for f in (f1, f2, f3, f4, f5))
         e = d_img * invR[:, :, None]
         zhat = jnp.zeros((3,), dtype).at[2].set(1.0)
         C = (f1[:, :, None, None] * eye3
@@ -550,13 +603,69 @@ def mobility_matrix(r, a=1.0, eta=1.0, wall=False, h_floor=WALL_H_FLOOR,
              + f3[:, :, None, None] * e[:, :, :, None] * zhat[None, None, None, :]
              + f4[:, :, None, None] * zhat[None, None, :, None] * e[:, :, None, :]
              + f5[:, :, None, None] * zhat[None, None, :, None] * zhat[None, None, None, :])
-        # self: diagonal wall correction
-        self_c = wall_self_diag(r[:, 2], a, dtype, h_floor=h_floor,
-                                radii=radii)  # (N, 3)
-        C_self = jnp.einsum("ni,ij->nij", self_c, eye3)
-        C = jnp.where(eye_n[:, :, None, None], 0.0, C)
-        C = C + eye_n[:, :, None, None] * C_self[:, None, :, :]
+        if keep is not None:
+            C = jnp.where(keep[:, :, None, None], C, 0.0)
         M = M + C
+    return M
+
+
+def mobility_matrix(r, a=1.0, eta=1.0, wall=False, h_floor=WALL_H_FLOOR,
+                    box=None, radii=None, image_shells=0):
+    """Dense (3N, 3N) RPY mobility — small-N reference path and PC blocks.
+
+    Parity: ``rotne_prager_tensor`` (``c_rigid_obj.cpp:413-459``), evaluated
+    for every ordered pair (valid because the wall block satisfies
+    C_ji = C_ijᵀ — see module docstring).  radii: optional (N,) per-blob
+    physical radii — polydisperse RPY (see :func:`_free_coeffs_poly` and the
+    wall a_eff note in :func:`_pair_tile`).
+    image_shells: exact doubly-periodic image sum — see :func:`pair_sum`.
+    """
+    r = jnp.asarray(r).reshape(-1, 3)
+    dtype = r.dtype
+    n = r.shape[0]
+    inv_a = jnp.asarray(1.0 / a, dtype)
+    poly = radii is not None
+    ahat = jnp.asarray(radii, dtype) * inv_a if poly else None
+    box_n = None if box is None else tuple(b / a for b in box)
+    d = _wrap_xy((r[:, None, :] - r[None, :, :]) * inv_a, box_n)  # (N, N, 3)
+    eye_n = jnp.eye(n, dtype=bool)
+    inv_ae = zi = zj = None
+    if wall:
+        if poly:
+            inv_ae = 1.0 / jnp.sqrt(ahat[:, None] * ahat[None, :])
+            zj = r[None, :, 2] * inv_a * inv_ae
+            zi = r[:, None, 2] * inv_a * inv_ae
+        else:
+            zj = r[None, :, 2] * inv_a
+            zi = r[:, None, 2] * inv_a
+        if h_floor > 0:
+            zj = jnp.maximum(zj, h_floor)
+            zi = jnp.maximum(zi, h_floor)
+    M = _dense_pair_blocks(d, ~eye_n, wall, dtype, zi, zj, inv_ae, ahat)
+    if image_shells:
+        if box_n is None or len(box_n) != 2:
+            raise ValueError(
+                "image_shells needs a 2-D (Lx, Ly) box — the exact image "
+                "sum is the doubly-periodic (pseudo-2D) geometry"
+            )
+        off = image_offsets(box_n, int(image_shells), dtype)
+
+        def add_offset(acc, o):
+            return acc + _dense_pair_blocks(
+                d + o[None, None, :], None, wall, dtype, zi, zj, inv_ae,
+                ahat), None
+
+        M, _ = lax.scan(add_offset, M, off)
+    # self diagonal: 4/3 free term (+ wall self correction)
+    self_diag = jnp.full((n, 3), _SELF_COEF, dtype=dtype)
+    if poly:
+        self_diag = self_diag / ahat[:, None]
+    if wall:
+        self_diag = self_diag + wall_self_diag(r[:, 2], a, dtype,
+                                               h_floor=h_floor, radii=radii)
+    eye3 = jnp.eye(3, dtype=dtype)
+    M = M + (eye_n[:, :, None, None]
+             * jnp.einsum("ni,ij->nij", self_diag, eye3)[:, None, :, :])
     norm = jnp.asarray(1.0 / (8.0 * jnp.pi * eta * a), dtype)
     M = M * norm
     return M.transpose(0, 2, 1, 3).reshape(3 * n, 3 * n)

@@ -104,7 +104,7 @@ def mobility_apply_fn(cfg: SimulationConfig, radii=None):
         return _ewald_apply_fn(cfg, radii, multi=False)
     if cfg.farfield_grid is not None:
         return _farfield_apply_fn(cfg, radii)
-    if cfg.use_pallas and cfg.dtype == jnp.float32:
+    if cfg.use_pallas and cfg.dtype == jnp.float32 and not cfg.image_shells:
         try:
             from rigid_body_light_tpu.ops import rpy_pallas
 
@@ -123,7 +123,7 @@ def mobility_apply_fn(cfg: SimulationConfig, radii=None):
         return rpy.mobility_apply(
             F, r, a=cfg.a, eta=cfg.eta, wall=cfg.wall,
             row_tile=cfg.matvec_row_tile, h_floor=cfg.wall_h_floor,
-            box=cfg.box, radii=radii,
+            box=cfg.box, radii=radii, image_shells=cfg.image_shells,
         )
 
     return apply_xla
@@ -276,7 +276,7 @@ def mobility_apply_multi_fn(cfg: SimulationConfig, radii=None):
         return _ewald_apply_fn(cfg, radii, multi=True)
     if cfg.farfield_grid is not None:
         return _farfield_apply_fn(cfg, radii)
-    if cfg.use_pallas and cfg.dtype == jnp.float32:
+    if cfg.use_pallas and cfg.dtype == jnp.float32 and not cfg.image_shells:
         try:
             from rigid_body_light_tpu.ops import rpy_pallas
 
@@ -295,7 +295,7 @@ def mobility_apply_multi_fn(cfg: SimulationConfig, radii=None):
         return rpy.mobility_apply_multi(
             Fs, r, a=cfg.a, eta=cfg.eta, wall=cfg.wall,
             row_tile=cfg.matvec_row_tile, h_floor=cfg.wall_h_floor,
-            box=cfg.box, radii=radii,
+            box=cfg.box, radii=radii, image_shells=cfg.image_shells,
         )
 
     return apply_xla
@@ -509,13 +509,13 @@ def build_pc(ops: GeometryOps, cfg: SimulationConfig) -> PCData:
     return pc
 
 
-# Matmul precision of RAS build/apply ingredients.  The RAS tier only
-# steers Krylov convergence (the PC never changes the solution), so its
-# matmuls run at the TPU's native bf16-input precision (~1e-3 relative)
-# instead of the package-wide f32-"highest" pin — measured ~3x on the
-# build's W/Ñ einsums.  CPU/f64 runs are unaffected (precision flags are
-# a TPU notion).
-_RAS_PRECISION = jax.lax.Precision.DEFAULT
+# Matmul precision of RAS build/apply ingredients.  bf16-input matmuls
+# (Precision.DEFAULT) were measured ~3x faster on the build's W/Ñ einsums
+# but cost 2.3 extra GMRES iterations on the settled checkpoint
+# (9.24 → 11.57 mean, 8.41 → 8.19 steps/s): the ~1e-3 PC error is the
+# same order as the halo coupling it adds.  The PC only steers Krylov
+# convergence, but here quality IS the payoff — keep f32-"highest".
+_RAS_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def _ns_inverse(S, iters: int):

@@ -399,6 +399,12 @@ def _local_mobility_fn(cfg: SimulationConfig, n_devices: int,
     boxes, proxy-grid far field when configured, else the ring all-pairs
     sweep (open, wall, or 2-D minimum-image boxes — matching the
     single-device ``saddle.mobility_apply_fn`` routing)."""
+    if cfg.image_shells:
+        raise NotImplementedError(
+            "image_shells (exact doubly-periodic image sum) is single-"
+            "device only for now — distributed 2-D boxes run the "
+            "minimum-image ring sweep (set image_shells=0)"
+        )
     if cfg.box is not None and len(cfg.box) == 3:
         return ewald_mobility_apply_local_fn(cfg, n_devices, axis_name)
     if cfg.farfield_grid is not None:

