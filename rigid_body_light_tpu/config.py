@@ -55,12 +55,12 @@ class SimulationConfig:
     kBT: float = 0.0
     wall: bool = False
     box: Any = None  # None (open domain); (Lx, Ly): pseudo-periodic in the plane via minimum-image wrapping (z open — the wall geometry; not guaranteed SPD at high density); or (Lx, Ly, Lz): TRUE triply-periodic RPY via positively-split Ewald (ops/ewald.py) — exact periodic operator, SPD for every splitting, validated against Hasimoto's lattice constants.  3-D boxes require wall=False and are incompatible with per-blob radii for now.  Trajectories keep unwrapped coordinates; only pair interactions see the wrap.
-    image_shells: int = 0  # 2-D boxes only: 0 = minimum-image wrapping (the classic pseudo-periodic approximation); S ≥ 1 = exact doubly-periodic operator truncated at the (2S+1)² nearest in-plane lattice images (ops/rpy.image_offsets).  The wall-corrected pair mobility decays like 1/ρ³, so the sum converges absolutely with an O(1/S) tail (measured in tests/test_pseudo2d.py).  Cost ≈ (2S+1)² × the pair sweep (routes to the XLA sweep — the Pallas kernel and distributed modes stay minimum-image for now).
+    image_shells: int = 0  # 2-D boxes only: 0 = minimum-image wrapping (the classic pseudo-periodic approximation); S ≥ 1 = exact doubly-periodic operator truncated at the (2S+1)² nearest in-plane lattice images (ops/rpy.image_offsets).  The wall-corrected pair mobility decays like 1/ρ³, so the sum converges absolutely with an O(1/S) tail (measured in tests/test_pseudo2d.py).  Cost ≈ (2S+1)² × the pair sweep (routes to the XLA sweep — the Pallas kernel and distributed modes stay minimum-image for now).  With farfield_grid, sets the kernel-lattice image depth instead (two-ring tail extrapolation; ~2e-4 lattice accuracy at S=6).
     ewald_xi: float = 0.0  # Ewald splitting parameter for 3-D boxes; 0 = auto (real-space error ~ewald_tol at min(L)/2, so the real sweep needs no image loop)
     ewald_tol: float = 1.0e-6  # truncation tolerance of both Ewald parts (sets xi and kmax)
     ewald_rc: float = 0.0  # balanced splitting: real-space cutoff (2a < rc < min(L)/2).  Shifts cost from the O(N²) real sweep to MXU wave matmuls and runs the real part over a sorted-tile neighbor structure at O(N·ρ·rc³) — the at-scale periodic mode (ops/ewald_cells.py).  0 = off (classic min(L)/2 split).  Monodisperse only; incompatible with ewald_xi.
     ewald_nbr_tiles: int = 0  # balanced splitting: static neighbor-list width (tiles of 128 sorted blobs per row tile).  0 = auto (4× the uniform-density estimate + 8).  Overflow NaN-poisons the step (caught by the stepper's rejection guards) — raise for extreme density contrast.
-    farfield_grid: Any = None  # proxy-grid far field for open/wall domains (ops/farfield.py): None = off (exact O(N²) sweeps); "auto" = near-cubic grid of ~tile-sized cells; int or (Gx, Gy, Gz) = explicit supercell counts (pass anisotropic counts for flat sedimented slabs).  Splits M into exact near pairs (adjacent cells) + Chebyshev-interpolated far field evaluated as FFT convolutions on the MXU — O(N) at fixed density instead of O(N²).  The operator is approximate (farfield_p controls accuracy) but symmetric to roundoff; box=None only (polydisperse supported via radius-split kernel lattices).
+    farfield_grid: Any = None  # proxy-grid far field for open/wall domains (ops/farfield.py): None = off (exact O(N²) sweeps); "auto" = near-cubic grid of ~tile-sized cells; int or (Gx, Gy, Gz) = explicit supercell counts (pass anisotropic counts for flat sedimented slabs).  Splits M into exact near pairs (adjacent cells) + Chebyshev-interpolated far field evaluated as FFT convolutions on the MXU — O(N) at fixed density instead of O(N²).  The operator is approximate (farfield_p controls accuracy) but symmetric to roundoff; polydisperse supported via radius-split kernel lattices.  With a 2-D (Lx, Ly) box + wall=True this becomes the PSEUDO-2D doubly-periodic far field: cyclic xy convolution with image-summed combined (free+wall) kernel lattices — exact in-plane periodicity at O(N) per apply, image depth = image_shells (0 = minimum-image periodized; monodisperse, single-device).
     farfield_p: int = 4  # Chebyshev nodes per dim for the far field: 4 ≈ 5e-3 relative operator error, 6 ≈ 3e-4 (measured, tests/test_farfield.py)
     farfield_nbr_tiles: int = 0  # static neighbor-tile list width for the near sweep; 0 = auto (overflow NaN-poisons the step, caught by the stepper's rejection guards — raise for extreme density contrast)
     block_diag_pc: bool = False
@@ -116,10 +116,26 @@ class SimulationConfig:
                     "image sum is the doubly-periodic (pseudo-2D) geometry"
                 )
         if self.farfield_grid is not None:
-            if self.box is not None:
+            if self.box is not None and len(self.box) == 3:
                 raise ValueError(
-                    "farfield_grid needs an open (box=None) domain — periodic "
-                    "boxes already have the Ewald wave-space far field"
+                    "farfield_grid needs an open or 2-D-periodic domain — "
+                    "3-D boxes already have the Ewald wave-space far field"
+                )
+            if self.box is not None and not self.wall:
+                raise ValueError(
+                    "farfield_grid with a 2-D (Lx, Ly) box is the pseudo-2D "
+                    "doubly-periodic WALL mode — needs wall=True (the free-"
+                    "space Stokeslet's in-plane lattice sum diverges)"
+                )
+            if self.box is not None and self.image_shells < 1:
+                raise ValueError(
+                    "the pseudo-2D far field (farfield_grid + 2-D box) "
+                    "needs image_shells ≥ 1: its cyclic kernel lattice "
+                    "picks one signed representative per cell offset, so "
+                    "without an image sum seam pairs are evaluated at the "
+                    "wrong-side image — set image_shells (6 ≈ 1e-4 with "
+                    "tail extrapolation) or farfield_grid=None for the "
+                    "minimum-image sweep"
                 )
             g = self.farfield_grid
             if isinstance(g, str):

@@ -397,6 +397,149 @@ def _wall_kernel_hat(lo_z, h, grid, p, dtype, h_floor, poly=False):
         nk, gz, gz, 2 * gx * (gy + 1), B, B)
 
 
+def _signed_offsets_cyclic(g: int) -> np.ndarray:
+    """Minimum-imaged cell offsets on a g-cyclic (UNPADDED) axis."""
+    o = np.arange(g)
+    return np.where(o <= g // 2, o, o - g).astype(np.int64)
+
+
+def _kernel_hat_2p(lo_z, h, grid, p, dtype, h_floor, shells: int):
+    """Doubly-periodic COMBINED (free-space + wall-image) kernel lattice:
+    per-z-cell-pair CYCLIC xy-offset lattices, 2-D FFT'd at box size.
+
+    The pseudo-2D (x/y periodic, wall at z=0) far field.  Each lattice
+    entry sums the full wall-corrected RPY node blocks over the (2S+1)²
+    nearest in-plane lattice images — convergent only as a COMBINED sum
+    (the free 1/ρ Stokeslet alone diverges over a 2-D lattice; its no-slip
+    images cancel it to 1/ρ³).  The O(1/S) shell tail is killed by
+    two-ring Richardson extrapolation: ring sums of a 1/ρ³ kernel behave
+    like ring_s ≈ A/s² + B/s³, so the tail Σ_{s>S} is a fixed linear
+    combination α·ring_S + β·ring_{S−1} (coefficients solved at trace
+    time from exact Σ 1/s², Σ 1/s³ tail sums).  Measured on a single
+    pair: raw 3.2e-3 → 5.9e-5 at S=6; lattice-level convergence pinned
+    in ``tests/test_pseudo2d_farfield.py``.
+
+    Cyclic means NO 2× zero-padding: the xy convolution is exactly the
+    periodic sum, offsets are minimum-imaged cell displacements, and the
+    near exclusion zeroes only the n=0 (minimum-image) term of wrapped-
+    adjacent offsets — a blob pair's other images stay in the far tier,
+    including a blob's own (the self-image interaction).
+
+    Requires h·(gx, gy) == box (the grid tiles the box exactly — the
+    caller anchors lo_xy = 0 and wraps positions).  Monodisperse only.
+    Returns (gz_t, gz_s, gx·(gy//2+1), B, B) half-spectrum lattices.
+    """
+    gx, gy, gz = grid
+    nodes = _cheb_nodes(p)
+    p3 = p ** 3
+    B = 3 * p3
+    OX, OY = np.meshgrid(_signed_offsets_cyclic(gx),
+                         _signed_offsets_cyclic(gy), indexing="ij")
+    oxy = np.stack([OX, OY], axis=-1).reshape(-1, 2)         # (m, 2)
+    near_xy = np.all(np.abs(oxy) <= 1, axis=-1)              # (m,)
+    tn = jnp.asarray(
+        np.stack(np.meshgrid(nodes, nodes, nodes, indexing="ij"),
+                 axis=-1).reshape(-1, 3), dtype)             # (p³, 3)
+    oxy_j = jnp.asarray(oxy, dtype)
+    dx0 = (oxy_j[:, None, None, 0]
+           + tn[None, :, None, 0] - tn[None, None, :, 0]) * h[0]
+    dy0 = (oxy_j[:, None, None, 1]
+           + tn[None, :, None, 1] - tn[None, None, :, 1]) * h[1]
+    cz = jnp.arange(gz, dtype=dtype)
+    zn = lo_z + (cz[:, None] + tn[None, :, 2]) * h[2]        # (gz, p³) raw
+    znf = jnp.maximum(zn, h_floor) if h_floor > 0 else zn    # wall-floored
+    eye = jnp.eye(3, dtype=dtype)
+    zhat = jnp.zeros(3, dtype).at[2].set(1.0)
+    near_xy_j = jnp.asarray(near_xy)
+    czi_idx = jnp.arange(gz, dtype=jnp.int32)
+    # image shifts n·(Lx, Ly) in units of a, ring-indexed for the tail
+    s_rng = np.arange(-shells, shells + 1)
+    NX, NY = np.meshgrid(s_rng, s_rng, indexing="ij")
+    shift_np = np.stack([NX * gx * 1.0, NY * gy * 1.0], -1).reshape(-1, 2)
+    ring_np = np.maximum(np.abs(NX), np.abs(NY)).reshape(-1)
+    shift_j = jnp.asarray(shift_np, dtype)                   # (ns, 2) cells
+    is_zero = jnp.asarray(ring_np == 0)
+    # two-ring Richardson tail (shared with the exact sweep): tail(S) =
+    # α·ring_S + β·ring_{S−1} — see rpy.tail_coeffs
+    alpha_t, beta_t = rpy.tail_coeffs(shells)
+    ring_w = np.where(ring_np == shells, alpha_t,
+                      np.where(ring_np == shells - 1, beta_t, 0.0))
+    ring_w_j = jnp.asarray(ring_w, dtype)
+
+    def slab(ci):
+        # free part: dz = zi − zj on RAW node heights; wall part: floored
+        dz_free = zn[ci][None, None, :, None] - zn[:, None, None, :]
+        zi = znf[ci][None, None, :, None]
+        zj = znf[:, None, None, :]                           # (gz,1,1,p³)
+        rz = jnp.broadcast_to(zi + zj, (gz,) + dx0.shape)    # (gz,m,p³,p³)
+        near_z = jnp.abs(jnp.arange(gz, dtype=jnp.int32) - ci) <= 1
+        near0 = (near_z[:, None] & near_xy_j[None, :])       # (gz, m)
+
+        def term(carry, sh):
+            shift, zero, ring_w_s = sh
+            dx = dx0 + shift[0] * h[0]
+            dy = dy0 + shift[1] * h[1]
+            dxb = jnp.broadcast_to(dx, rz.shape)
+            dyb = jnp.broadcast_to(dy, rz.shape)
+            # exclude the near sweep's term: min-image (n=0) of wrapped-
+            # adjacent offsets; plus every n=0 self-distance guard
+            keep = jnp.where(zero, ~near0, jnp.ones_like(near0))
+            keepb = keep.astype(dtype)[:, :, None, None]     # (gz, m, 1, 1)
+            # free-space RPY (far branch only at these separations)
+            dzb = jnp.broadcast_to(dz_free, rz.shape)
+            r2 = dxb * dxb + dyb * dyb + dzb * dzb
+            alpha, beta = rpy._free_coeffs(jnp.maximum(r2, 1e-2), dtype)
+            alpha = alpha * keepb
+            beta = beta * keepb
+            d = jnp.stack([dxb, dyb, dzb], axis=-1)
+            Wf = (alpha[..., None, None] * eye
+                  + beta[..., None, None] * d[..., :, None] * d[..., None, :])
+            # wall image part
+            d_img = jnp.stack([dxb, dyb, rz], axis=-1)
+            f1, f2, f3, f4, f5, invR = rpy._wall_coeffs(
+                d_img, jnp.broadcast_to(zj, rz.shape))
+            e = d_img * invR[..., None]
+            f1, f2, f3, f4, f5 = (
+                (f * keepb).astype(dtype) for f in (f1, f2, f3, f4, f5))
+            Ww = (f1[..., None, None] * eye
+                  + f2[..., None, None] * e[..., :, None] * e[..., None, :]
+                  + f3[..., None, None] * e[..., :, None] * zhat[None, :]
+                  + f4[..., None, None] * zhat[:, None] * e[..., None, :]
+                  + f5[..., None, None] * zhat[:, None] * zhat[None, :])
+            W = Wf + Ww                                      # (gz,m,p³,p³,3,3)
+            tot, tail = carry
+            tot = tot + W
+            tail = tail + ring_w_s * W
+            return (tot, tail), None
+
+        zeros = jnp.zeros((gz,) + dx0.shape + (3, 3), dtype)
+        (tot, tail), _ = lax.scan(
+            term, (zeros, zeros), (shift_j, is_zero, ring_w_j))
+        tot = tot + tail
+        W = tot.transpose(0, 1, 2, 4, 3, 5).reshape(gz, gx, gy, B, B)
+        return jnp.fft.fft(jnp.fft.rfft(W, axis=2), axis=1)
+
+    Kh = lax.map(slab, czi_idx)            # (gz_t, gz_s, gx, gy//2+1, B, B)
+    return Kh.reshape(gz, gz, gx * (gy // 2 + 1), B, B)
+
+
+def _far_2p(Qm, lo_z, h, grid, p, h_floor, khat):
+    """Pseudo-2D far field on nodes: Gz² coupled CYCLIC xy convolutions
+    (no padding — the wrap IS the periodicity).  Monodisperse: Qm is
+    (1, k, ncell, B); khat from :func:`_kernel_hat_2p`."""
+    dtype = jnp.real(Qm).dtype
+    k = Qm.shape[1]
+    gx, gy, gz = grid
+    B = Qm.shape[-1]
+    Qg = Qm.reshape(k, gx, gy, gz, B).transpose(0, 3, 1, 2, 4)
+    Qhat = jnp.fft.rfftn(Qg, axes=(2, 3))                    # (k,gz,gx,gy/2+1,B)
+    Qf = Qhat.reshape(k, gz, -1, B)
+    Uf = jnp.einsum("tsfij,ksfj->ktfi", khat, Qf)
+    Uhat = Uf.reshape(k, gz, gx, gy // 2 + 1, B)
+    Ug = jnp.fft.irfftn(Uhat, s=(gx, gy), axes=(2, 3)).astype(dtype)
+    return Ug.transpose(0, 2, 3, 1, 4).reshape(1, k, gx * gy * gz, B)
+
+
 def _far_wall(Qm, lo_z, h, grid, p, h_floor, khat=None):
     """Wall-image far field on nodes: Gz² coupled 2-D xy convolutions
     (y half-spectrum — the kernel lattices and Q are real).
@@ -428,13 +571,29 @@ def _far_wall(Qm, lo_z, h, grid, p, h_floor, khat=None):
 
 
 # -------------------------------------------------------------- near part
-def _near_neighbor_lists(ci_sorted, t, max_nbr):
-    """Tile adjacency from per-tile cell-index ranges (gap ≤ 1 per dim)."""
+def _near_neighbor_lists(ci_sorted, t, max_nbr, wrap_xy=None):
+    """Tile adjacency from per-tile cell-index ranges (gap ≤ 1 per dim).
+
+    wrap_xy: None (open) or (gx, gy) — cyclic adjacency in x/y for the
+    pseudo-2D mode: tiles touching across the box seam are neighbors too
+    (interval distance tested at shifts {−G, 0, +G}; tile bboxes live in
+    [0, G), so one period each way covers every wrap)."""
     ct = ci_sorted.reshape(t, TILE, 3)
     lo = jnp.min(ct, axis=1)                                 # (t, 3)
     hi = jnp.max(ct, axis=1)
-    ok = jnp.all((lo[:, None, :] - hi[None, :, :] <= 1)
-                 & (lo[None, :, :] - hi[:, None, :] <= 1), axis=-1)
+
+    def axis_ok(ax, g=None):
+        l, h = lo[..., ax], hi[..., ax]
+        base = (l[:, None] - h[None, :] <= 1) & (l[None, :] - h[:, None] <= 1)
+        if g is None:
+            return base
+        for s in (-g, g):
+            base = base | ((l[:, None] - (h[None, :] + s) <= 1)
+                           & ((l[None, :] + s) - h[:, None] <= 1))
+        return base
+
+    gx, gy = (wrap_xy if wrap_xy is not None else (None, None))
+    ok = axis_ok(0, gx) & axis_ok(1, gy) & axis_ok(2)
     cols = jnp.arange(t, dtype=jnp.int32)
     key = jnp.where(ok, cols, t + cols)
     packed = jnp.sort(key, axis=1)[:, :max_nbr]
@@ -551,17 +710,76 @@ class FarGeo(NamedTuple):
     khat_wall: jax.Array
 
 
+def _check_2p(wall, poly, box, grid, shells=1):
+    """Validate the pseudo-2D far-field request; returns box_n-independent
+    static facts.  The combined image lattice needs the wall images (the
+    free 1/ρ Stokeslet alone diverges over a 2-D lattice) and is
+    monodisperse for now."""
+    if shells < 1:
+        raise ValueError(
+            "the pseudo-2D far field needs image_shells ≥ 1: the cyclic "
+            "kernel lattice picks ONE signed representative per cell "
+            "offset, so with no image sum pairs near the half-box seam "
+            "are evaluated at the wrong-side image — a structurally "
+            "different operator from the per-pair minimum-image sweep "
+            "(use farfield_grid=None for minimum-image, or S ≥ 1 for the "
+            "exact doubly-periodic operator; S=6 ≈ 1e-4 with the tail "
+            "extrapolation)"
+        )
+    if not wall:
+        raise ValueError(
+            "the doubly-periodic far field needs wall=True — the free-"
+            "space Stokeslet's in-plane lattice sum diverges; only the "
+            "wall-screened (1/ρ³) combined kernel is summable"
+        )
+    if poly:
+        raise NotImplementedError(
+            "pseudo-2D far field + per-blob radii is not supported yet "
+            "(the radius-split channels need their own image lattices)"
+        )
+    if grid[0] < 3 or grid[1] < 3:
+        raise ValueError(
+            f"pseudo-2D far field needs ≥ 3 cells per periodic axis, "
+            f"got {grid}"
+        )
+
+
+def _geometry_2p(x, grid, box_n):
+    """Pseudo-2D grid geometry: xy anchored at 0 with h·G == box (the
+    cyclic convolution IS the periodicity), z from the dynamic bbox."""
+    dtype = x.dtype
+    lo_z, h_z = _geometry_from_bounds(
+        jnp.min(x[:, 2:], axis=0), jnp.max(x[:, 2:], axis=0), (grid[2],))
+    lo = jnp.zeros((3,), dtype).at[2].set(lo_z[0])
+    h = jnp.asarray([box_n[0] / grid[0], box_n[1] / grid[1], 0.0],
+                    dtype).at[2].set(h_z[0])
+    return lo, h
+
+
 def prepare_geometry(r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
-                     max_nbr=None, h_floor=rpy.WALL_H_FLOOR, radii=None):
+                     max_nbr=None, h_floor=rpy.WALL_H_FLOOR, radii=None,
+                     box=None, image_shells=8):
     """Build only the geometry tier (:class:`FarGeo`) for positions ``r``
     — pass the result as ``geo=`` to :func:`prepare` to share one kernel-
-    lattice build across several nearby position sets."""
+    lattice build across several nearby position sets.
+
+    box: None (open domain) or (Lx, Ly) physical box — the pseudo-2D
+    (doubly-periodic + wall) mode: cyclic xy convolution with COMBINED
+    free+wall image-summed kernel lattices (:func:`_kernel_hat_2p`),
+    image_shells deep with Richardson tail extrapolation."""
     r = jnp.asarray(r).reshape(-1, 3)
     n = r.shape[0]
     dtype = r.dtype
     poly = radii is not None
     grid, _ = _resolve(n, wall, grid, p, max_nbr, poly)
     x = r * jnp.asarray(1.0 / a, dtype)
+    if box is not None:
+        _check_2p(wall, poly, box, grid, int(image_shells))
+        box_n = tuple(b / a for b in box)
+        lo, h = _geometry_2p(x, grid, box_n)
+        return FarGeo(lo=lo, h=h, khat_free=None,
+                      khat_wall=_kernel_hat_2p(lo[2], h, grid, p, dtype,
+                                               h_floor, int(image_shells)))
     lo, h = _grid_geometry(x, grid)
     khat_free = _far_kernel_hat(h, grid, p, dtype, poly=poly)
     khat_wall = (_wall_kernel_hat(lo[2], h, grid, p, dtype, h_floor,
@@ -581,7 +799,8 @@ def _resolve(n, wall, grid, p, max_nbr, poly):
 
 
 def prepare(r, a=1.0, eta=1.0, wall=False, grid=None, p=4, max_nbr=None,
-            h_floor=rpy.WALL_H_FLOOR, radii=None, geo: FarCtx = None):
+            h_floor=rpy.WALL_H_FLOOR, radii=None, geo: FarCtx = None,
+            box=None, image_shells=8):
     """Build the :class:`FarCtx` for positions ``r`` (same kwargs as
     :func:`mobility_apply`).
 
@@ -589,12 +808,18 @@ def prepare(r, a=1.0, eta=1.0, wall=False, grid=None, p=4, max_nbr=None,
     valid for position sets within ~a cell fraction of the one that
     built it (the grid map stays consistent; blobs just outside the box
     clip to edge cells and extrapolate the Chebyshev basis mildly).
+    box/image_shells: pseudo-2D mode — see :func:`prepare_geometry`.
     """
     r = jnp.asarray(r).reshape(-1, 3)
     n = r.shape[0]
     dtype = r.dtype
     poly = radii is not None
     grid, max_nbr = _resolve(n, wall, grid, p, max_nbr, poly)
+    per = box is not None
+    box_n = None
+    if per:
+        _check_2p(wall, poly, box, grid, int(image_shells))
+        box_n = tuple(b / a for b in box)
     ahat = None
     if poly:
         ahat = jnp.asarray(radii, dtype).reshape(-1) * jnp.asarray(
@@ -602,6 +827,12 @@ def prepare(r, a=1.0, eta=1.0, wall=False, grid=None, p=4, max_nbr=None,
     b = rpy.damping_factors(r, a, radii=radii) if wall else None
 
     x = r * jnp.asarray(1.0 / a, dtype)                      # units of a
+    if per:
+        # wrap into the box: trajectories keep unwrapped coordinates, the
+        # periodic pair structure sees box coordinates (z stays open)
+        bx = jnp.asarray([box_n[0], box_n[1], 0.0], dtype)
+        x = jnp.where(jnp.asarray([True, True, False]),
+                      x - bx * jnp.floor(x / jnp.where(bx > 0, bx, 1.0)), x)
     geo_bad = None
     if geo is not None:
         lo, h = geo.lo, geo.h
@@ -612,10 +843,20 @@ def prepare(r, a=1.0, eta=1.0, wall=False, grid=None, p=4, max_nbr=None,
         # (accuracy degrades with no error signal, unlike neighbor
         # overflow).  Poison the apply like overflow does, so a large dt /
         # strong forcing surfaces through the stepper's rejection path.
+        # Pseudo-2D: xy wraps (never excursions), so guard z only.
         u = (x - lo) / h
-        excur = jnp.maximum(jnp.max(-u),
-                            jnp.max(u - jnp.asarray(grid, dtype)))
+        if per:
+            excur = jnp.maximum(jnp.max(-u[:, 2]),
+                                jnp.max(u[:, 2] - grid[2]))
+        else:
+            excur = jnp.maximum(jnp.max(-u),
+                                jnp.max(u - jnp.asarray(grid, dtype)))
         geo_bad = excur > jnp.asarray(0.5, dtype)
+    elif per:
+        lo, h = _geometry_2p(x, grid, box_n)
+        khat_free = None
+        khat_wall = _kernel_hat_2p(lo[2], h, grid, p, dtype, h_floor,
+                                   int(image_shells))
     else:
         lo, h = _grid_geometry(x, grid)
         khat_free = _far_kernel_hat(h, grid, p, dtype, poly=poly)
@@ -642,7 +883,8 @@ def prepare(r, a=1.0, eta=1.0, wall=False, grid=None, p=4, max_nbr=None,
         # pad with 1.0: padded entries are masked out, but 0 would divide
         # by zero inside the coefficient fields
         ah_s = jnp.concatenate([ahat[order], jnp.ones((pad,), dtype)])
-    nbr, overflow = _near_neighbor_lists(ci_s, t, max_nbr)
+    nbr, overflow = _near_neighbor_lists(
+        ci_s, t, max_nbr, wrap_xy=(grid[0], grid[1]) if per else None)
     if geo_bad is not None:
         overflow = overflow | geo_bad
     self_diag = _self_diag_field(n, dtype, ahat, wall, r[:, 2], a,
@@ -655,8 +897,14 @@ def prepare(r, a=1.0, eta=1.0, wall=False, grid=None, p=4, max_nbr=None,
 
 def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
                    max_nbr=None, h_floor=rpy.WALL_H_FLOOR, radii=None,
-                   ctx: FarCtx = None):
+                   ctx: FarCtx = None, box=None, image_shells=8):
     """U = M(r)·F via near-exact + proxy-grid far field.
+
+    box: None (open/wall domain, as before) or (Lx, Ly) physical box —
+    the pseudo-2D doubly-periodic wall mode: cyclic xy convolution with
+    image-summed combined kernel lattices (exact in-plane periodicity at
+    Chebyshev-p + shell-tail accuracy, O(N) per apply — vs the exact
+    image sweep's O((2S+1)²·N²), ``rpy.mobility_apply(image_shells=…)``).
 
     F: (N, 3) or (k, N, 3).  grid: int or (Gx, Gy, Gz) supercells (auto ≈
     cells of ~CELL_TARGET blobs at uniform density; wall-bounded slabs
@@ -685,16 +933,21 @@ def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
     dtype = r.dtype
     poly = radii is not None
     grid, max_nbr = _resolve(n, wall, grid, p, max_nbr, poly)
+    per = box is not None
+    if per:
+        _check_2p(wall, poly, box, grid, int(image_shells))
     if ctx is None:
         ctx = prepare(r, a=a, eta=eta, wall=wall, grid=grid, p=p,
-                      max_nbr=max_nbr, h_floor=h_floor, radii=radii)
+                      max_nbr=max_nbr, h_floor=h_floor, radii=radii,
+                      box=box, image_shells=image_shells)
 
     if wall:
         Fs = Fs * ctx.b[None, :, None]
 
     U_far = _far_part(Fs, ctx.ahat, ctx.W3, ctx.cid, grid, ctx.h,
                       ctx.lo[2], p, wall, h_floor,
-                      khat_free=ctx.khat_free, khat_wall=ctx.khat_wall)
+                      khat_free=ctx.khat_free, khat_wall=ctx.khat_wall,
+                      per=per)
 
     # ---- near: cell-snake equal-population tiles, cell-offset mask
     t = -(-n // TILE)
@@ -702,9 +955,12 @@ def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
     order = ctx.order
     F_s = jnp.concatenate([Fs[:, order], jnp.zeros((k, pad, 3), dtype)],
                           axis=1)
+    box_n = None if not per else tuple(b / a for b in box)
     U_near_s = _near_sweep(ctx.x_s, ctx.ci_s, ctx.id_s, F_s, ctx.ah_s,
                            ctx.nbr, ctx.nbr.shape[1], wall, h_floor,
-                           0, t)[:, :n]
+                           0, t, box_n=box_n,
+                           wrap_xy=(grid[0], grid[1]) if per else None
+                           )[:, :n]
     U_near = jnp.zeros_like(Fs).at[:, order, :].set(U_near_s)
     U_near = jnp.where(ctx.overflow, jnp.nan, U_near)
 
@@ -716,7 +972,7 @@ def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
 
 
 def _far_part(Fs, ahat, W3, cid, grid, h, lo_z, p, wall, h_floor,
-              psum_fn=None, khat_free=None, khat_wall=None):
+              psum_fn=None, khat_free=None, khat_wall=None, per=False):
     """Moment channels → spread → kernel-lattice convolution → interpolate.
 
     Shared by the single-device and distributed paths; in distributed mode
@@ -740,6 +996,10 @@ def _far_part(Fs, ahat, W3, cid, grid, h, lo_z, p, wall, h_floor,
     if psum_fn is not None:
         Q = psum_fn(Q)
     Q = Q.reshape(nm, k, ncell, -1)
+    if per:
+        # pseudo-2D: ONE combined (free + wall-image) cyclic lattice
+        Unodes = _far_2p(Q, lo_z, h, grid, p, h_floor, khat_wall)[0]
+        return _l2p(W3, cid, Unodes, p)
     Qm_free = jnp.stack([Q[0], Q[nm - 1]]) if poly else Q    # [F, â²F]
     Un = _far_free(Qm_free, h, grid, p, khat=khat_free)      # (nf, k, nc, B)
     Uw = (_far_wall(Q, lo_z, h, grid, p, h_floor, khat=khat_wall)
@@ -771,7 +1031,7 @@ def _self_diag_field(n, dtype, ahat, wall, rz, a, h_floor, radii):
 
 
 def _near_sweep(x_s, ci_s, id_s, F_s, ah_s, nbr, max_nbr, wall, h_floor,
-                t0, nt):
+                t0, nt, box_n=None, wrap_xy=None):
     """Exact adjacent-cell pair sweep for the sorted tile range
     [t0, t0+nt): rows are the range's blobs, columns its neighbor tiles.
 
@@ -781,6 +1041,9 @@ def _near_sweep(x_s, ci_s, id_s, F_s, ah_s, nbr, max_nbr, wall, h_floor,
     pair velocities in sorted order — no self term, scaling or damping.
     ``t0``/``nt`` are static; the single-device caller passes (0, t), the
     distributed one its device's tile slice.
+    box_n/wrap_xy: pseudo-2D mode — (Lx, Ly) in units of a / (gx, gy):
+    pair displacements are minimum-imaged and cell adjacency wraps, so
+    near pairs across the box seam are swept exactly.
     """
     dtype = x_s.dtype
     poly = ah_s is not None
@@ -810,9 +1073,15 @@ def _near_sweep(x_s, ci_s, id_s, F_s, ah_s, nbr, max_nbr, wall, h_floor,
             ch, k, max_nbr * TILE, 3)
 
         d = rows_x[:, :, None, :] - cols_x[:, None, :, :]
+        dc = rows_c[:, :, None, :] - cols_c[:, None, :, :]
+        if box_n is not None:
+            d = rpy._wrap_xy(d, box_n)
+            # integer min-image of the cell offsets in the periodic plane
+            for ax, g in ((0, wrap_xy[0]), (1, wrap_xy[1])):
+                w = jnp.mod(dc[..., ax] + g // 2, g) - g // 2
+                dc = dc.at[..., ax].set(w)
         r2 = jnp.sum(d * d, axis=-1)
-        adj = jnp.all(jnp.abs(rows_c[:, :, None, :] - cols_c[:, None, :, :])
-                      <= 1, axis=-1)
+        adj = jnp.all(jnp.abs(dc) <= 1, axis=-1)
         keep = adj & (cols_id[:, None, :] >= 0) & (
             rows_id[:, :, None] != cols_id[:, None, :])
         r2 = jnp.where(keep, r2, 16.0)  # harmless masked distance

@@ -147,6 +147,13 @@ def _farfield_apply_fn(cfg: SimulationConfig, radii):
     kw = dict(a=cfg.a, eta=cfg.eta, wall=cfg.wall, grid=grid,
               p=cfg.farfield_p, max_nbr=max_nbr, h_floor=cfg.wall_h_floor,
               radii=radii)
+    if cfg.box is not None:
+        # pseudo-2D: doubly-periodic wall far field (cyclic xy convolution
+        # with image-summed combined kernel lattices).  image_shells keeps
+        # its sweep-mode meaning: 0 = minimum-image periodicity (lattice
+        # holds only each offset's nearest image), S ≥ 1 = exact images to
+        # depth S with two-ring tail extrapolation.
+        kw.update(box=cfg.box, image_shells=cfg.image_shells)
 
     def apply(F, r, ctx=None):
         return farfield.mobility_apply(F, r, ctx=ctx, **kw)

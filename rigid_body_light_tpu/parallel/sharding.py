@@ -408,6 +408,12 @@ def _local_mobility_fn(cfg: SimulationConfig, n_devices: int,
     if cfg.box is not None and len(cfg.box) == 3:
         return ewald_mobility_apply_local_fn(cfg, n_devices, axis_name)
     if cfg.farfield_grid is not None:
+        if cfg.box is not None:
+            raise NotImplementedError(
+                "the pseudo-2D (doubly-periodic wall) far field is single-"
+                "device only for now — distributed 2-D boxes run the "
+                "minimum-image ring sweep (set farfield_grid=None)"
+            )
         return farfield_mobility_apply_local_fn(cfg, n_devices, axis_name)
     return ring_mobility_apply_fn(cfg, n_devices, axis_name)
 

@@ -38,7 +38,8 @@ def test_matches_bruteforce_oracle(slab):
     r, box = slab
     for shells in (1, 3):
         M = rpy.mobility_matrix(jnp.asarray(r, jnp.float64), a=1.0, eta=0.8,
-                                wall=True, box=box, image_shells=shells)
+                                wall=True, box=box, image_shells=shells,
+                                image_tail=False)
         M_ref = oracle.rpy_matrix_2p(r, a=1.0, eta=0.8, shells=shells,
                                      box=box)
         np.testing.assert_allclose(np.asarray(M), M_ref, rtol=0, atol=1e-13)
@@ -60,13 +61,37 @@ def test_shell_convergence(slab):
     errs = {}
     for shells in (0, 1, 2, 4, 8):
         M = rpy.mobility_matrix(r64, wall=True, box=box,
-                                image_shells=shells)
+                                image_shells=shells, image_tail=False)
         errs[shells] = float(jnp.abs(M - M_deep).max()) / scale
     assert errs[1] < errs[0] / 2
     assert errs[2] < 0.75 * errs[1]
     assert errs[4] < 0.75 * errs[2]
     assert errs[8] < 0.6 * errs[4]
     assert errs[8] < 0.02
+
+
+@pytest.mark.medium
+def test_tail_extrapolation(slab):
+    """Two-ring Richardson extrapolation (image_tail=True, the default)
+    beats the raw truncated sum by an order of magnitude or more at every
+    shell depth — the O(1/S) ring tail is modelled as A/s² + B/s³ and
+    summed analytically (rpy.tail_coeffs)."""
+    r, box = slab
+    r64 = jnp.asarray(r, jnp.float64)
+    # the deep reference is itself extrapolated: a RAW S=48 sum still
+    # carries a ~1/48 tail (~2e-3 on this aggressive box) and would mask
+    # the very accuracy being measured
+    M_deep = rpy.mobility_matrix(r64, wall=True, box=box, image_shells=48)
+    scale = float(jnp.abs(M_deep).max())
+    for shells in (2, 4, 8):
+        M_raw = rpy.mobility_matrix(r64, wall=True, box=box,
+                                    image_shells=shells, image_tail=False)
+        M_ext = rpy.mobility_matrix(r64, wall=True, box=box,
+                                    image_shells=shells)
+        e_raw = float(jnp.abs(M_raw - M_deep).max()) / scale
+        e_ext = float(jnp.abs(M_ext - M_deep).max()) / scale
+        assert e_ext < e_raw / 8, (shells, e_raw, e_ext)
+    assert e_ext < 1e-3
 
 
 def test_symmetric_and_spd(slab):
@@ -100,14 +125,20 @@ def test_seam_jump_shrinks_with_shells():
     rb = jnp.asarray([[0.0, 0.0, za], [5.0 + eps, 3.0, zb]], jnp.float64)
     jumps = {}
     for shells in (0, 1, 4):
+        # raw truncation — the jump IS the outermost ring; the extrapolated
+        # operator reweights rings S, S−1 so its S=1 jump is geometry-
+        # dependent (checked separately below)
         Ma = rpy.mobility_matrix(ra, wall=True, box=box,
-                                 image_shells=shells)
+                                 image_shells=shells, image_tail=False)
         Mb = rpy.mobility_matrix(rb, wall=True, box=box,
-                                 image_shells=shells)
+                                 image_shells=shells, image_tail=False)
         jumps[shells] = float(jnp.abs(Ma - Mb).max())
     assert jumps[1] < jumps[0] / 3
     assert jumps[4] < jumps[1] / 3
     assert jumps[4] < 5e-5
+    Ma = rpy.mobility_matrix(ra, wall=True, box=box, image_shells=4)
+    Mb = rpy.mobility_matrix(rb, wall=True, box=box, image_shells=4)
+    assert float(jnp.abs(Ma - Mb).max()) < 1e-4
 
 
 def test_open_domain_limit(slab):
