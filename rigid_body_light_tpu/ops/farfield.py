@@ -222,8 +222,49 @@ def _far_kernel_hat(h, grid, p, dtype, poly=False):
     Kh = lax.map(slab, ox)                                   # (2gx, nk, 2gy, gz+1, B, B)
     Kh = jnp.fft.fft(Kh, axis=0)
     nk = Kh.shape[1]
-    return Kh.transpose(1, 0, 2, 3, 4, 5).reshape(
-        nk, 2 * gx * 2 * gy * (gz + 1), 3 * p3, 3 * p3)
+    return _pack_hat(Kh.transpose(1, 0, 2, 3, 4, 5).reshape(
+        nk, 2 * gx * 2 * gy * (gz + 1), 3 * p3, 3 * p3), axis=1)
+
+
+def _pack_hat(Kc, axis=0):
+    """Complex kernel lattice → packed real (re, im) stacked at ``axis``.
+
+    The frequency-domain convolution with complex khat lowers as batched
+    complex GEMVs (4 real multiplies at RHS width 1 — MXU-hostile, and
+    the interleaved complex layout strides every read).  Storing khat as
+    a real (2, ...) pair and packing the RHS's re/im as 2k GEMM columns
+    runs the same contraction as TWO real einsums — measured 2.0× at k=1
+    and 3.3× at k=2 on the exact production shapes
+    (scripts/tpu_conv_variants.py ``conv_pack``).  Same bytes as the
+    complex array; built once per FarCtx/FarGeo.
+    """
+    return jnp.stack([jnp.real(Kc), jnp.imag(Kc)], axis=axis)
+
+
+def _conv_pack(Kh, Qf):
+    """Packed 3-D-spectrum conv: Kh (2, o, i, j) real × Qf (k, o, j)
+    complex → (k, o, i) complex (see :func:`_pack_hat`)."""
+    k = Qf.shape[0]
+    rhs = jnp.concatenate([jnp.real(Qf), jnp.imag(Qf)], axis=0)
+    rhs = rhs.transpose(1, 2, 0)                             # (o, j, 2k)
+    ar = jnp.einsum("oij,ojc->oic", Kh[0], rhs)
+    br = jnp.einsum("oij,ojc->oic", Kh[1], rhs)
+    ur = ar[..., :k] - br[..., k:]
+    ui = ar[..., k:] + br[..., :k]
+    return lax.complex(ur, ui).transpose(2, 0, 1)
+
+
+def _conv_pack_z(Kh, Qf):
+    """Packed z-coupled conv (wall / pseudo-2D lattices): Kh
+    (2, t, s, f, i, j) real × Qf (k, s, f, j) complex → (k, t, f, i)
+    complex — contracts source z-slab s and node j together."""
+    k = Qf.shape[0]
+    rhs = jnp.concatenate([jnp.real(Qf), jnp.imag(Qf)], axis=0)
+    ar = jnp.einsum("tsfij,csfj->ctfi", Kh[0], rhs)
+    br = jnp.einsum("tsfij,csfj->ctfi", Kh[1], rhs)
+    ur = ar[:k] - br[k:]
+    ui = ar[k:] + br[:k]
+    return lax.complex(ur, ui)
 
 
 def _p2m(W3, cid, Fs, ncell, p):
@@ -269,12 +310,11 @@ def _far_free(Qm, h, grid, p, khat=None):
     Qhat = jnp.fft.rfftn(Qg, axes=(1, 2, 3))                 # (nm·k,2gx,2gy,gz+1,B)
     Qf = Qhat.reshape(nm, k, -1, B)
     if poly:
-        U0 = (jnp.einsum("oij,koj->koi", Khat[0], Qf[0])
-              + jnp.einsum("oij,koj->koi", Khat[1], Qf[1]))
-        U2 = jnp.einsum("oij,koj->koi", Khat[1], Qf[0])
+        U0 = _conv_pack(Khat[0], Qf[0]) + _conv_pack(Khat[1], Qf[1])
+        U2 = _conv_pack(Khat[1], Qf[0])
         Uf = jnp.stack([U0, U2])                             # (2, k, nf, B)
     else:
-        Uf = jnp.einsum("oij,koj->koi", Khat[0], Qf[0])[None]
+        Uf = _conv_pack(Khat[0], Qf[0])[None]
     nout = Uf.shape[0]
     Uhat = Uf.reshape(nout * k, 2 * gx, 2 * gy, gz + 1, B)
     Ug = jnp.fft.irfftn(Uhat, s=(2 * gx, 2 * gy, 2 * gz), axes=(1, 2, 3))[
@@ -393,8 +433,8 @@ def _wall_kernel_hat(lo_z, h, grid, p, dtype, h_floor, poly=False):
 
     Kh = lax.map(slab, czi_idx)                # (gz_t, nk, gz_s, 2gx, gy+1, B, B)
     nk = Kh.shape[1]
-    return Kh.transpose(1, 0, 2, 3, 4, 5, 6).reshape(
-        nk, gz, gz, 2 * gx * (gy + 1), B, B)
+    return _pack_hat(Kh.transpose(1, 0, 2, 3, 4, 5, 6).reshape(
+        nk, gz, gz, 2 * gx * (gy + 1), B, B), axis=1)
 
 
 def _signed_offsets_cyclic(g: int) -> np.ndarray:
@@ -427,7 +467,8 @@ def _kernel_hat_2p(lo_z, h, grid, p, dtype, h_floor, shells: int):
 
     Requires h·(gx, gy) == box (the grid tiles the box exactly — the
     caller anchors lo_xy = 0 and wraps positions).  Monodisperse only.
-    Returns (gz_t, gz_s, gx·(gy//2+1), B, B) half-spectrum lattices.
+    Returns packed-real (2, gz_t, gz_s, gx·(gy//2+1), B, B) half-spectrum
+    lattices (:func:`_pack_hat`).
     """
     gx, gy, gz = grid
     nodes = _cheb_nodes(p)
@@ -520,7 +561,7 @@ def _kernel_hat_2p(lo_z, h, grid, p, dtype, h_floor, shells: int):
         return jnp.fft.fft(jnp.fft.rfft(W, axis=2), axis=1)
 
     Kh = lax.map(slab, czi_idx)            # (gz_t, gz_s, gx, gy//2+1, B, B)
-    return Kh.reshape(gz, gz, gx * (gy // 2 + 1), B, B)
+    return _pack_hat(Kh.reshape(gz, gz, gx * (gy // 2 + 1), B, B))
 
 
 def _far_2p(Qm, lo_z, h, grid, p, h_floor, khat):
@@ -534,7 +575,7 @@ def _far_2p(Qm, lo_z, h, grid, p, h_floor, khat):
     Qg = Qm.reshape(k, gx, gy, gz, B).transpose(0, 3, 1, 2, 4)
     Qhat = jnp.fft.rfftn(Qg, axes=(2, 3))                    # (k,gz,gx,gy/2+1,B)
     Qf = Qhat.reshape(k, gz, -1, B)
-    Uf = jnp.einsum("tsfij,ksfj->ktfi", khat, Qf)
+    Uf = _conv_pack_z(khat, Qf)
     Uhat = Uf.reshape(k, gz, gx, gy // 2 + 1, B)
     Ug = jnp.fft.irfftn(Uhat, s=(gx, gy), axes=(2, 3)).astype(dtype)
     return Ug.transpose(0, 2, 3, 1, 4).reshape(1, k, gx * gy * gz, B)
@@ -562,8 +603,7 @@ def _far_wall(Qm, lo_z, h, grid, p, h_floor, khat=None):
         lo_z, h, grid, p, dtype, h_floor, poly=poly)
     Qhat = jnp.fft.rfftn(Qp, axes=(2, 3))                    # (nm·k,gz,2gx,gy+1,B)
     Qf = Qhat.reshape(nm, k, gz, -1, B)
-    Uf = jnp.stack([
-        jnp.einsum("tsfij,ksfj->ktfi", Khat[m], Qf[m]) for m in range(nm)])
+    Uf = jnp.stack([_conv_pack_z(Khat[m], Qf[m]) for m in range(nm)])
     Uhat = Uf.reshape(nm * k, gz, 2 * gx, gy + 1, B)
     Ug = jnp.fft.irfftn(Uhat, s=(2 * gx, 2 * gy), axes=(2, 3))[
         :, :, :gx, :gy, :].astype(dtype)

@@ -47,6 +47,9 @@ def main():
         (102400, True, slab(102400), [((10, 10, 5), 4), ((8, 8, 4), 4)]),
         (204800, False, cube(204800, 38.0), [(None, 4)]),
         (204800, True, slab(204800), [((12, 12, 5), 4)]),
+        (40960, True, slab(40960), [((7, 7, 4), 4)]),    # wall crossover pin
+        (65536, False, cube(65536, 25.8), [(None, 4)]),  # free crossover pin
+        (20480, True, slab(20480), [((6, 6, 3), 4)]),    # wall lower bracket
     ]
     if len(sys.argv) > 1:  # one case per process (tunnel stability)
         cases = [cases[int(sys.argv[1])]]
@@ -85,15 +88,29 @@ def main():
             rec = {"n_blobs": n, "wall": wall, "grid": grid, "p": p,
                    "resolved_grid": resolved}
 
+            # ctx hoisted ONCE per chain — exactly how the production
+            # solvers run it (saddle.hoist_positions binds a prepared
+            # FarCtx per solve).  The round-3 numbers called
+            # mobility_apply without ctx inside the loop, so every
+            # "apply" paid the full kernel-lattice rebuild (~130 ms at
+            # 41k) — that measured the rebuild, not the operator.
+            t0 = time.perf_counter()
+            ctx = jax.jit(functools.partial(
+                farfield.prepare, a=a, eta=eta, wall=wall, grid=grid,
+                p=p))(r)
+            _sync(ctx.W3)
+            rec["prepare_s"] = round(time.perf_counter() - t0, 1)
+
             @jax.jit
-            def ff_chain(F):
+            def ff_chain(F, ctx):
                 def body(_, v):
                     return _renorm(farfield.mobility_apply(
-                        v, r, a=a, eta=eta, wall=wall, grid=grid, p=p))
+                        v, r, a=a, eta=eta, wall=wall, grid=grid, p=p,
+                        ctx=ctx))
                 return jax.lax.fori_loop(0, REPS, body, F)
 
             t0 = time.perf_counter()
-            u = ff_chain(F)
+            u = ff_chain(F, ctx)
             s = _sync(u)
             rec["compile_s"] = round(time.perf_counter() - t0, 0)
             if not np.isfinite(s):
@@ -101,7 +118,7 @@ def main():
                 print(json.dumps(rec), flush=True)
                 continue
             t0 = time.perf_counter()
-            _sync(ff_chain(F))
+            _sync(ff_chain(F, ctx))
             rec["farfield_ms"] = round(
                 (time.perf_counter() - t0) / REPS * 1e3, 2)
             # one-shot operator error vs the exact kernel sweep — jitted
@@ -111,7 +128,7 @@ def main():
             jax.clear_caches()
             u1 = jax.jit(functools.partial(
                 farfield.mobility_apply, r=r, a=a, eta=eta, wall=wall,
-                grid=grid, p=p))(F)
+                grid=grid, p=p))(F, ctx=ctx)
             if n <= 50000 and not wall:
                 if u_ref1 is None:
                     u_ref1 = jax.jit(functools.partial(

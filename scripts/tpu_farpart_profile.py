@@ -62,7 +62,7 @@ def main():
     def s_conv(f, c):
         qh = s_fft(f, c)
         qf = qh.reshape(1, -1, B)
-        return jnp.einsum("oij,koj->koi", c.khat_free[0], qf)
+        return farfield._conv_pack(c.khat_free[0], qf)
 
     def s_ifft(f, c):
         uf = s_conv(f, c)

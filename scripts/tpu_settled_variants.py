@@ -56,6 +56,20 @@ def main():
                        pc_halo=8.0, pc_halo_max=128),
         "ras_h8_cap64": dict(gmres_restart=60, pc_mode="ras",
                              pc_halo=8.0, pc_halo_max=64),
+        # round 4b: close the gap to the >=10 steps/s gate — smaller halo
+        # cap (study layer: h8/cap32 converged in 7), adaptive noise
+        # (measured ~free at restart60), and lanczos 5 under the adaptive
+        # error cap (noise_err observable guards the truncation)
+        "ras_h8_cap32": dict(gmres_restart=60, pc_mode="ras",
+                             pc_halo=8.0, pc_halo_max=32),
+        "ras_h8c64_adaptive": dict(gmres_restart=60, pc_mode="ras",
+                                   pc_halo=8.0, pc_halo_max=64,
+                                   lanczos_max_iters=14,
+                                   lanczos_err_tol=1e-3),
+        "ras_h8c32_l5_adaptive": dict(gmres_restart=60, pc_mode="ras",
+                                      pc_halo=8.0, pc_halo_max=32,
+                                      lanczos_iters=5, lanczos_max_iters=14,
+                                      lanczos_err_tol=1e-3),
         # (lagged halo-tier variants were measured catastrophic — 27-29
         # mean iters even at refresh 4 — and the config now rejects them;
         # the fresh build is cheap instead: bf16 + Newton–Schulz.)
@@ -88,6 +102,7 @@ def main():
             "max_iters": int(it.max()),
             "p90_iters": int(np.percentile(it, 90)),
             "max_residual": float(res.max()),
+            "mean_residual": float(res.mean()),
             "mean_noise_err": float(nerr.mean()),
             "max_noise_err": float(nerr.max()),
             "rejected": int((res > cfg.max_step_residual).sum()),
