@@ -784,16 +784,30 @@ def _check_2p(wall, poly, box, grid, shells=1):
         )
 
 
-def _geometry_2p(x, grid, box_n):
+def _geometry_2p(x, grid, box_n, axis_name=None):
     """Pseudo-2D grid geometry: xy anchored at 0 with h·G == box (the
-    cyclic convolution IS the periodicity), z from the dynamic bbox."""
+    cyclic convolution IS the periodicity), z from the dynamic bbox —
+    mesh-wide (pmin/pmax over ``axis_name``) in the distributed path."""
     dtype = x.dtype
-    lo_z, h_z = _geometry_from_bounds(
-        jnp.min(x[:, 2:], axis=0), jnp.max(x[:, 2:], axis=0), (grid[2],))
+    zlo = jnp.min(x[:, 2:], axis=0)
+    zhi = jnp.max(x[:, 2:], axis=0)
+    if axis_name is not None:
+        zlo = lax.pmin(zlo, axis_name)
+        zhi = lax.pmax(zhi, axis_name)
+    lo_z, h_z = _geometry_from_bounds(zlo, zhi, (grid[2],))
     lo = jnp.zeros((3,), dtype).at[2].set(lo_z[0])
     h = jnp.asarray([box_n[0] / grid[0], box_n[1] / grid[1], 0.0],
                     dtype).at[2].set(h_z[0])
     return lo, h
+
+
+def _wrap_box(x, box_n):
+    """Wrap positions (units of a) into the 2-D box: trajectories keep
+    unwrapped coordinates, the periodic pair/grid structure sees box
+    coordinates (z stays open — the wall geometry)."""
+    bx = jnp.asarray([box_n[0], box_n[1], 0.0], x.dtype)
+    return jnp.where(jnp.asarray([True, True, False]),
+                     x - bx * jnp.floor(x / jnp.where(bx > 0, bx, 1.0)), x)
 
 
 def prepare_geometry(r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
@@ -868,11 +882,7 @@ def prepare(r, a=1.0, eta=1.0, wall=False, grid=None, p=4, max_nbr=None,
 
     x = r * jnp.asarray(1.0 / a, dtype)                      # units of a
     if per:
-        # wrap into the box: trajectories keep unwrapped coordinates, the
-        # periodic pair structure sees box coordinates (z stays open)
-        bx = jnp.asarray([box_n[0], box_n[1], 0.0], dtype)
-        x = jnp.where(jnp.asarray([True, True, False]),
-                      x - bx * jnp.floor(x / jnp.where(bx > 0, bx, 1.0)), x)
+        x = _wrap_box(x, box_n)
     geo_bad = None
     if geo is not None:
         lo, h = geo.lo, geo.h
@@ -1181,7 +1191,7 @@ def _near_sweep(x_s, ci_s, id_s, F_s, ah_s, nbr, max_nbr, wall, h_floor,
 def mobility_apply_local(F_l, r_l, n_devices: int, axis_name: str, a=1.0,
                          eta=1.0, wall=False, grid=None, p=4, max_nbr=None,
                          h_floor=rpy.WALL_H_FLOOR, radii_l=None,
-                         ctx: FarCtx = None):
+                         ctx: FarCtx = None, box=None, image_shells=8):
     """Local-shard proxy-grid mobility for use INSIDE ``shard_map``.
 
     Multi-chip far field (the O(N) analogue of
@@ -1201,6 +1211,11 @@ def mobility_apply_local(F_l, r_l, n_devices: int, axis_name: str, a=1.0,
     :func:`mobility_apply`.  radii_l: optional (N_local,) local radii
     shard (polydisperse).  N_local must be equal on every device (pad at
     the caller if needed); tile slices are padded internally.
+
+    box/image_shells: pseudo-2D (doubly-periodic wall) mode, same contract
+    as :func:`mobility_apply` — the image-summed cyclic lattice build is
+    replicated (it depends on mesh-wide z bounds only), the near sweep
+    wraps across the seam on every device's tile slice.
     """
     r_l = jnp.asarray(r_l).reshape(-1, 3)
     multi = jnp.asarray(F_l).ndim == 3
@@ -1212,10 +1227,14 @@ def mobility_apply_local(F_l, r_l, n_devices: int, axis_name: str, a=1.0,
     poly = radii_l is not None
     grid, max_nbr, t, t_pad = _resolve_local(n, wall, grid, p, max_nbr,
                                              poly, n_devices)
+    per = box is not None
+    if per:
+        _check_2p(wall, poly, box, grid, int(image_shells))
     if ctx is None:
         ctx = prepare_local(r_l, n_devices, axis_name, a=a, eta=eta,
                             wall=wall, grid=grid, p=p, max_nbr=max_nbr,
-                            h_floor=h_floor, radii_l=radii_l)
+                            h_floor=h_floor, radii_l=radii_l, box=box,
+                            image_shells=image_shells)
 
     if wall:
         Fs = Fs * ctx.b[None, :, None]
@@ -1225,7 +1244,8 @@ def mobility_apply_local(F_l, r_l, n_devices: int, axis_name: str, a=1.0,
     U_far = _far_part(Fs, ctx.ahat, ctx.W3, ctx.cid, grid, ctx.h,
                       ctx.lo[2], p, wall, h_floor,
                       psum_fn=lambda q: lax.psum(q, axis_name),
-                      khat_free=ctx.khat_free, khat_wall=ctx.khat_wall)
+                      khat_free=ctx.khat_free, khat_wall=ctx.khat_wall,
+                      per=per)
 
     # near part: gather the global forces once per apply (the sorted tile
     # structure comes prebuilt from the ctx), sweep only this device's
@@ -1236,9 +1256,12 @@ def mobility_apply_local(F_l, r_l, n_devices: int, axis_name: str, a=1.0,
     F_s = jnp.concatenate([F_all[:, ctx.order],
                            jnp.zeros((k, pad, 3), dtype)], axis=1)
     nt = t_pad // n_devices
+    box_n = None if not per else tuple(b / a for b in box)
     U_slice = _near_sweep(ctx.x_s, ctx.ci_s, ctx.id_s, F_s, ctx.ah_s,
                           ctx.nbr, max_nbr, wall, h_floor,
-                          idx * nt, nt)                      # (k, nt·TILE, 3)
+                          idx * nt, nt, box_n=box_n,
+                          wrap_xy=(grid[0], grid[1]) if per else None
+                          )                                  # (k, nt·TILE, 3)
     U_sorted = lax.all_gather(U_slice, axis_name, axis=1,
                               tiled=True)[:, :n]
     U_near_g = jnp.zeros((k, n, 3), dtype).at[:, ctx.order, :].set(U_sorted)
@@ -1269,7 +1292,7 @@ def _resolve_local(n, wall, grid, p, max_nbr, poly, n_devices):
 def prepare_geometry_local(r_l, n_devices: int, axis_name: str, a=1.0,
                            eta=1.0, wall=False, grid=None, p=4,
                            max_nbr=None, h_floor=rpy.WALL_H_FLOOR,
-                           radii_l=None):
+                           radii_l=None, box=None, image_shells=8):
     """Distributed analogue of :func:`prepare_geometry`: the grid bounding
     box closes over the mesh (pmin/pmax); the kernel-hat lattices are
     computed replicated (identical on every device)."""
@@ -1280,6 +1303,13 @@ def prepare_geometry_local(r_l, n_devices: int, axis_name: str, a=1.0,
     grid, _, _, _ = _resolve_local(n, wall, grid, p, max_nbr, poly,
                                    n_devices)
     x = r_l * jnp.asarray(1.0 / a, dtype)
+    if box is not None:
+        _check_2p(wall, poly, box, grid, int(image_shells))
+        box_n = tuple(b / a for b in box)
+        lo, h = _geometry_2p(x, grid, box_n, axis_name=axis_name)
+        return FarGeo(lo=lo, h=h, khat_free=None,
+                      khat_wall=_kernel_hat_2p(lo[2], h, grid, p, dtype,
+                                               h_floor, int(image_shells)))
     lo = lax.pmin(jnp.min(x, axis=0), axis_name)
     hi = lax.pmax(jnp.max(x, axis=0), axis_name)
     lo, h = _geometry_from_bounds(lo, hi, grid)
@@ -1291,7 +1321,8 @@ def prepare_geometry_local(r_l, n_devices: int, axis_name: str, a=1.0,
 
 def prepare_local(r_l, n_devices: int, axis_name: str, a=1.0, eta=1.0,
                   wall=False, grid=None, p=4, max_nbr=None,
-                  h_floor=rpy.WALL_H_FLOOR, radii_l=None, geo=None):
+                  h_floor=rpy.WALL_H_FLOOR, radii_l=None, geo=None,
+                  box=None, image_shells=8):
     """Build the F-independent setup of :func:`mobility_apply_local` once
     — the distributed :class:`FarCtx` analogue, hoistable out of Krylov /
     Lanczos loops exactly like the single-device ``prepare`` (without it
@@ -1308,6 +1339,11 @@ def prepare_local(r_l, n_devices: int, axis_name: str, a=1.0, eta=1.0,
     poly = radii_l is not None
     grid, max_nbr, t, t_pad = _resolve_local(n, wall, grid, p, max_nbr,
                                              poly, n_devices)
+    per = box is not None
+    box_n = None
+    if per:
+        _check_2p(wall, poly, box, grid, int(image_shells))
+        box_n = tuple(b / a for b in box)
     ahat = None
     if poly:
         ahat = jnp.asarray(radii_l, dtype).reshape(-1) * jnp.asarray(
@@ -1315,14 +1351,26 @@ def prepare_local(r_l, n_devices: int, axis_name: str, a=1.0, eta=1.0,
     b = rpy.damping_factors(r_l, a, radii=radii_l) if wall else None
 
     x = r_l * jnp.asarray(1.0 / a, dtype)                    # units of a
+    if per:
+        x = _wrap_box(x, box_n)
     geo_bad = None
     if geo is not None:
         lo, h = geo.lo, geo.h
         khat_free, khat_wall = geo.khat_free, geo.khat_wall
+        # pseudo-2D: xy wraps (never excursions), so guard z only
         u = (x - lo) / h
-        excur = jnp.maximum(jnp.max(-u),
-                            jnp.max(u - jnp.asarray(grid, dtype)))
+        if per:
+            excur = jnp.maximum(jnp.max(-u[:, 2]),
+                                jnp.max(u[:, 2] - grid[2]))
+        else:
+            excur = jnp.maximum(jnp.max(-u),
+                                jnp.max(u - jnp.asarray(grid, dtype)))
         geo_bad = lax.pmax(excur, axis_name) > jnp.asarray(0.5, dtype)
+    elif per:
+        lo, h = _geometry_2p(x, grid, box_n, axis_name=axis_name)
+        khat_free = None
+        khat_wall = _kernel_hat_2p(lo[2], h, grid, p, dtype, h_floor,
+                                   int(image_shells))
     else:
         # global grid geometry: bbox closes over the mesh with pmin/pmax
         lo = lax.pmin(jnp.min(x, axis=0), axis_name)
@@ -1362,7 +1410,9 @@ def prepare_local(r_l, n_devices: int, axis_name: str, a=1.0, eta=1.0,
         ah_s = jnp.concatenate([ah_all[order], jnp.ones((pad,), dtype)])
     else:
         ah_s = None
-    nbr, overflow = _near_neighbor_lists(ci_s, t_pad, max_nbr)
+    nbr, overflow = _near_neighbor_lists(
+        ci_s, t_pad, max_nbr,
+        wrap_xy=(grid[0], grid[1]) if per else None)
     if geo_bad is not None:
         overflow = overflow | geo_bad
     self_diag = _self_diag_field(n_l, dtype, ahat, wall, r_l[:, 2], a,

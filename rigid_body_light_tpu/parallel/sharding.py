@@ -347,6 +347,11 @@ def farfield_mobility_apply_local_fn(cfg: SimulationConfig, n_devices: int,
     max_nbr = cfg.farfield_nbr_tiles if cfg.farfield_nbr_tiles > 0 else None
     kw = dict(a=cfg.a, eta=cfg.eta, wall=cfg.wall, grid=grid,
               p=cfg.farfield_p, max_nbr=max_nbr, h_floor=cfg.wall_h_floor)
+    if cfg.box is not None:
+        # pseudo-2D (doubly-periodic wall) distributed far field: the
+        # image-summed cyclic lattices build replicated, the near sweep
+        # wraps the seam on each device's tile slice
+        kw.update(box=cfg.box, image_shells=cfg.image_shells)
 
     def apply(F, r, ctx=None):
         return farfield.mobility_apply_local(
@@ -399,22 +404,20 @@ def _local_mobility_fn(cfg: SimulationConfig, n_devices: int,
     boxes, proxy-grid far field when configured, else the ring all-pairs
     sweep (open, wall, or 2-D minimum-image boxes — matching the
     single-device ``saddle.mobility_apply_fn`` routing)."""
-    if cfg.image_shells:
-        raise NotImplementedError(
-            "image_shells (exact doubly-periodic image sum) is single-"
-            "device only for now — distributed 2-D boxes run the "
-            "minimum-image ring sweep (set image_shells=0)"
-        )
     if cfg.box is not None and len(cfg.box) == 3:
         return ewald_mobility_apply_local_fn(cfg, n_devices, axis_name)
     if cfg.farfield_grid is not None:
-        if cfg.box is not None:
-            raise NotImplementedError(
-                "the pseudo-2D (doubly-periodic wall) far field is single-"
-                "device only for now — distributed 2-D boxes run the "
-                "minimum-image ring sweep (set farfield_grid=None)"
-            )
+        # incl. the pseudo-2D (2-D box + wall) mode — exact in-plane
+        # periodicity distributes through the replicated image-summed
+        # lattice + seam-wrapped sharded near sweep
         return farfield_mobility_apply_local_fn(cfg, n_devices, axis_name)
+    if cfg.image_shells:
+        raise NotImplementedError(
+            "image_shells over the ring sweep (exact doubly-periodic "
+            "image sum) is single-device only — distributed 2-D boxes "
+            "run the minimum-image ring sweep (image_shells=0) or the "
+            "O(N) pseudo-2D far field (set farfield_grid)"
+        )
     return ring_mobility_apply_fn(cfg, n_devices, axis_name)
 
 

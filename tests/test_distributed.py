@@ -547,3 +547,70 @@ def test_distributed_mixture_stochastic_and_trajectory():
                                    atol=1e-11)
     np.testing.assert_allclose(np.asarray(traj_sh["residual"]),
                                np.asarray(traj_ref["residual"]), atol=1e-9)
+
+
+@pytest.mark.medium
+def test_distributed_pseudo2d_farfield_matches_single_device():
+    """Distributed pseudo-2D (doubly-periodic wall) far field: the
+    replicated image-summed cyclic lattice + seam-wrapped sharded near
+    sweep reproduces the single-device pseudo-2D operator to machine
+    precision (same backend both sides — exact rearrangement)."""
+    from rigid_body_light_tpu.ops import farfield
+
+    _, _, _, mesh = _setup()
+    rng = np.random.default_rng(7)
+    n = 640
+    box = (14.0, 14.0)
+    r = jnp.asarray(np.stack([
+        rng.uniform(0, box[0], n), rng.uniform(0, box[1], n),
+        rng.uniform(1.0, 3.5, n)], axis=1), jnp.float64)
+    F = jnp.asarray(rng.standard_normal((n, 3)), jnp.float64)
+    kw = dict(a=1.0, eta=1.3, grid=(4, 4, 2), p=3, wall=True, box=box,
+              image_shells=3)
+    U_ref = farfield.mobility_apply(F, r, **kw)
+
+    def local(F_l, r_l):
+        base = farfield.mobility_apply_local(F_l, r_l, 8, AX, **kw)
+        ctx = farfield.prepare_local(r_l, 8, AX, **kw)
+        hoisted = farfield.mobility_apply_local(F_l, r_l, 8, AX, ctx=ctx,
+                                                **kw)
+        geo = farfield.prepare_geometry_local(r_l, 8, AX, **kw)
+        ctx_g = farfield.prepare_local(r_l, 8, AX, geo=geo, **kw)
+        pinned = farfield.mobility_apply_local(F_l, r_l, 8, AX, ctx=ctx_g,
+                                               **kw)
+        return base, hoisted, pinned
+
+    base, hoisted, pinned = shard_map(
+        local, mesh=mesh, in_specs=(P(AX), P(AX)),
+        out_specs=(P(AX), P(AX), P(AX)), check_vma=False)(F, r)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(U_ref),
+                               atol=1e-13)
+    np.testing.assert_allclose(np.asarray(hoisted), np.asarray(base),
+                               atol=0)
+    np.testing.assert_allclose(np.asarray(pinned), np.asarray(base),
+                               atol=1e-13)
+
+
+@pytest.mark.medium
+def test_distributed_step_on_pseudo2d_farfield_backend():
+    """Fully-distributed deterministic step through the config routing
+    (2-D box + wall + farfield_grid) matches the single-device pseudo-2D
+    far-field step exactly; the ring sweep still rejects image_shells."""
+    geom, cfg, state, mesh = _setup()
+    cfg = cfg.replace(box=(11.0, 11.0), image_shells=2,
+                      farfield_grid=(3, 3, 2), farfield_p=3,
+                      gmres_tol=1e-6)
+    F = jnp.zeros((8, 6), jnp.float64).at[:, 2].set(-1.0)
+    s_ref, aux_ref = deterministic_step(geom, cfg, state, F)
+    step_d = jax.jit(parallel.make_distributed_step(geom, cfg, mesh,
+                                                    deterministic=True))
+    s_sh, aux_sh = step_d(state, jax.random.key(0), F)
+    np.testing.assert_allclose(np.asarray(s_sh.X), np.asarray(s_ref.X),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(aux_sh.U), np.asarray(aux_ref.U),
+                               atol=1e-10)
+    assert int(aux_sh.iters) == int(aux_ref.iters)
+    cfg_ring = cfg.replace(farfield_grid=None)
+    with pytest.raises(NotImplementedError, match="ring sweep"):
+        parallel.make_distributed_step(geom, cfg_ring, mesh,
+                                       deterministic=True)
