@@ -443,7 +443,8 @@ def _signed_offsets_cyclic(g: int) -> np.ndarray:
     return np.where(o <= g // 2, o, o - g).astype(np.int64)
 
 
-def _kernel_hat_2p(lo_z, h, grid, p, dtype, h_floor, shells: int):
+def _kernel_hat_2p(lo_z, h, grid, p, dtype, h_floor, shells: int,
+                   poly=False):
     """Doubly-periodic COMBINED (free-space + wall-image) kernel lattice:
     per-z-cell-pair CYCLIC xy-offset lattices, 2-D FFT'd at box size.
 
@@ -466,9 +467,18 @@ def _kernel_hat_2p(lo_z, h, grid, p, dtype, h_floor, shells: int):
     including a blob's own (the self-image interaction).
 
     Requires h·(gx, gy) == box (the grid tiles the box exactly — the
-    caller anchors lo_xy = 0 and wraps positions).  Monodisperse only.
-    Returns packed-real (2, gz_t, gz_s, gx·(gy//2+1), B, B) half-spectrum
-    lattices (:func:`_pack_hat`).
+    caller anchors lo_xy = 0 and wraps positions).  Returns packed-real
+    (2, gz_t, gz_s, gx·(gy//2+1), B, B) half-spectrum lattices
+    (:func:`_pack_hat`).
+
+    poly=True: FOUR radius-split channels (nk, 2, gz, gz, f, B, B) for
+    the polydisperse operator — [K₀+G₀, G₁, G₂, K₂] with the free far
+    kernel split K₀ + (âᵢ²+âⱼ²)·K₂ (:func:`_free_split_coeffs`) and the
+    wall power split G_m coupling â^m-weighted moments to â^m-weighted
+    outputs (:func:`_wall_coeffs_split`); K₂ couples (â²F → 1) and
+    (F → âᵢ²).  Each channel decays ≥ 1/ρ³ over the image lattice (the
+    Stokeslet cancellation is radius-independent; finite-size terms decay
+    faster), so the same two-ring tail weights apply per channel.
     """
     gx, gy, gz = grid
     nodes = _cheb_nodes(p)
@@ -516,6 +526,14 @@ def _kernel_hat_2p(lo_z, h, grid, p, dtype, h_floor, shells: int):
         near_z = jnp.abs(jnp.arange(gz, dtype=jnp.int32) - ci) <= 1
         near0 = (near_z[:, None] & near_xy_j[None, :])       # (gz, m)
 
+        def wall_block(fs, e):
+            f1, f2, f3, f4, f5 = fs
+            return (f1[..., None, None] * eye
+                    + f2[..., None, None] * e[..., :, None] * e[..., None, :]
+                    + f3[..., None, None] * e[..., :, None] * zhat[None, :]
+                    + f4[..., None, None] * zhat[:, None] * e[..., None, :]
+                    + f5[..., None, None] * zhat[:, None] * zhat[None, :])
+
         def term(carry, sh):
             shift, zero, ring_w_s = sh
             dx = dx0 + shift[0] * h[0]
@@ -526,59 +544,82 @@ def _kernel_hat_2p(lo_z, h, grid, p, dtype, h_floor, shells: int):
             # adjacent offsets; plus every n=0 self-distance guard
             keep = jnp.where(zero, ~near0, jnp.ones_like(near0))
             keepb = keep.astype(dtype)[:, :, None, None]     # (gz, m, 1, 1)
-            # free-space RPY (far branch only at these separations)
             dzb = jnp.broadcast_to(dz_free, rz.shape)
             r2 = dxb * dxb + dyb * dyb + dzb * dzb
-            alpha, beta = rpy._free_coeffs(jnp.maximum(r2, 1e-2), dtype)
-            alpha = alpha * keepb
-            beta = beta * keepb
             d = jnp.stack([dxb, dyb, dzb], axis=-1)
-            Wf = (alpha[..., None, None] * eye
-                  + beta[..., None, None] * d[..., :, None] * d[..., None, :])
-            # wall image part
+            ddT = d[..., :, None] * d[..., None, :]
             d_img = jnp.stack([dxb, dyb, rz], axis=-1)
-            f1, f2, f3, f4, f5, invR = rpy._wall_coeffs(
-                d_img, jnp.broadcast_to(zj, rz.shape))
-            e = d_img * invR[..., None]
-            f1, f2, f3, f4, f5 = (
-                (f * keepb).astype(dtype) for f in (f1, f2, f3, f4, f5))
-            Ww = (f1[..., None, None] * eye
-                  + f2[..., None, None] * e[..., :, None] * e[..., None, :]
-                  + f3[..., None, None] * e[..., :, None] * zhat[None, :]
-                  + f4[..., None, None] * zhat[:, None] * e[..., None, :]
-                  + f5[..., None, None] * zhat[:, None] * zhat[None, :])
-            W = Wf + Ww                                      # (gz,m,p³,p³,3,3)
+            if poly:
+                (a0, b0), (a2, b2) = _free_split_coeffs(r2, dtype)
+                K0 = ((a0 * keepb)[..., None, None] * eye
+                      + (b0 * keepb)[..., None, None] * ddT)
+                K2 = ((a2 * keepb)[..., None, None] * eye
+                      + (b2 * keepb)[..., None, None] * ddT)
+                parts, invR = _wall_coeffs_split(
+                    d_img, jnp.broadcast_to(zj, rz.shape))
+                e = d_img * invR[..., None]
+                Gs = [wall_block(tuple((f * keepb).astype(dtype)
+                                       for f in fs), e) for fs in parts]
+                W = jnp.stack([K0 + Gs[0], Gs[1], Gs[2], K2])
+            else:
+                # free-space RPY (far branch only at these separations)
+                alpha, beta = rpy._free_coeffs(jnp.maximum(r2, 1e-2), dtype)
+                Wf = ((alpha * keepb)[..., None, None] * eye
+                      + (beta * keepb)[..., None, None] * ddT)
+                # wall image part
+                f1, f2, f3, f4, f5, invR = rpy._wall_coeffs(
+                    d_img, jnp.broadcast_to(zj, rz.shape))
+                e = d_img * invR[..., None]
+                Ww = wall_block(tuple((f * keepb).astype(dtype)
+                                      for f in (f1, f2, f3, f4, f5)), e)
+                W = (Wf + Ww)[None]            # (nk, gz, m, p³, p³, 3, 3)
             tot, tail = carry
             tot = tot + W
             tail = tail + ring_w_s * W
             return (tot, tail), None
 
-        zeros = jnp.zeros((gz,) + dx0.shape + (3, 3), dtype)
+        nk = 4 if poly else 1
+        zeros = jnp.zeros((nk, gz) + dx0.shape + (3, 3), dtype)
         (tot, tail), _ = lax.scan(
             term, (zeros, zeros), (shift_j, is_zero, ring_w_j))
         tot = tot + tail
-        W = tot.transpose(0, 1, 2, 4, 3, 5).reshape(gz, gx, gy, B, B)
-        return jnp.fft.fft(jnp.fft.rfft(W, axis=2), axis=1)
+        W = tot.transpose(0, 1, 2, 3, 5, 4, 6).reshape(nk, gz, gx, gy, B, B)
+        return jnp.fft.fft(jnp.fft.rfft(W, axis=3), axis=2)
 
-    Kh = lax.map(slab, czi_idx)            # (gz_t, gz_s, gx, gy//2+1, B, B)
-    return _pack_hat(Kh.reshape(gz, gz, gx * (gy // 2 + 1), B, B))
+    Kh = lax.map(slab, czi_idx)        # (gz_t, nk, gz_s, gx, gy//2+1, B, B)
+    nk = Kh.shape[1]
+    Kh = _pack_hat(Kh.transpose(1, 0, 2, 3, 4, 5, 6).reshape(
+        nk, gz, gz, gx * (gy // 2 + 1), B, B), axis=1)
+    return Kh if poly else Kh[0]
 
 
 def _far_2p(Qm, lo_z, h, grid, p, h_floor, khat):
     """Pseudo-2D far field on nodes: Gz² coupled CYCLIC xy convolutions
-    (no padding — the wrap IS the periodicity).  Monodisperse: Qm is
-    (1, k, ncell, B); khat from :func:`_kernel_hat_2p`."""
+    (no padding — the wrap IS the periodicity).  Qm (nm, k, ncell, B):
+    nm = 1 (monodisperse, khat (2, ...)) or 3 (polydisperse channels
+    [F, âF, â²F], khat (4, 2, ...)); returns (nout, k, ncell, B) output
+    channels with interpolation weights [1] (mono) or [1, âᵢ², âᵢ]
+    (poly) — see :func:`_kernel_hat_2p`."""
     dtype = jnp.real(Qm).dtype
-    k = Qm.shape[1]
+    nm, k = Qm.shape[0], Qm.shape[1]
+    poly = nm == 3
     gx, gy, gz = grid
     B = Qm.shape[-1]
-    Qg = Qm.reshape(k, gx, gy, gz, B).transpose(0, 3, 1, 2, 4)
-    Qhat = jnp.fft.rfftn(Qg, axes=(2, 3))                    # (k,gz,gx,gy/2+1,B)
-    Qf = Qhat.reshape(k, gz, -1, B)
-    Uf = _conv_pack_z(khat, Qf)
-    Uhat = Uf.reshape(k, gz, gx, gy // 2 + 1, B)
+    Qg = Qm.reshape(nm * k, gx, gy, gz, B).transpose(0, 3, 1, 2, 4)
+    Qhat = jnp.fft.rfftn(Qg, axes=(2, 3))                  # (nm·k,gz,gx,gy/2+1,B)
+    Qf = Qhat.reshape(nm, k, gz, -1, B)
+    if poly:
+        A, G1, G2, K2 = khat
+        U0 = _conv_pack_z(A, Qf[0]) + _conv_pack_z(K2, Qf[2])
+        Ua2 = _conv_pack_z(G2, Qf[2]) + _conv_pack_z(K2, Qf[0])
+        Ua1 = _conv_pack_z(G1, Qf[1])
+        Uf = jnp.concatenate([U0, Ua2, Ua1])               # (3k, gz, f, B)
+    else:
+        Uf = _conv_pack_z(khat, Qf[0])
+    nout = Uf.shape[0] // k
+    Uhat = Uf.reshape(nout * k, gz, gx, gy // 2 + 1, B)
     Ug = jnp.fft.irfftn(Uhat, s=(gx, gy), axes=(2, 3)).astype(dtype)
-    return Ug.transpose(0, 2, 3, 1, 4).reshape(1, k, gx * gy * gz, B)
+    return Ug.transpose(0, 2, 3, 1, 4).reshape(nout, k, gx * gy * gz, B)
 
 
 def _far_wall(Qm, lo_z, h, grid, p, h_floor, khat=None):
@@ -753,8 +794,9 @@ class FarGeo(NamedTuple):
 def _check_2p(wall, poly, box, grid, shells=1):
     """Validate the pseudo-2D far-field request; returns box_n-independent
     static facts.  The combined image lattice needs the wall images (the
-    free 1/ρ Stokeslet alone diverges over a 2-D lattice) and is
-    monodisperse for now."""
+    free 1/ρ Stokeslet alone diverges over a 2-D lattice); polydisperse
+    runs on the four radius-split channels (``poly`` is forwarded to the
+    lattice builder by the callers)."""
     if shells < 1:
         raise ValueError(
             "the pseudo-2D far field needs image_shells ≥ 1: the cyclic "
@@ -771,11 +813,6 @@ def _check_2p(wall, poly, box, grid, shells=1):
             "the doubly-periodic far field needs wall=True — the free-"
             "space Stokeslet's in-plane lattice sum diverges; only the "
             "wall-screened (1/ρ³) combined kernel is summable"
-        )
-    if poly:
-        raise NotImplementedError(
-            "pseudo-2D far field + per-blob radii is not supported yet "
-            "(the radius-split channels need their own image lattices)"
         )
     if grid[0] < 3 or grid[1] < 3:
         raise ValueError(
@@ -833,7 +870,8 @@ def prepare_geometry(r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
         lo, h = _geometry_2p(x, grid, box_n)
         return FarGeo(lo=lo, h=h, khat_free=None,
                       khat_wall=_kernel_hat_2p(lo[2], h, grid, p, dtype,
-                                               h_floor, int(image_shells)))
+                                               h_floor, int(image_shells),
+                                               poly=poly))
     lo, h = _grid_geometry(x, grid)
     khat_free = _far_kernel_hat(h, grid, p, dtype, poly=poly)
     khat_wall = (_wall_kernel_hat(lo[2], h, grid, p, dtype, h_floor,
@@ -906,7 +944,7 @@ def prepare(r, a=1.0, eta=1.0, wall=False, grid=None, p=4, max_nbr=None,
         lo, h = _geometry_2p(x, grid, box_n)
         khat_free = None
         khat_wall = _kernel_hat_2p(lo[2], h, grid, p, dtype, h_floor,
-                                   int(image_shells))
+                                   int(image_shells), poly=poly)
     else:
         lo, h = _grid_geometry(x, grid)
         khat_free = _far_kernel_hat(h, grid, p, dtype, poly=poly)
@@ -1047,9 +1085,14 @@ def _far_part(Fs, ahat, W3, cid, grid, h, lo_z, p, wall, h_floor,
         Q = psum_fn(Q)
     Q = Q.reshape(nm, k, ncell, -1)
     if per:
-        # pseudo-2D: ONE combined (free + wall-image) cyclic lattice
-        Unodes = _far_2p(Q, lo_z, h, grid, p, h_floor, khat_wall)[0]
-        return _l2p(W3, cid, Unodes, p)
+        # pseudo-2D: combined (free + wall-image) cyclic lattices
+        Up = _far_2p(Q, lo_z, h, grid, p, h_floor, khat_wall)
+        if not poly:
+            return _l2p(W3, cid, Up[0], p)
+        L = _l2p(W3, cid, Up.reshape(3 * k, -1, Up.shape[-1]),
+                 p).reshape(3, k, n, 3)                  # weights 1, âᵢ², âᵢ
+        return (L[0] + (ahat * ahat)[None, :, None] * L[1]
+                + ahat[None, :, None] * L[2])
     Qm_free = jnp.stack([Q[0], Q[nm - 1]]) if poly else Q    # [F, â²F]
     Un = _far_free(Qm_free, h, grid, p, khat=khat_free)      # (nf, k, nc, B)
     Uw = (_far_wall(Q, lo_z, h, grid, p, h_floor, khat=khat_wall)
@@ -1309,7 +1352,8 @@ def prepare_geometry_local(r_l, n_devices: int, axis_name: str, a=1.0,
         lo, h = _geometry_2p(x, grid, box_n, axis_name=axis_name)
         return FarGeo(lo=lo, h=h, khat_free=None,
                       khat_wall=_kernel_hat_2p(lo[2], h, grid, p, dtype,
-                                               h_floor, int(image_shells)))
+                                               h_floor, int(image_shells),
+                                               poly=poly))
     lo = lax.pmin(jnp.min(x, axis=0), axis_name)
     hi = lax.pmax(jnp.max(x, axis=0), axis_name)
     lo, h = _geometry_from_bounds(lo, hi, grid)
@@ -1370,7 +1414,7 @@ def prepare_local(r_l, n_devices: int, axis_name: str, a=1.0, eta=1.0,
         lo, h = _geometry_2p(x, grid, box_n, axis_name=axis_name)
         khat_free = None
         khat_wall = _kernel_hat_2p(lo[2], h, grid, p, dtype, h_floor,
-                                   int(image_shells))
+                                   int(image_shells), poly=poly)
     else:
         # global grid geometry: bbox closes over the mesh with pmin/pmax
         lo = lax.pmin(jnp.min(x, axis=0), axis_name)

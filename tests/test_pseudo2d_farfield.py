@@ -120,14 +120,41 @@ def test_period_translation_invariance(slab):
     np.testing.assert_allclose(np.asarray(U0), np.asarray(U1), atol=1e-12)
 
 
+@pytest.mark.medium
+def test_polydisperse(slab):
+    """Per-blob radii through the pseudo-2D far field: four radius-split
+    image lattices [K₀+G₀, G₁, G₂, K₂] — accuracy vs the polydisperse
+    tail-extrapolated exact image sweep matches the open-domain poly
+    ladder (p=4 ≈ 1e-3), and ⟨F₂, M F₁⟩ symmetry holds to roundoff."""
+    r, F, box = slab
+    rng = np.random.default_rng(13)
+    radii = jnp.asarray(rng.uniform(0.7, 1.3, r.shape[0]), jnp.float64)
+    U_ref = rpy.mobility_apply(F, r, wall=True, box=box, image_shells=16,
+                               radii=radii)
+    scale = float(jnp.abs(U_ref).max())
+    kw = dict(wall=True, grid=(5, 5, 2), box=box, image_shells=6,
+              radii=radii)
+    errs = {}
+    for p in (4, 6):
+        U = farfield.mobility_apply(F, r, p=p, **kw)
+        errs[p] = float(jnp.abs(U - U_ref).max()) / scale
+    assert errs[4] < 5e-3, errs
+    assert errs[6] < errs[4], errs
+    F2 = jnp.asarray(rng.standard_normal(F.shape), jnp.float64)
+    U1 = farfield.mobility_apply(F, r, p=4, **kw)
+    U2 = farfield.mobility_apply(F2, r, p=4, **kw)
+    b = rpy.damping_factors(r, radii=radii)
+    s1 = float(jnp.vdot(F2, U1))
+    s2 = float(jnp.vdot(F, U2))
+    assert abs(s1 - s2) < 1e-10 * max(abs(s1), 1.0)
+    del b
+
+
 def test_validation():
     r = jnp.full((100, 3), 2.0)
     F = jnp.ones((100, 3))
     with pytest.raises(ValueError, match="wall"):
         farfield.mobility_apply(F, r, wall=False, grid=4, box=(8.0, 8.0))
-    with pytest.raises(NotImplementedError, match="radii"):
-        farfield.mobility_apply(F, r, wall=True, grid=4, box=(8.0, 8.0),
-                                radii=jnp.ones(100))
     with pytest.raises(ValueError, match="cells"):
         farfield.mobility_apply(F, r, wall=True, grid=(2, 2, 2),
                                 box=(8.0, 8.0))
