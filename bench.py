@@ -94,8 +94,11 @@ def main():
     from rigid_body_light_tpu import forces
     from rigid_body_light_tpu.utils import checkpoint as ckpt
 
+    # halo 8 beats 4 (9.2 vs 10.2 mean iters); adaptive noise is ~free at
+    # restart 60 (tpu_settled_variants round-4 A/B)
     settled_cfg = cfg.replace(gmres_restart=60, pc_mode="ras",
-                              pc_halo=4.0, pc_halo_max=64)
+                              pc_halo=8.0, pc_halo_max=64,
+                              lanczos_max_iters=14, lanczos_err_tol=1e-3)
     s_state, s_key, _, _ = ckpt.load_checkpoint(
         "scripts/data/settled_642.npz", dtype=jnp.float32)
     settled_force = forces.sum_forces(

@@ -65,6 +65,15 @@ from jax import lax
 
 from rigid_body_light_tpu.ops import rpy, tiles
 
+
+def _pallas_available():
+    try:
+        from rigid_body_light_tpu.ops import rpy_pallas
+
+        return rpy_pallas.available()
+    except Exception:  # pragma: no cover
+        return False
+
 # Near-sweep tile size: 4× coarser than the generic pair-tiling unit
 # (tiles.TILE = 32, which sized the original farfield near sweep) but still
 # far finer than the Pallas pair-kernel column tile (rpy_pallas.TC = 512).
@@ -985,7 +994,8 @@ def prepare(r, a=1.0, eta=1.0, wall=False, grid=None, p=4, max_nbr=None,
 
 def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
                    max_nbr=None, h_floor=rpy.WALL_H_FLOOR, radii=None,
-                   ctx: FarCtx = None, box=None, image_shells=8):
+                   ctx: FarCtx = None, box=None, image_shells=8,
+                   use_pallas=True):
     """U = M(r)·F via near-exact + proxy-grid far field.
 
     box: None (open/wall domain, as before) or (Lx, Ly) physical box —
@@ -1044,11 +1054,23 @@ def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
     F_s = jnp.concatenate([Fs[:, order], jnp.zeros((k, pad, 3), dtype)],
                           axis=1)
     box_n = None if not per else tuple(b / a for b in box)
-    U_near_s = _near_sweep(ctx.x_s, ctx.ci_s, ctx.id_s, F_s, ctx.ah_s,
-                           ctx.nbr, ctx.nbr.shape[1], wall, h_floor,
-                           0, t, box_n=box_n,
-                           wrap_xy=(grid[0], grid[1]) if per else None
-                           )[:, :n]
+    wrap_xy = (grid[0], grid[1]) if per else None
+    if use_pallas and dtype == jnp.float32 and _pallas_available():
+        # the near sweep was the far-field apply's bottleneck on chip —
+        # XLA's gather-based pair fields run ~8x below the Pallas pair
+        # kernel (measured 250 ms of a 286 ms wall apply at 102.4k,
+        # BENCH_NOTES); the neighbor-tile kernel runs the identical
+        # adjacent-cell partition at pair-kernel throughput
+        from rigid_body_light_tpu.ops import rpy_pallas
+
+        U_near_s = rpy_pallas.near_sweep(
+            ctx.x_s, ctx.ci_s, ctx.id_s >= 0, F_s, ctx.nbr, wall,
+            h_floor, box_over_a=box_n, wrap_cells=wrap_xy,
+            ahat_s=ctx.ah_s)[:, :n]
+    else:
+        U_near_s = _near_sweep(ctx.x_s, ctx.ci_s, ctx.id_s, F_s, ctx.ah_s,
+                               ctx.nbr, ctx.nbr.shape[1], wall, h_floor,
+                               0, t, box_n=box_n, wrap_xy=wrap_xy)[:, :n]
     U_near = jnp.zeros_like(Fs).at[:, order, :].set(U_near_s)
     U_near = jnp.where(ctx.overflow, jnp.nan, U_near)
 

@@ -794,3 +794,256 @@ def mobility_apply_multi(Fs, r, a=1.0, eta=1.0, wall=False, damp=None,
     if use_damp:
         U = U * b[None, :, None]
     return U
+
+
+# ---------------------------------------------------- neighbor-tile sweep
+# The proxy-grid far field's exact near part (ops/farfield._near_sweep)
+# was the far-field apply's bottleneck on chip: XLA lowers its
+# gather-based pair fields ~8x below this module's pair-kernel throughput
+# (measured 250 ms of a 286 ms wall apply at 102.4k blobs,
+# scripts/tpu_ffwall_profile.py).  This kernel runs the SAME sweep —
+# sorted row tiles x their neighbor tiles, with the per-pair
+# adjacent-cell mask that keeps the near/far split exact — at pair-kernel
+# throughput.  The pair-field math deliberately mirrors _kernel's (kept
+# inline: the two validated kernels above stay untouched).
+
+
+def _kernel_nbr(nbr_ref, P_ref, out_ref, *, max_nbr: int, wall: bool,
+                nrhs: int, h_floor: float, box_x: float, box_y: float,
+                gx: float, gy: float, poly: bool, ar_row: int, f_row: int):
+    """One row tile (TR sorted blobs) x its neighbor tiles.
+
+    P_ref (rows, n_pad) packed: 0-2 positions/a, 3-5 cell indices (f32),
+    6 live flag (1 real / 0 pad), f_row.. the k force sets, ar_row the
+    radii row (poly).  nbr_ref: scalar-prefetched FLAT (t·max_nbr,) int32
+    neighbor-tile ids (-1 = empty slot), read per (row tile, slot) from
+    SMEM.  Pairs are kept iff the CELL offset is within 1 per axis
+    (cyclically in x/y for the pseudo-2D mode: gx/gy > 0) — identical
+    partition to the XLA near sweep, so the far tier's near exclusion
+    stays exact.
+    """
+    i = pl.program_id(0)
+    row0 = i * TR
+    xR = P_ref[0, pl.ds(row0, TR)].reshape(TR, 1)
+    yR = P_ref[1, pl.ds(row0, TR)].reshape(TR, 1)
+    zR = P_ref[2, pl.ds(row0, TR)].reshape(TR, 1)
+    cxR = P_ref[3, pl.ds(row0, TR)].reshape(TR, 1)
+    cyR = P_ref[4, pl.ds(row0, TR)].reshape(TR, 1)
+    czR = P_ref[5, pl.ds(row0, TR)].reshape(TR, 1)
+    row_ids = row0 + jax.lax.broadcasted_iota(jnp.int32, (TR, 1), 0)
+    aR = (P_ref[ar_row, pl.ds(row0, TR)].reshape(TR, 1) if poly else None)
+
+    def slot(j, acc):
+        tid = nbr_ref[i * max_nbr + j]
+        slot_ok = tid >= 0
+        c0 = jnp.maximum(tid, 0) * TR
+        xC = P_ref[0, pl.ds(c0, TR)].reshape(1, TR)
+        yC = P_ref[1, pl.ds(c0, TR)].reshape(1, TR)
+        zC = P_ref[2, pl.ds(c0, TR)].reshape(1, TR)
+        cxC = P_ref[3, pl.ds(c0, TR)].reshape(1, TR)
+        cyC = P_ref[4, pl.ds(c0, TR)].reshape(1, TR)
+        czC = P_ref[5, pl.ds(c0, TR)].reshape(1, TR)
+        liveC = P_ref[6, pl.ds(c0, TR)].reshape(1, TR)
+        col_ids = c0 + jax.lax.broadcasted_iota(jnp.int32, (1, TR), 1)
+
+        dx = xR - xC
+        dy = yR - yC
+        dz = zR - zC
+        dcx = cxR - cxC
+        dcy = cyR - cyC
+        if box_x > 0:
+            dx = dx - box_x * jnp.round(dx * (1.0 / box_x))
+            dy = dy - box_y * jnp.round(dy * (1.0 / box_y))
+            dcx = dcx - gx * jnp.round(dcx * (1.0 / gx))
+            dcy = dcy - gy * jnp.round(dcy * (1.0 / gy))
+        adj = jnp.logical_and(
+            jnp.logical_and(jnp.abs(dcx) <= 1.5, jnp.abs(dcy) <= 1.5),
+            jnp.abs(czR - czC) <= 1.5,
+        )
+        live = jnp.logical_and(
+            jnp.logical_and(adj, liveC > 0.5),
+            jnp.logical_and(row_ids != col_ids, slot_ok),
+        )
+        r2 = jnp.maximum(dx * dx + dy * dy + dz * dz, _R2_FLOOR)
+        invr = jax.lax.rsqrt(r2)
+        invr2 = invr * invr
+        r = r2 * invr
+        if poly:
+            aC = P_ref[ar_row, pl.ds(c0, TR)].reshape(1, TR)
+            alpha, beta = _poly_coeffs(r2, invr, invr2, r, aR, aC)
+        else:
+            far = r >= 2.0
+            alpha = jnp.where(
+                far,
+                (1.0 + (2.0 / 3.0) * invr2) * invr,
+                _SELF_COEF * (1.0 - 0.28125 * r),
+            )
+            beta = jnp.where(
+                far,
+                (1.0 - 2.0 * invr2) * invr2 * invr,
+                (_SELF_COEF * 0.09375) * invr,
+            )
+        alpha = jnp.where(live, alpha, 0.0)
+        beta = jnp.where(live, beta, 0.0)
+
+        if wall:
+            if poly:
+                inv_ae = jax.lax.rsqrt(jnp.maximum(aR * aC, _R2_FLOOR))
+                dxw = dx * inv_ae
+                dyw = dy * inv_ae
+                zRs = zR * inv_ae
+                zCs = zC * inv_ae
+            else:
+                dxw, dyw, zRs, zCs = dx, dy, zR, zC
+            if h_floor > 0:
+                zRw = jnp.maximum(zRs, h_floor)
+                zCw = jnp.maximum(zCs, h_floor)
+            else:
+                zRw, zCw = zRs, zCs
+            dzi = zRw + zCw
+            R2 = jnp.maximum(dxw * dxw + dyw * dyw + dzi * dzi, _R2_FLOOR)
+            invR = jax.lax.rsqrt(R2)
+            ex = dxw * invR
+            ey = dyw * invR
+            ez = dzi * invR
+            ez2 = ez * ez
+            invR3 = invR * invR * invR
+            invR5 = invR3 * invR * invR
+            h_hat = zCw / jnp.maximum(dzi, 1e-12)
+            hh = h_hat * (1.0 - h_hat)
+            f1 = -(3.0 * (1.0 + 2.0 * hh * ez2) * invR
+                   + 2.0 * (1.0 - 3.0 * ez2) * invR3
+                   - 2.0 * (1.0 - 5.0 * ez2) * invR5) * (1.0 / 3.0)
+            f2 = -(3.0 * (1.0 - 6.0 * hh * ez2) * invR
+                   - 6.0 * (1.0 - 5.0 * ez2) * invR3
+                   + 10.0 * (1.0 - 7.0 * ez2) * invR5) * (1.0 / 3.0)
+            f3 = ez * (3.0 * h_hat * (1.0 - 6.0 * (1.0 - h_hat) * ez2) * invR
+                       - 6.0 * (1.0 - 5.0 * ez2) * invR3
+                       + 10.0 * (2.0 - 7.0 * ez2) * invR5) * (2.0 / 3.0)
+            f4 = ez * (3.0 * h_hat * invR - 10.0 * invR5) * (2.0 / 3.0)
+            f5 = -(3.0 * h_hat * h_hat * ez2 * invR
+                   + 3.0 * ez2 * invR3
+                   + (2.0 - 15.0 * ez2) * invR5) * (4.0 / 3.0)
+            if poly:
+                f1, f2, f3, f4, f5 = (f * inv_ae
+                                      for f in (f1, f2, f3, f4, f5))
+            f1 = jnp.where(live, f1, 0.0)
+            f2 = jnp.where(live, f2, 0.0)
+            f3 = jnp.where(live, f3, 0.0)
+            f4 = jnp.where(live, f4, 0.0)
+            f5 = jnp.where(live, f5, 0.0)
+
+        new_acc = []
+        for k in range(nrhs):
+            ux, uy, uz = acc[3 * k], acc[3 * k + 1], acc[3 * k + 2]
+            fx = P_ref[f_row + 3 * k, pl.ds(c0, TR)].reshape(1, TR)
+            fy = P_ref[f_row + 3 * k + 1, pl.ds(c0, TR)].reshape(1, TR)
+            fz = P_ref[f_row + 3 * k + 2, pl.ds(c0, TR)].reshape(1, TR)
+
+            dF = dx * fx + dy * fy + dz * fz
+            bdF = beta * dF
+            cx = alpha * fx + bdF * dx
+            cy = alpha * fy + bdF * dy
+            cz = alpha * fz + bdF * dz
+
+            if wall:
+                eF = ex * fx + ey * fy + ez * fz
+                f2eF = f2 * eF
+                cx = cx + f1 * fx + f2eF * ex + f3 * fz * ex
+                cy = cy + f1 * fy + f2eF * ey + f3 * fz * ey
+                cz = (cz + f1 * fz + f2eF * ez + f3 * fz * ez + f4 * eF
+                      + f5 * fz)
+
+            new_acc.extend([
+                ux + jnp.sum(cx, axis=1, keepdims=True),
+                uy + jnp.sum(cy, axis=1, keepdims=True),
+                uz + jnp.sum(cz, axis=1, keepdims=True),
+            ])
+        return tuple(new_acc)
+
+    zero = jnp.zeros((TR, 1), jnp.float32)
+    acc = jax.lax.fori_loop(0, max_nbr, slot, (zero,) * (3 * nrhs))
+    for k in range(nrhs):
+        out_ref[3 * k + 0, :] = acc[3 * k + 0].reshape(1, TR)[0]
+        out_ref[3 * k + 1, :] = acc[3 * k + 1].reshape(1, TR)[0]
+        out_ref[3 * k + 2, :] = acc[3 * k + 2].reshape(1, TR)[0]
+    out_ref[3 * nrhs : 8, :] = jnp.zeros((8 - 3 * nrhs, TR), jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("wall", "nrhs", "h_floor", "interpret", "box_x",
+                     "box_y", "gx", "gy", "poly"),
+)
+def _near_sweep_call(P, nbr_pad, wall: bool, nrhs: int, h_floor: float,
+                     interpret: bool = False, box_x: float = 0.0,
+                     box_y: float = 0.0, gx: float = 0.0, gy: float = 0.0,
+                     poly: bool = False):
+    n_pad = P.shape[1]
+    t = n_pad // TR
+    max_nbr = nbr_pad.shape[1]
+    f_row = 7
+    ar_row = 7 + 3 * nrhs if poly else 0
+    kernel = functools.partial(
+        _kernel_nbr, max_nbr=max_nbr, wall=wall, nrhs=nrhs,
+        h_floor=h_floor, box_x=box_x, box_y=box_y, gx=gx, gy=gy,
+        poly=poly, ar_row=ar_row, f_row=f_row,
+    )
+    flops_per_pair = (60 if wall else 25) + nrhs * (30 if wall else 15)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, TR), lambda i, nbr_ref: (0, i),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=n_pad * max_nbr * TR * flops_per_pair,
+            bytes_accessed=P.shape[0] * n_pad * 4,
+            transcendentals=2 * n_pad * max_nbr * TR,
+        ),
+        interpret=interpret,
+    )(nbr_pad.reshape(-1), P)
+
+
+def near_sweep(x_s, ci_s, live_s, Fs_s, nbr, wall: bool,
+               h_floor: float = None, box_over_a=None, wrap_cells=None,
+               ahat_s=None, interpret: bool = False):
+    """Adjacent-cell pair sweep over sorted tiles — the Pallas twin of
+    ``farfield._near_sweep`` (single-device row range, same contract:
+    pair terms only, sorted order, no self/scale/damping).
+
+    x_s (n_pad, 3) sorted padded positions in units of a; ci_s (n_pad, 3)
+    cell indices; live_s (n_pad,) real-blob mask; Fs_s (k, n_pad, 3)
+    sorted forces (k <= 2); nbr (t, max_nbr) neighbor-tile ids (-1 pad).
+    box_over_a/wrap_cells: pseudo-2D — (Lx, Ly)/a and (gx, gy) cyclic
+    cell wrap.  Returns (k, n_pad, 3).
+    """
+    if h_floor is None:
+        h_floor = rpy_xla.WALL_H_FLOOR
+    k, n_pad = Fs_s.shape[0], Fs_s.shape[1]
+    poly = ahat_s is not None
+    used = 7 + 3 * k + (1 if poly else 0)
+    rows = 8 * (-(-used // 8))
+    P = jnp.zeros((rows, n_pad), jnp.float32)
+    P = P.at[0:3].set(x_s.astype(jnp.float32).T)
+    P = P.at[2].set(jnp.where(live_s, P[2], 1.0))  # pad heights: no 0/0
+    P = P.at[3:6].set(ci_s.astype(jnp.float32).T)
+    P = P.at[6].set(live_s.astype(jnp.float32))
+    for i in range(k):
+        P = P.at[7 + 3 * i : 10 + 3 * i].set(Fs_s[i].astype(jnp.float32).T)
+    if poly:
+        P = P.at[7 + 3 * k].set(
+            jnp.where(live_s, jnp.asarray(ahat_s, jnp.float32), 1.0))
+    bx, by = (0.0, 0.0) if box_over_a is None else (
+        float(box_over_a[0]), float(box_over_a[1]))
+    gx, gy = (0.0, 0.0) if wrap_cells is None else (
+        float(wrap_cells[0]), float(wrap_cells[1]))
+    out = _near_sweep_call(P, nbr.astype(jnp.int32), wall, k, h_floor,
+                           interpret, box_x=bx, box_y=by, gx=gx, gy=gy,
+                           poly=poly)
+    return jnp.stack([out[3 * i : 3 * i + 3].T for i in range(k)])

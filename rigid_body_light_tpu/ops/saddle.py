@@ -149,14 +149,13 @@ def _farfield_apply_fn(cfg: SimulationConfig, radii):
               radii=radii)
     if cfg.box is not None:
         # pseudo-2D: doubly-periodic wall far field (cyclic xy convolution
-        # with image-summed combined kernel lattices).  image_shells keeps
-        # its sweep-mode meaning: 0 = minimum-image periodicity (lattice
-        # holds only each offset's nearest image), S ≥ 1 = exact images to
-        # depth S with two-ring tail extrapolation.
+        # with image-summed combined kernel lattices, images to depth
+        # image_shells >= 1 with two-ring tail extrapolation)
         kw.update(box=cfg.box, image_shells=cfg.image_shells)
 
     def apply(F, r, ctx=None):
-        return farfield.mobility_apply(F, r, ctx=ctx, **kw)
+        return farfield.mobility_apply(F, r, ctx=ctx,
+                                       use_pallas=cfg.use_pallas, **kw)
 
     apply.prepare = lambda r, geo=None: farfield.prepare(r, geo=geo, **kw)
     apply.prepare_geometry = lambda r: farfield.prepare_geometry(r, **kw)
@@ -550,8 +549,13 @@ def _ns_inverse(S, iters: int):
     return lax.fori_loop(0, iters, body, X)
 
 
-_NS_ITERS_S = 30      # halo Schur inverses (B, 3H, 3H)
-_NS_ITERS_N = 40      # coupled body matrix (6B, 6B)
+# Measured on the settled checkpoint (scripts/tpu_settled_variants.py,
+# *_ns variant): 14/18 reproduces 30/40's iteration counts and residuals
+# exactly (9.18 vs 9.19 mean iters) at ~3 ms/step less build time —
+# Newton-Schulz is quadratic, and preconditioner-grade accuracy arrives
+# well before the old conservative counts.
+_NS_ITERS_S = 14      # halo Schur inverses (B, 3H, 3H)
+_NS_ITERS_N = 18      # coupled body matrix (6B, 6B)
 
 
 def _ras_core_apply(minv_ref, rot, v):

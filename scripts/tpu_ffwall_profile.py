@@ -57,25 +57,34 @@ def main():
                 p=4))(r)
             _sync(ctx.W3)
 
-            @jax.jit
-            def chain(F, ctx, grid=grid):
-                def body(_, v):
-                    return _renorm(farfield.mobility_apply(
-                        v, r, a=a, eta=eta, wall=True, grid=grid, p=4,
-                        ctx=ctx))
-                return jax.lax.fori_loop(0, REPS, body, F)
+            for pallas_near in (True, False):
+                @jax.jit
+                def chain(F, ctx, grid=grid, up=pallas_near):
+                    def body(_, v):
+                        return _renorm(farfield.mobility_apply(
+                            v, r, a=a, eta=eta, wall=True, grid=grid, p=4,
+                            ctx=ctx, use_pallas=up))
+                    return jax.lax.fori_loop(0, REPS, body, F)
 
-            u = chain(F, ctx)
-            s = _sync(u)
-            if not np.isfinite(s):
-                rec["error"] = "non-finite"
-                print(json.dumps(rec), flush=True)
-                continue
-            t0 = time.perf_counter()
-            _sync(chain(F, ctx))
-            rec["apply_ms"] = round((time.perf_counter() - t0) / REPS * 1e3,
-                                    1)
+                u = chain(F, ctx)
+                s = _sync(u)
+                key = "apply_ms" if pallas_near else "apply_ms_xla_near"
+                if not np.isfinite(s):
+                    rec[key] = "non-finite"
+                    continue
+                t0 = time.perf_counter()
+                _sync(chain(F, ctx))
+                rec[key] = round((time.perf_counter() - t0) / REPS * 1e3, 1)
             rec["max_nbr"] = int(ctx.nbr.shape[1])
+            # compiled-kernel parity vs the XLA near path (one shot)
+            u_p = jax.jit(functools.partial(
+                farfield.mobility_apply, r=r, a=a, eta=eta, wall=True,
+                grid=grid, p=4, use_pallas=True))(F, ctx=ctx)
+            u_x = jax.jit(functools.partial(
+                farfield.mobility_apply, r=r, a=a, eta=eta, wall=True,
+                grid=grid, p=4, use_pallas=False))(F, ctx=ctx)
+            rec["pallas_vs_xla_near_relerr"] = float(
+                jnp.max(jnp.abs(u_p - u_x)) / jnp.max(jnp.abs(u_x)))
         except Exception as e:  # noqa: BLE001
             rec["error"] = f"{type(e).__name__}: {str(e)[:150]}"
         print(json.dumps(rec), flush=True)
