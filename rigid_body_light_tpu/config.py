@@ -60,7 +60,7 @@ class SimulationConfig:
     ewald_tol: float = 1.0e-6  # truncation tolerance of both Ewald parts (sets xi and kmax)
     ewald_rc: float = 0.0  # balanced splitting: real-space cutoff (2a < rc < min(L)/2).  Shifts cost from the O(N²) real sweep to MXU wave matmuls and runs the real part over a sorted-tile neighbor structure at O(N·ρ·rc³) — the at-scale periodic mode (ops/ewald_cells.py).  0 = off (classic min(L)/2 split).  Monodisperse only; incompatible with ewald_xi.
     ewald_nbr_tiles: int = 0  # balanced splitting: static neighbor-list width (tiles of 128 sorted blobs per row tile).  0 = auto (4× the uniform-density estimate + 8).  Overflow NaN-poisons the step (caught by the stepper's rejection guards) — raise for extreme density contrast.
-    farfield_grid: Any = None  # proxy-grid far field for open/wall domains (ops/farfield.py): None = off (exact O(N²) sweeps); "auto" = near-cubic grid of ~tile-sized cells; int or (Gx, Gy, Gz) = explicit supercell counts (pass anisotropic counts for flat sedimented slabs).  Splits M into exact near pairs (adjacent cells) + Chebyshev-interpolated far field evaluated as FFT convolutions on the MXU — O(N) at fixed density instead of O(N²).  The operator is approximate (farfield_p controls accuracy) but symmetric to roundoff; polydisperse supported via radius-split kernel lattices.  With a 2-D (Lx, Ly) box + wall=True this becomes the PSEUDO-2D doubly-periodic far field: cyclic xy convolution with image-summed combined (free+wall) kernel lattices — exact in-plane periodicity at O(N) per apply, image depth = image_shells (must be ≥ 1; tail-extrapolated).  Monodisperse; works single-device AND distributed (replicated lattice build + seam-wrapped sharded near sweep).
+    farfield_grid: Any = None  # proxy-grid far field for open/wall domains (ops/farfield.py): None = off (exact O(N²) sweeps); "auto" = near-cubic grid of ~tile-sized cells; int or (Gx, Gy, Gz) = explicit supercell counts (pass anisotropic counts for flat sedimented slabs).  Splits M into exact near pairs (adjacent cells) + Chebyshev-interpolated far field evaluated as FFT convolutions on the MXU — O(N) at fixed density instead of O(N²).  The operator is approximate (farfield_p controls accuracy) but symmetric to roundoff; polydisperse supported via radius-split kernel lattices.  With a 2-D (Lx, Ly) box + wall=True this becomes the PSEUDO-2D doubly-periodic far field: cyclic xy convolution with image-summed combined (free+wall) kernel lattices — exact in-plane periodicity at O(N) per apply, image depth = image_shells (must be ≥ 1; tail-extrapolated).  Polydisperse supported (four radius-split image lattices); works single-device AND distributed (replicated lattice build + seam-wrapped sharded near sweep).
     farfield_p: int = 4  # Chebyshev nodes per dim for the far field: 4 ≈ 5e-3 relative operator error, 6 ≈ 3e-4 (measured, tests/test_farfield.py)
     farfield_nbr_tiles: int = 0  # static neighbor-tile list width for the near sweep; 0 = auto (overflow NaN-poisons the step, caught by the stepper's rejection guards — raise for extreme density contrast)
     block_diag_pc: bool = False
@@ -115,6 +115,13 @@ class SimulationConfig:
                     "image_shells needs a 2-D (Lx, Ly) box — the exact "
                     "image sum is the doubly-periodic (pseudo-2D) geometry"
                 )
+        if 0 < self.lanczos_max_iters <= self.lanczos_iters:
+            raise ValueError(
+                f"lanczos_max_iters={self.lanczos_max_iters} ≤ "
+                f"lanczos_iters={self.lanczos_iters}: the adaptive noise "
+                f"mode would silently never engage (it extends PAST "
+                f"lanczos_iters up to the cap) — raise the cap or drop it"
+            )
         if self.farfield_grid is not None:
             if self.box is not None and len(self.box) == 3:
                 raise ValueError(

@@ -582,16 +582,14 @@ def _kernel_hat_2p(lo_z, h, grid, p, dtype, h_floor, shells: int,
                 Ww = wall_block(tuple((f * keepb).astype(dtype)
                                       for f in (f1, f2, f3, f4, f5)), e)
                 W = (Wf + Ww)[None]            # (nk, gz, m, p³, p³, 3, 3)
-            tot, tail = carry
-            tot = tot + W
-            tail = tail + ring_w_s * W
-            return (tot, tail), None
+            # tail extrapolation folds into the running sum as a per-shift
+            # weight 1 + ring_w (rings S, S−1; 1 elsewhere) — one lattice-
+            # sized accumulator instead of separate tot/tail carries
+            return carry + (1.0 + ring_w_s) * W, None
 
         nk = 4 if poly else 1
         zeros = jnp.zeros((nk, gz) + dx0.shape + (3, 3), dtype)
-        (tot, tail), _ = lax.scan(
-            term, (zeros, zeros), (shift_j, is_zero, ring_w_j))
-        tot = tot + tail
+        tot, _ = lax.scan(term, zeros, (shift_j, is_zero, ring_w_j))
         W = tot.transpose(0, 1, 2, 3, 5, 4, 6).reshape(nk, gz, gx, gy, B, B)
         return jnp.fft.fft(jnp.fft.rfft(W, axis=3), axis=2)
 
@@ -823,10 +821,18 @@ def _check_2p(wall, poly, box, grid, shells=1):
             "space Stokeslet's in-plane lattice sum diverges; only the "
             "wall-screened (1/ρ³) combined kernel is summable"
         )
-    if grid[0] < 3 or grid[1] < 3:
+    if grid[0] < 4 or grid[1] < 4:
+        # g >= 4 is a CORRECTNESS bound, not a quality knob: adjacent-cell
+        # pairs (|offset| <= 1) span node displacements up to 2h, and the
+        # near sweep evaluates them at the per-pair minimum image while
+        # the lattice excludes the n=0 term of the signed representative
+        # — the two agree only when 2h <= box/2, i.e. g >= 4.  At g=3 a
+        # seam pair is double counted and its complementary image dropped
+        # (measured 6.9e-2 relative operator error vs 4.4e-4 at g=4).
         raise ValueError(
-            f"pseudo-2D far field needs ≥ 3 cells per periodic axis, "
-            f"got {grid}"
+            f"pseudo-2D far field needs ≥ 4 cells per periodic axis "
+            f"(minimum-image/representative agreement for adjacent-cell "
+            f"pairs), got {grid}"
         )
 
 
@@ -1055,7 +1061,8 @@ def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
                           axis=1)
     box_n = None if not per else tuple(b / a for b in box)
     wrap_xy = (grid[0], grid[1]) if per else None
-    if use_pallas and dtype == jnp.float32 and _pallas_available():
+    if (use_pallas and dtype == jnp.float32 and k <= 2
+            and _pallas_available()):
         # the near sweep was the far-field apply's bottleneck on chip —
         # XLA's gather-based pair fields run ~8x below the Pallas pair
         # kernel (measured 250 ms of a 286 ms wall apply at 102.4k,

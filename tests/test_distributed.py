@@ -598,7 +598,7 @@ def test_distributed_step_on_pseudo2d_farfield_backend():
     far-field step exactly; the ring sweep still rejects image_shells."""
     geom, cfg, state, mesh = _setup()
     cfg = cfg.replace(box=(11.0, 11.0), image_shells=2,
-                      farfield_grid=(3, 3, 2), farfield_p=3,
+                      farfield_grid=(4, 4, 2), farfield_p=3,
                       gmres_tol=1e-6)
     F = jnp.zeros((8, 6), jnp.float64).at[:, 2].set(-1.0)
     s_ref, aux_ref = deterministic_step(geom, cfg, state, F)
