@@ -1061,15 +1061,18 @@ def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
                           axis=1)
     box_n = None if not per else tuple(b / a for b in box)
     wrap_xy = (grid[0], grid[1]) if per else None
+    pallas_near = False
     if (use_pallas and dtype == jnp.float32 and k <= 2
             and _pallas_available()):
+        from rigid_body_light_tpu.ops import rpy_pallas
+
+        pallas_near = rpy_pallas.near_sweep_fits(ctx.nbr)
+    if pallas_near:
         # the near sweep was the far-field apply's bottleneck on chip —
         # XLA's gather-based pair fields run ~8x below the Pallas pair
         # kernel (measured 250 ms of a 286 ms wall apply at 102.4k,
         # BENCH_NOTES); the neighbor-tile kernel runs the identical
         # adjacent-cell partition at pair-kernel throughput
-        from rigid_body_light_tpu.ops import rpy_pallas
-
         U_near_s = rpy_pallas.near_sweep(
             ctx.x_s, ctx.ci_s, ctx.id_s >= 0, F_s, ctx.nbr, wall,
             h_floor, box_over_a=box_n, wrap_cells=wrap_xy,
@@ -1263,7 +1266,8 @@ def _near_sweep(x_s, ci_s, id_s, F_s, ah_s, nbr, max_nbr, wall, h_floor,
 def mobility_apply_local(F_l, r_l, n_devices: int, axis_name: str, a=1.0,
                          eta=1.0, wall=False, grid=None, p=4, max_nbr=None,
                          h_floor=rpy.WALL_H_FLOOR, radii_l=None,
-                         ctx: FarCtx = None, box=None, image_shells=8):
+                         ctx: FarCtx = None, box=None, image_shells=8,
+                         use_pallas=True):
     """Local-shard proxy-grid mobility for use INSIDE ``shard_map``.
 
     Multi-chip far field (the O(N) analogue of
@@ -1329,11 +1333,22 @@ def mobility_apply_local(F_l, r_l, n_devices: int, axis_name: str, a=1.0,
                            jnp.zeros((k, pad, 3), dtype)], axis=1)
     nt = t_pad // n_devices
     box_n = None if not per else tuple(b / a for b in box)
-    U_slice = _near_sweep(ctx.x_s, ctx.ci_s, ctx.id_s, F_s, ctx.ah_s,
-                          ctx.nbr, max_nbr, wall, h_floor,
-                          idx * nt, nt, box_n=box_n,
-                          wrap_xy=(grid[0], grid[1]) if per else None
-                          )                                  # (k, nt·TILE, 3)
+    wrap_xy = (grid[0], grid[1]) if per else None
+    pallas_near = False
+    if (use_pallas and dtype == jnp.float32 and k <= 2
+            and _pallas_available()):
+        from rigid_body_light_tpu.ops import rpy_pallas
+
+        pallas_near = rpy_pallas.near_sweep_fits(ctx.nbr)
+    if pallas_near:
+        U_slice = rpy_pallas.near_sweep(
+            ctx.x_s, ctx.ci_s, ctx.id_s >= 0, F_s, ctx.nbr, wall, h_floor,
+            box_over_a=box_n, wrap_cells=wrap_xy, ahat_s=ctx.ah_s,
+            t0=idx * nt, nt=nt)                              # (k, nt·TILE, 3)
+    else:
+        U_slice = _near_sweep(ctx.x_s, ctx.ci_s, ctx.id_s, F_s, ctx.ah_s,
+                              ctx.nbr, max_nbr, wall, h_floor,
+                              idx * nt, nt, box_n=box_n, wrap_xy=wrap_xy)
     U_sorted = lax.all_gather(U_slice, axis_name, axis=1,
                               tiled=True)[:, :n]
     U_near_g = jnp.zeros((k, n, 3), dtype).at[:, ctx.order, :].set(U_sorted)

@@ -808,9 +808,10 @@ def mobility_apply_multi(Fs, r, a=1.0, eta=1.0, wall=False, damp=None,
 # inline: the two validated kernels above stay untouched).
 
 
-def _kernel_nbr(nbr_ref, P_ref, out_ref, *, max_nbr: int, wall: bool,
-                nrhs: int, h_floor: float, box_x: float, box_y: float,
-                gx: float, gy: float, poly: bool, ar_row: int, f_row: int):
+def _kernel_nbr(nbr_ref, t0_ref, P_ref, out_ref, *, max_nbr: int,
+                wall: bool, nrhs: int, h_floor: float, box_x: float,
+                box_y: float, gx: float, gy: float, poly: bool,
+                ar_row: int, f_row: int):
     """One row tile (TR sorted blobs) x its neighbor tiles.
 
     P_ref (rows, n_pad) packed: 0-2 positions/a, 3-5 cell indices (f32),
@@ -820,9 +821,11 @@ def _kernel_nbr(nbr_ref, P_ref, out_ref, *, max_nbr: int, wall: bool,
     SMEM.  Pairs are kept iff the CELL offset is within 1 per axis
     (cyclically in x/y for the pseudo-2D mode: gx/gy > 0) — identical
     partition to the XLA near sweep, so the far tier's near exclusion
-    stays exact.
+    stays exact.  t0_ref: scalar-prefetched (1,) row-tile offset — the
+    single-device sweep passes 0, the distributed sweep its device's
+    tile-slice start (traced: lax.axis_index-derived).
     """
-    i = pl.program_id(0)
+    i = pl.program_id(0) + t0_ref[0]
     row0 = i * TR
     xR = P_ref[0, pl.ds(row0, TR)].reshape(TR, 1)
     yR = P_ref[1, pl.ds(row0, TR)].reshape(TR, 1)
@@ -972,15 +975,14 @@ def _kernel_nbr(nbr_ref, P_ref, out_ref, *, max_nbr: int, wall: bool,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("wall", "nrhs", "h_floor", "interpret", "box_x",
-                     "box_y", "gx", "gy", "poly"),
+    static_argnames=("wall", "nrhs", "h_floor", "nt", "interpret",
+                     "box_x", "box_y", "gx", "gy", "poly"),
 )
-def _near_sweep_call(P, nbr_pad, wall: bool, nrhs: int, h_floor: float,
-                     interpret: bool = False, box_x: float = 0.0,
-                     box_y: float = 0.0, gx: float = 0.0, gy: float = 0.0,
-                     poly: bool = False):
+def _near_sweep_call(P, nbr_pad, t0, wall: bool, nrhs: int,
+                     h_floor: float, nt: int, interpret: bool = False,
+                     box_x: float = 0.0, box_y: float = 0.0,
+                     gx: float = 0.0, gy: float = 0.0, poly: bool = False):
     n_pad = P.shape[1]
-    t = n_pad // TR
     max_nbr = nbr_pad.shape[1]
     f_row = 7
     ar_row = 7 + 3 * nrhs if poly else 0
@@ -991,37 +993,52 @@ def _near_sweep_call(P, nbr_pad, wall: bool, nrhs: int, h_floor: float,
     )
     flops_per_pair = (60 if wall else 25) + nrhs * (30 if wall else 15)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(t,),
+        num_scalar_prefetch=2,
+        grid=(nt,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((8, TR), lambda i, nbr_ref: (0, i),
+        out_specs=pl.BlockSpec((8, TR), lambda i, nbr_ref, t0_ref: (0, i),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((8, nt * TR), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=n_pad * max_nbr * TR * flops_per_pair,
+            flops=nt * TR * max_nbr * TR * flops_per_pair,
             bytes_accessed=P.shape[0] * n_pad * 4,
-            transcendentals=2 * n_pad * max_nbr * TR,
+            transcendentals=2 * nt * TR * max_nbr * TR,
         ),
         interpret=interpret,
-    )(nbr_pad.reshape(-1), P)
+    )(nbr_pad.reshape(-1), jnp.asarray(t0, jnp.int32).reshape(1), P)
+
+
+# SMEM budget for the scalar-prefetched flat neighbor array (v5e SMEM is
+# 1 MiB; measured: a ~1.26 MB int32 nbr fails AOT compile with "would
+# exceed memory ... space=smem").  Callers route to the XLA sweep when
+# the list doesn't fit.
+_NBR_SMEM_BUDGET = 900 * 1024
+
+
+def near_sweep_fits(nbr) -> bool:
+    """True when the neighbor list fits the kernel's SMEM prefetch."""
+    return 4 * int(nbr.shape[0]) * int(nbr.shape[1]) <= _NBR_SMEM_BUDGET
 
 
 def near_sweep(x_s, ci_s, live_s, Fs_s, nbr, wall: bool,
                h_floor: float = None, box_over_a=None, wrap_cells=None,
-               ahat_s=None, interpret: bool = False):
+               ahat_s=None, t0=0, nt: int = None,
+               interpret: bool = False):
     """Adjacent-cell pair sweep over sorted tiles — the Pallas twin of
-    ``farfield._near_sweep`` (single-device row range, same contract:
-    pair terms only, sorted order, no self/scale/damping).
+    ``farfield._near_sweep`` (same contract: pair terms only, sorted
+    order, no self/scale/damping).
 
     x_s (n_pad, 3) sorted padded positions in units of a; ci_s (n_pad, 3)
     cell indices; live_s (n_pad,) real-blob mask; Fs_s (k, n_pad, 3)
     sorted forces (k <= 2); nbr (t, max_nbr) neighbor-tile ids (-1 pad).
     box_over_a/wrap_cells: pseudo-2D — (Lx, Ly)/a and (gx, gy) cyclic
-    cell wrap.  Returns (k, n_pad, 3).
+    cell wrap.  t0/nt: row-tile slice [t0, t0+nt) — the distributed
+    sweep passes its device's (traced) slice start and static width; the
+    default sweeps everything.  Returns (k, nt·TR, 3).
     """
     if h_floor is None:
         h_floor = rpy_xla.WALL_H_FLOOR
@@ -1043,7 +1060,9 @@ def near_sweep(x_s, ci_s, live_s, Fs_s, nbr, wall: bool,
         float(box_over_a[0]), float(box_over_a[1]))
     gx, gy = (0.0, 0.0) if wrap_cells is None else (
         float(wrap_cells[0]), float(wrap_cells[1]))
-    out = _near_sweep_call(P, nbr.astype(jnp.int32), wall, k, h_floor,
-                           interpret, box_x=bx, box_y=by, gx=gx, gy=gy,
-                           poly=poly)
+    if nt is None:
+        nt = n_pad // TR
+    out = _near_sweep_call(P, nbr.astype(jnp.int32), t0, wall, k, h_floor,
+                           nt, interpret, box_x=bx, box_y=by, gx=gx,
+                           gy=gy, poly=poly)
     return jnp.stack([out[3 * i : 3 * i + 3].T for i in range(k)])

@@ -355,7 +355,8 @@ def farfield_mobility_apply_local_fn(cfg: SimulationConfig, n_devices: int,
 
     def apply(F, r, ctx=None):
         return farfield.mobility_apply_local(
-            F, r, n_devices, axis_name, ctx=ctx, **kw)
+            F, r, n_devices, axis_name, ctx=ctx,
+            use_pallas=cfg.use_pallas, **kw)
 
     # same hoist surface as the single-device far-field apply-fn: the
     # stepper's pin_geometry shares one kernel-lattice build across the

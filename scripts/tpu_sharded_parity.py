@@ -39,6 +39,35 @@ def main():
         assert err < 1e-6, err
     print("SHARDED SLAB PARITY OK")
 
+    # far-field local applier inside shard_map on hardware: exercises the
+    # Pallas neighbor-tile near sweep's traced tile-slice offset (the
+    # lax.axis_index-derived t0) on the compiled path — CPU-mesh tests
+    # fall back to the XLA sweep
+    import functools
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from rigid_body_light_tpu.ops import farfield
+
+    for box in (None, (40.0, 40.0)):
+        kw = dict(a=0.9, eta=1.1, wall=True, grid=(5, 5, 2), p=4)
+        if box is not None:
+            kw.update(box=box, image_shells=3)
+        ref = jax.jit(functools.partial(farfield.mobility_apply, r=r,
+                                        **kw))(F)
+        local = shard_map(
+            functools.partial(farfield.mobility_apply_local, n_devices=1,
+                              axis_name="b", **kw),
+            mesh=mesh, in_specs=(P("b"), P("b")), out_specs=P("b"),
+            check_vma=False)
+        out = jax.jit(local)(F, r)
+        err = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+        print(f"box={box}: farfield local (Pallas near, in shard_map) vs "
+              f"single-device rel err = {err:.2e}", flush=True)
+        assert err < 1e-5, err
+    print("SHARDED FARFIELD NEAR-SWEEP PARITY OK")
+
 
 if __name__ == "__main__":
     main()

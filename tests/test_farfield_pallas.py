@@ -52,3 +52,33 @@ def test_near_sweep_kernel_parity(case):
     U = np.asarray(U)[:, live]
     err = float(np.abs(U - U_ref).max()) / float(np.abs(U_ref).max())
     assert err < 1e-5, (case, err)
+
+
+def test_near_sweep_tile_slice_parity():
+    """The distributed path sweeps a device-local tile slice [t0, t0+nt):
+    slice outputs must match the corresponding rows of the full sweep
+    (traced t0, like the in-shard_map lax.axis_index-derived offset)."""
+    import jax
+
+    rng = np.random.default_rng(11)
+    n = 900
+    r = rng.uniform(0, 16, (n, 3)) + [0, 0, 1.0]
+    kw = dict(wall=True, grid=(3, 3, 2), p=3)
+    F = jnp.asarray(rng.standard_normal((1, n, 3)), jnp.float32)
+    rj = jnp.asarray(r, jnp.float32)
+    ctx = farfield.prepare(rj, **kw)
+    t = ctx.nbr.shape[0]
+    pad = t * farfield.TILE - n
+    F_s = jnp.concatenate(
+        [F[:, ctx.order], jnp.zeros((1, pad, 3), jnp.float32)], 1)
+    full = rpy_pallas.near_sweep(ctx.x_s, ctx.ci_s, ctx.id_s >= 0, F_s,
+                                 ctx.nbr, True, 0.75, interpret=True)
+    nt = 2
+    for t0 in range(0, t - nt + 1, nt):
+        t0_traced = jnp.asarray(t0, jnp.int32) * 1  # keep it traced-like
+        part = jax.jit(
+            lambda t0v: rpy_pallas.near_sweep(
+                ctx.x_s, ctx.ci_s, ctx.id_s >= 0, F_s, ctx.nbr, True,
+                0.75, t0=t0v, nt=nt, interpret=True))(t0_traced)
+        ref = np.asarray(full)[:, t0 * 128:(t0 + nt) * 128]
+        np.testing.assert_allclose(np.asarray(part), ref, atol=1e-6)
