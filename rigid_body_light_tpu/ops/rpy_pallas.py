@@ -808,7 +808,7 @@ def mobility_apply_multi(Fs, r, a=1.0, eta=1.0, wall=False, damp=None,
 # inline: the two validated kernels above stay untouched).
 
 
-def _kernel_nbr(nbr_ref, t0_ref, P_ref, out_ref, *, max_nbr: int,
+def _kernel_nbr(t0_ref, nbr_ref, P_ref, out_ref, *, max_nbr: int,
                 wall: bool, nrhs: int, h_floor: float, box_x: float,
                 box_y: float, gx: float, gy: float, poly: bool,
                 ar_row: int, f_row: int):
@@ -816,16 +816,22 @@ def _kernel_nbr(nbr_ref, t0_ref, P_ref, out_ref, *, max_nbr: int,
 
     P_ref (rows, n_pad) packed: 0-2 positions/a, 3-5 cell indices (f32),
     6 live flag (1 real / 0 pad), f_row.. the k force sets, ar_row the
-    radii row (poly).  nbr_ref: scalar-prefetched FLAT (t·max_nbr,) int32
-    neighbor-tile ids (-1 = empty slot), read per (row tile, slot) from
-    SMEM.  Pairs are kept iff the CELL offset is within 1 per axis
-    (cyclically in x/y for the pseudo-2D mode: gx/gy > 0) — identical
-    partition to the XLA near sweep, so the far tier's near exclusion
-    stays exact.  t0_ref: scalar-prefetched (1,) row-tile offset — the
-    single-device sweep passes 0, the distributed sweep its device's
-    tile-slice start (traced: lax.axis_index-derived).
+    radii row (poly).  nbr_ref: an (8, max_nbr) int32 block of the
+    neighbor table (-1 = empty slot) — a BLOCKED SMEM input whose index
+    map selects block (i + t0) // 8 of the (t_pad8, max_nbr) table and
+    the kernel reads row (i + t0) % 8, so SMEM holds 8 rows per grid
+    step (the whole-table scalar-prefetch layout blew v5e's 1 MiB SMEM
+    at ~400-wide lists x 800 tiles; Mosaic requires the block's
+    second-to-last dim divisible by 8, hence 8 rows).  Pairs are
+    kept iff the CELL offset is within 1 per axis (cyclically in x/y for
+    the pseudo-2D mode: gx/gy > 0) — identical partition to the XLA near
+    sweep, so the far tier's near exclusion stays exact.  t0_ref:
+    scalar-prefetched (1,) row-tile offset — the single-device sweep
+    passes 0, the distributed sweep its device's tile-slice start
+    (traced: lax.axis_index-derived).
     """
     i = pl.program_id(0) + t0_ref[0]
+    nbr_row = jax.lax.rem(i, jnp.int32(8))
     row0 = i * TR
     xR = P_ref[0, pl.ds(row0, TR)].reshape(TR, 1)
     yR = P_ref[1, pl.ds(row0, TR)].reshape(TR, 1)
@@ -837,7 +843,7 @@ def _kernel_nbr(nbr_ref, t0_ref, P_ref, out_ref, *, max_nbr: int,
     aR = (P_ref[ar_row, pl.ds(row0, TR)].reshape(TR, 1) if poly else None)
 
     def slot(j, acc):
-        tid = nbr_ref[i * max_nbr + j]
+        tid = nbr_ref[nbr_row, j]
         slot_ok = tid >= 0
         c0 = jnp.maximum(tid, 0) * TR
         xC = P_ref[0, pl.ds(c0, TR)].reshape(1, TR)
@@ -992,11 +998,20 @@ def _near_sweep_call(P, nbr_pad, t0, wall: bool, nrhs: int,
         poly=poly, ar_row=ar_row, f_row=f_row,
     )
     flops_per_pair = (60 if wall else 25) + nrhs * (30 if wall else 15)
+    t = nbr_pad.shape[0]
+    if t % 8:
+        nbr_pad = jnp.pad(nbr_pad, ((0, 8 - t % 8), (0, 0)),
+                          constant_values=-1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(nt,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((8, TR), lambda i, nbr_ref, t0_ref: (0, i),
+        in_specs=[
+            pl.BlockSpec((8, max_nbr),
+                         lambda i, t0_ref: ((i + t0_ref[0]) // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, TR), lambda i, t0_ref: (0, i),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -1009,19 +1024,19 @@ def _near_sweep_call(P, nbr_pad, t0, wall: bool, nrhs: int,
             transcendentals=2 * nt * TR * max_nbr * TR,
         ),
         interpret=interpret,
-    )(nbr_pad.reshape(-1), jnp.asarray(t0, jnp.int32).reshape(1), P)
+    )(jnp.asarray(t0, jnp.int32).reshape(1), nbr_pad, P)
 
 
-# SMEM budget for the scalar-prefetched flat neighbor array (v5e SMEM is
-# 1 MiB; measured: a ~1.26 MB int32 nbr fails AOT compile with "would
-# exceed memory ... space=smem").  Callers route to the XLA sweep when
-# the list doesn't fit.
-_NBR_SMEM_BUDGET = 900 * 1024
+# Per-block SMEM budget for one neighbor row (v5e SMEM is 1 MiB; the
+# kernel streams one (1, max_nbr) int32 row per grid step — the old
+# whole-table scalar prefetch hit the wall at ~1.26 MB).  Effectively
+# unbounded for physical densities; the guard survives as a backstop.
+_NBR_SMEM_BUDGET = 256 * 1024
 
 
 def near_sweep_fits(nbr) -> bool:
-    """True when the neighbor list fits the kernel's SMEM prefetch."""
-    return 4 * int(nbr.shape[0]) * int(nbr.shape[1]) <= _NBR_SMEM_BUDGET
+    """True when one neighbor-table row fits the kernel's SMEM block."""
+    return 4 * int(nbr.shape[1]) <= _NBR_SMEM_BUDGET
 
 
 def near_sweep(x_s, ci_s, live_s, Fs_s, nbr, wall: bool,

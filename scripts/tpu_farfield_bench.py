@@ -50,6 +50,14 @@ def main():
         (40960, True, slab(40960), [((7, 7, 4), 4)]),    # wall crossover pin
         (65536, False, cube(65536, 25.8), [(None, 4)]),  # free crossover pin
         (20480, True, slab(20480), [((6, 6, 3), 4)]),    # wall lower bracket
+        # scale headroom: 1M blobs on one chip (dense cells ≈ 750/supercell;
+        # the blocked-SMEM neighbor stream makes the Pallas near sweep
+        # feasible here — the whole-table prefetch layout could not fit).
+        # Far-only exact check is impossible at this size (the O(N²) ref
+        # sweep would need ~80 s/apply); accuracy rides the p=4 ladder
+        # validated at 205k.
+        (1048576, False, cube(1048576, 64.9), [(None, 4)]),
+        (1048576, True, slab(1048576), [((14, 14, 5), 4)]),  # 2.9 GiB K̂
     ]
     if len(sys.argv) > 1:  # one case per process (tunnel stability)
         cases = [cases[int(sys.argv[1])]]

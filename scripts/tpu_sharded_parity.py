@@ -58,9 +58,9 @@ def main():
                                         **kw))(F)
         local = shard_map(
             functools.partial(farfield.mobility_apply_local, n_devices=1,
-                              axis_name="b", **kw),
-            mesh=mesh, in_specs=(P("b"), P("b")), out_specs=P("b"),
-            check_vma=False)
+                              axis_name="blobs", **kw),
+            mesh=mesh, in_specs=(P("blobs"), P("blobs")),
+            out_specs=P("blobs"), check_vma=False)
         out = jax.jit(local)(F, r)
         err = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
         print(f"box={box}: farfield local (Pallas near, in shard_map) vs "
