@@ -804,6 +804,16 @@ def _check_2p(wall, poly, box, grid, shells=1):
     free 1/ρ Stokeslet alone diverges over a 2-D lattice); polydisperse
     runs on the four radius-split channels (``poly`` is forwarded to the
     lattice builder by the callers)."""
+    try:
+        if len(box) != 2:
+            raise ValueError
+        lx, ly = (float(box[0]), float(box[1]))
+    except (TypeError, ValueError, IndexError) as e:
+        raise ValueError(
+            f"box must be a (Lx, Ly) pair of in-plane periods, got {box!r}"
+        ) from e
+    if not (lx > 0 and ly > 0):
+        raise ValueError(f"box periods must be positive, got {box!r}")
     if shells < 1:
         raise ValueError(
             "the pseudo-2D far field needs image_shells ≥ 1: the cyclic "

@@ -103,6 +103,75 @@ def _poly_coeffs(r2, invr, invr2, r, aR, aC):
     return alpha, beta
 
 
+def _mono_coeffs(r, invr, invr2):
+    """Monodisperse RPY (α, β) pair fields in units of a (overlap branch at
+    r < 2; see ``rpy._free_coeffs``) — ONE definition shared by the
+    ordered / symmetric / neighbor-tile kernels so the compiled paths
+    cannot drift apart."""
+    far = r >= 2.0
+    alpha = jnp.where(
+        far,
+        (1.0 + (2.0 / 3.0) * invr2) * invr,
+        _SELF_COEF * (1.0 - 0.28125 * r),
+    )
+    beta = jnp.where(
+        far,
+        (1.0 - 2.0 * invr2) * invr2 * invr,
+        (_SELF_COEF * 0.09375) * invr,
+    )
+    return alpha, beta
+
+
+def _wall_coeffs(dx, dy, zR, zC, *, h_floor, poly, aR=None, aC=None):
+    """Swan–Brady wall-image coefficient fields for a (row, col) pair tile:
+    returns (ex, ey, ez, f1..f5) with the image system
+    C = f1·I + f2·e eᵀ + f3·z eᵀ + f4·e zᵀ + f5·z zᵀ (see
+    ``rpy._pair_tile``, reference ``c_rigid_obj.cpp:105-141``).  Heights
+    are floored at h_floor (units of a); polydisperse pairs evaluate in
+    units of the pair-effective radius √(aᵢaⱼ) and scale back.  ONE
+    definition shared by all three pair kernels."""
+    if poly:
+        inv_ae = jax.lax.rsqrt(jnp.maximum(aR * aC, _R2_FLOOR))
+        dxw = dx * inv_ae
+        dyw = dy * inv_ae
+        zRs = zR * inv_ae
+        zCs = zC * inv_ae
+    else:
+        dxw, dyw, zRs, zCs = dx, dy, zR, zC
+    if h_floor > 0:
+        zRw = jnp.maximum(zRs, h_floor)
+        zCw = jnp.maximum(zCs, h_floor)
+    else:
+        zRw, zCw = zRs, zCs
+    dzi = zRw + zCw
+    R2 = jnp.maximum(dxw * dxw + dyw * dyw + dzi * dzi, _R2_FLOOR)
+    invR = jax.lax.rsqrt(R2)
+    ex = dxw * invR
+    ey = dyw * invR
+    ez = dzi * invR
+    ez2 = ez * ez
+    invR3 = invR * invR * invR
+    invR5 = invR3 * invR * invR
+    h_hat = zCw / jnp.maximum(dzi, 1e-12)
+    hh = h_hat * (1.0 - h_hat)
+    f1 = -(3.0 * (1.0 + 2.0 * hh * ez2) * invR
+           + 2.0 * (1.0 - 3.0 * ez2) * invR3
+           - 2.0 * (1.0 - 5.0 * ez2) * invR5) * (1.0 / 3.0)
+    f2 = -(3.0 * (1.0 - 6.0 * hh * ez2) * invR
+           - 6.0 * (1.0 - 5.0 * ez2) * invR3
+           + 10.0 * (1.0 - 7.0 * ez2) * invR5) * (1.0 / 3.0)
+    f3 = ez * (3.0 * h_hat * (1.0 - 6.0 * (1.0 - h_hat) * ez2) * invR
+               - 6.0 * (1.0 - 5.0 * ez2) * invR3
+               + 10.0 * (2.0 - 7.0 * ez2) * invR5) * (2.0 / 3.0)
+    f4 = ez * (3.0 * h_hat * invR - 10.0 * invR5) * (2.0 / 3.0)
+    f5 = -(3.0 * h_hat * h_hat * ez2 * invR
+           + 3.0 * ez2 * invR3
+           + (2.0 - 15.0 * ez2) * invR5) * (4.0 / 3.0)
+    if poly:
+        f1, f2, f3, f4, f5 = (f * inv_ae for f in (f1, f2, f3, f4, f5))
+    return ex, ey, ez, f1, f2, f3, f4, f5
+
+
 def _kernel(off_ref, rows_ref, cols_ref, out_ref, *, n_cols_valid: int,
             n_cols_pad: int, wall: bool, nrhs: int, h_floor: float,
             box_x: float = 0.0, box_y: float = 0.0, poly: bool = False,
@@ -151,17 +220,7 @@ def _kernel(off_ref, rows_ref, cols_ref, out_ref, *, n_cols_valid: int,
             aC = cols_ref[ar_row, pl.ds(c0, TC)].reshape(1, TC)
             alpha, beta = _poly_coeffs(r2, invr, invr2, r, aR, aC)
         else:
-            far = r >= 2.0
-            alpha = jnp.where(
-                far,
-                (1.0 + (2.0 / 3.0) * invr2) * invr,
-                _SELF_COEF * (1.0 - 0.28125 * r),
-            )
-            beta = jnp.where(
-                far,
-                (1.0 - 2.0 * invr2) * invr2 * invr,
-                (_SELF_COEF * 0.09375) * invr,
-            )
+            alpha, beta = _mono_coeffs(r, invr, invr2)
         alpha = jnp.where(live, alpha, 0.0)
         beta = jnp.where(live, beta, 0.0)
 
@@ -175,45 +234,9 @@ def _kernel(off_ref, rows_ref, cols_ref, out_ref, *, n_cols_valid: int,
             # system is evaluated in units of the pair-effective radius
             # √(aᵢaⱼ) and scaled back (see rpy._pair_tile) — the unit image
             # direction (ex, ey, ez) is scale-invariant.
-            if poly:
-                inv_ae = jax.lax.rsqrt(jnp.maximum(aR * aC, _R2_FLOOR))
-                dxw = dx * inv_ae
-                dyw = dy * inv_ae
-                zRs = zR * inv_ae
-                zCs = zC * inv_ae
-            else:
-                dxw, dyw, zRs, zCs = dx, dy, zR, zC
-            if h_floor > 0:
-                zRw = jnp.maximum(zRs, h_floor)
-                zCw = jnp.maximum(zCs, h_floor)
-            else:
-                zRw, zCw = zRs, zCs
-            dzi = zRw + zCw
-            R2 = jnp.maximum(dxw * dxw + dyw * dyw + dzi * dzi, _R2_FLOOR)
-            invR = jax.lax.rsqrt(R2)
-            ex = dxw * invR
-            ey = dyw * invR
-            ez = dzi * invR
-            ez2 = ez * ez
-            invR3 = invR * invR * invR
-            invR5 = invR3 * invR * invR
-            h_hat = zCw / jnp.maximum(dzi, 1e-12)
-            hh = h_hat * (1.0 - h_hat)
-            f1 = -(3.0 * (1.0 + 2.0 * hh * ez2) * invR
-                   + 2.0 * (1.0 - 3.0 * ez2) * invR3
-                   - 2.0 * (1.0 - 5.0 * ez2) * invR5) * (1.0 / 3.0)
-            f2 = -(3.0 * (1.0 - 6.0 * hh * ez2) * invR
-                   - 6.0 * (1.0 - 5.0 * ez2) * invR3
-                   + 10.0 * (1.0 - 7.0 * ez2) * invR5) * (1.0 / 3.0)
-            f3 = ez * (3.0 * h_hat * (1.0 - 6.0 * (1.0 - h_hat) * ez2) * invR
-                       - 6.0 * (1.0 - 5.0 * ez2) * invR3
-                       + 10.0 * (2.0 - 7.0 * ez2) * invR5) * (2.0 / 3.0)
-            f4 = ez * (3.0 * h_hat * invR - 10.0 * invR5) * (2.0 / 3.0)
-            f5 = -(3.0 * h_hat * h_hat * ez2 * invR
-                   + 3.0 * ez2 * invR3
-                   + (2.0 - 15.0 * ez2) * invR5) * (4.0 / 3.0)
-            if poly:
-                f1, f2, f3, f4, f5 = (f * inv_ae for f in (f1, f2, f3, f4, f5))
+            ex, ey, ez, f1, f2, f3, f4, f5 = _wall_coeffs(
+                dx, dy, zR, zC, h_floor=h_floor, poly=poly, aR=aR,
+                aC=aC if poly else None)
             f1 = jnp.where(live, f1, 0.0)
             f2 = jnp.where(live, f2, 0.0)
             f3 = jnp.where(live, f3, 0.0)
@@ -325,17 +348,7 @@ def _kernel_sym(P_ref, out_ref, *, n_pad: int, wall: bool, nrhs: int,
             aC = P_ref[ar_row, pl.ds(c0, TC)].reshape(1, TC)
             alpha, beta = _poly_coeffs(r2, invr, invr2, r, aR, aC)
         else:
-            far = r >= 2.0
-            alpha = jnp.where(
-                far,
-                (1.0 + (2.0 / 3.0) * invr2) * invr,
-                _SELF_COEF * (1.0 - 0.28125 * r),
-            )
-            beta = jnp.where(
-                far,
-                (1.0 - 2.0 * invr2) * invr2 * invr,
-                (_SELF_COEF * 0.09375) * invr,
-            )
+            alpha, beta = _mono_coeffs(r, invr, invr2)
         alpha = jnp.where(upper, alpha, 0.0)
         beta = jnp.where(upper, beta, 0.0)
 
@@ -344,45 +357,9 @@ def _kernel_sym(P_ref, out_ref, *, n_pad: int, wall: bool, nrhs: int,
             # see the ordered kernel note; C_ji = C_ijT still holds (the
             # a_eff scaling is i<->j symmetric), so the transposed apply
             # below stays exact.
-            if poly:
-                inv_ae = jax.lax.rsqrt(jnp.maximum(aR * aC, _R2_FLOOR))
-                dxw = dx * inv_ae
-                dyw = dy * inv_ae
-                zRs = zR * inv_ae
-                zCs = zC * inv_ae
-            else:
-                dxw, dyw, zRs, zCs = dx, dy, zR, zC
-            if h_floor > 0:
-                zRw = jnp.maximum(zRs, h_floor)
-                zCw = jnp.maximum(zCs, h_floor)
-            else:
-                zRw, zCw = zRs, zCs
-            dzi = zRw + zCw
-            R2 = jnp.maximum(dxw * dxw + dyw * dyw + dzi * dzi, _R2_FLOOR)
-            invR = jax.lax.rsqrt(R2)
-            ex = dxw * invR
-            ey = dyw * invR
-            ez = dzi * invR
-            ez2 = ez * ez
-            invR3 = invR * invR * invR
-            invR5 = invR3 * invR * invR
-            h_hat = zCw / jnp.maximum(dzi, 1e-12)
-            hh = h_hat * (1.0 - h_hat)
-            f1 = -(3.0 * (1.0 + 2.0 * hh * ez2) * invR
-                   + 2.0 * (1.0 - 3.0 * ez2) * invR3
-                   - 2.0 * (1.0 - 5.0 * ez2) * invR5) * (1.0 / 3.0)
-            f2 = -(3.0 * (1.0 - 6.0 * hh * ez2) * invR
-                   - 6.0 * (1.0 - 5.0 * ez2) * invR3
-                   + 10.0 * (1.0 - 7.0 * ez2) * invR5) * (1.0 / 3.0)
-            f3 = ez * (3.0 * h_hat * (1.0 - 6.0 * (1.0 - h_hat) * ez2) * invR
-                       - 6.0 * (1.0 - 5.0 * ez2) * invR3
-                       + 10.0 * (2.0 - 7.0 * ez2) * invR5) * (2.0 / 3.0)
-            f4 = ez * (3.0 * h_hat * invR - 10.0 * invR5) * (2.0 / 3.0)
-            f5 = -(3.0 * h_hat * h_hat * ez2 * invR
-                   + 3.0 * ez2 * invR3
-                   + (2.0 - 15.0 * ez2) * invR5) * (4.0 / 3.0)
-            if poly:
-                f1, f2, f3, f4, f5 = (f * inv_ae for f in (f1, f2, f3, f4, f5))
+            ex, ey, ez, f1, f2, f3, f4, f5 = _wall_coeffs(
+                dx, dy, zR, zC, h_floor=h_floor, poly=poly, aR=aR,
+                aC=aC if poly else None)
             f1 = jnp.where(upper, f1, 0.0)
             f2 = jnp.where(upper, f2, 0.0)
             f3 = jnp.where(upper, f3, 0.0)
@@ -804,8 +781,9 @@ def mobility_apply_multi(Fs, r, a=1.0, eta=1.0, wall=False, damp=None,
 # scripts/tpu_ffwall_profile.py).  This kernel runs the SAME sweep —
 # sorted row tiles x their neighbor tiles, with the per-pair
 # adjacent-cell mask that keeps the near/far split exact — at pair-kernel
-# throughput.  The pair-field math deliberately mirrors _kernel's (kept
-# inline: the two validated kernels above stay untouched).
+# throughput.  The pair-field math is the SAME code as _kernel's — the
+# shared _mono_coeffs/_poly_coeffs/_wall_coeffs helpers — so the three
+# compiled kernels cannot drift apart.
 
 
 def _kernel_nbr(t0_ref, nbr_ref, P_ref, out_ref, *, max_nbr: int,
@@ -881,61 +859,14 @@ def _kernel_nbr(t0_ref, nbr_ref, P_ref, out_ref, *, max_nbr: int,
             aC = P_ref[ar_row, pl.ds(c0, TR)].reshape(1, TR)
             alpha, beta = _poly_coeffs(r2, invr, invr2, r, aR, aC)
         else:
-            far = r >= 2.0
-            alpha = jnp.where(
-                far,
-                (1.0 + (2.0 / 3.0) * invr2) * invr,
-                _SELF_COEF * (1.0 - 0.28125 * r),
-            )
-            beta = jnp.where(
-                far,
-                (1.0 - 2.0 * invr2) * invr2 * invr,
-                (_SELF_COEF * 0.09375) * invr,
-            )
+            alpha, beta = _mono_coeffs(r, invr, invr2)
         alpha = jnp.where(live, alpha, 0.0)
         beta = jnp.where(live, beta, 0.0)
 
         if wall:
-            if poly:
-                inv_ae = jax.lax.rsqrt(jnp.maximum(aR * aC, _R2_FLOOR))
-                dxw = dx * inv_ae
-                dyw = dy * inv_ae
-                zRs = zR * inv_ae
-                zCs = zC * inv_ae
-            else:
-                dxw, dyw, zRs, zCs = dx, dy, zR, zC
-            if h_floor > 0:
-                zRw = jnp.maximum(zRs, h_floor)
-                zCw = jnp.maximum(zCs, h_floor)
-            else:
-                zRw, zCw = zRs, zCs
-            dzi = zRw + zCw
-            R2 = jnp.maximum(dxw * dxw + dyw * dyw + dzi * dzi, _R2_FLOOR)
-            invR = jax.lax.rsqrt(R2)
-            ex = dxw * invR
-            ey = dyw * invR
-            ez = dzi * invR
-            ez2 = ez * ez
-            invR3 = invR * invR * invR
-            invR5 = invR3 * invR * invR
-            h_hat = zCw / jnp.maximum(dzi, 1e-12)
-            hh = h_hat * (1.0 - h_hat)
-            f1 = -(3.0 * (1.0 + 2.0 * hh * ez2) * invR
-                   + 2.0 * (1.0 - 3.0 * ez2) * invR3
-                   - 2.0 * (1.0 - 5.0 * ez2) * invR5) * (1.0 / 3.0)
-            f2 = -(3.0 * (1.0 - 6.0 * hh * ez2) * invR
-                   - 6.0 * (1.0 - 5.0 * ez2) * invR3
-                   + 10.0 * (1.0 - 7.0 * ez2) * invR5) * (1.0 / 3.0)
-            f3 = ez * (3.0 * h_hat * (1.0 - 6.0 * (1.0 - h_hat) * ez2) * invR
-                       - 6.0 * (1.0 - 5.0 * ez2) * invR3
-                       + 10.0 * (2.0 - 7.0 * ez2) * invR5) * (2.0 / 3.0)
-            f4 = ez * (3.0 * h_hat * invR - 10.0 * invR5) * (2.0 / 3.0)
-            f5 = -(3.0 * h_hat * h_hat * ez2 * invR
-                   + 3.0 * ez2 * invR3
-                   + (2.0 - 15.0 * ez2) * invR5) * (4.0 / 3.0)
-            if poly:
-                f1, f2, f3, f4, f5 = (f * inv_ae
-                                      for f in (f1, f2, f3, f4, f5))
+            ex, ey, ez, f1, f2, f3, f4, f5 = _wall_coeffs(
+                dx, dy, zR, zC, h_floor=h_floor, poly=poly, aR=aR,
+                aC=aC if poly else None)
             f1 = jnp.where(live, f1, 0.0)
             f2 = jnp.where(live, f2, 0.0)
             f3 = jnp.where(live, f3, 0.0)
@@ -1035,8 +966,10 @@ _NBR_SMEM_BUDGET = 256 * 1024
 
 
 def near_sweep_fits(nbr) -> bool:
-    """True when one neighbor-table row fits the kernel's SMEM block."""
-    return 4 * int(nbr.shape[1]) <= _NBR_SMEM_BUDGET
+    """True when the kernel's SMEM block — 8 int32 neighbor rows (the
+    blocked index map streams the table 8 rows at a time) — fits the
+    budget."""
+    return 8 * 4 * int(nbr.shape[1]) <= _NBR_SMEM_BUDGET
 
 
 def near_sweep(x_s, ci_s, live_s, Fs_s, nbr, wall: bool,
@@ -1058,6 +991,10 @@ def near_sweep(x_s, ci_s, live_s, Fs_s, nbr, wall: bool,
     if h_floor is None:
         h_floor = rpy_xla.WALL_H_FLOOR
     k, n_pad = Fs_s.shape[0], Fs_s.shape[1]
+    if k > 2:
+        # the kernel writes 3k accumulator rows into an 8-row output
+        # block — k=3 would silently truncate the last RHS
+        raise ValueError(f"near_sweep supports at most 2 RHS, got k={k}")
     poly = ahat_s is not None
     used = 7 + 3 * k + (1 if poly else 0)
     rows = 8 * (-(-used // 8))
