@@ -569,18 +569,24 @@ def _ras_core_apply(minv_ref, rot, v):
     return jnp.einsum("bij,...bnj->...bni", rot, w)
 
 
-def _ras_apply(v, minv_ref, rot, halo_idx, W, S_inv):
+def _ras_apply(v, minv_ref, rot, halo_idx, W, S_inv, v_full=None):
     """RAS M̃⁻¹·v: per-body Woodbury solve of [[A, C], [Cᵀ, D]], own rows
     kept.  v (..., N, 3) → (..., N, 3); all cluster algebra is batched
     matmuls (MXU).
+
+    v_full: array the (global) ``halo_idx`` indexes into — defaults to
+    ``v`` itself; the distributed PC passes the all-gathered blob vector
+    while ``v`` stays the local body shard.
     """
+    if v_full is None:
+        v_full = v
     B, H = halo_idx.shape
     N = v.shape[-2]
     n = N // B
     lead = v.shape[:-2]
     v1 = v.reshape(*lead, B, n, 3)
     y_core = _ras_core_apply(minv_ref, rot, v1)            # A⁻¹ v1
-    v2 = v[..., halo_idx.reshape(-1), :].reshape(
+    v2 = v_full[..., halo_idx.reshape(-1), :].reshape(
         *lead, B, 3 * H)                                   # halo values
     v1f = v1.reshape(*lead, B, 3 * n)
     t = v2 - jnp.einsum("bph,...bp->...bh", W, v1f,
@@ -593,7 +599,7 @@ def _ras_apply(v, minv_ref, rot, halo_idx, W, S_inv):
 
 
 def build_pc_ras(ops: GeometryOps, cfg: SimulationConfig,
-                 static_pc: PCData = None) -> PCData:
+                 static_pc: PCData = None, axis_name=None) -> PCData:
     """Attach the configuration-dependent RAS halo coupling to the static
     block_free core — the settled-dense-suspension preconditioner.
 
@@ -620,38 +626,62 @@ def build_pc_ras(ops: GeometryOps, cfg: SimulationConfig,
     iters).  Generalizes reference ``apply_PC`` (``c_rigid_obj.cpp:589-616``)
     to coupled clusters.
 
-    Monodisperse, single-device (the distributed PC stays block_free —
-    ``solve_saddle`` raises if asked).  Falls back to the bare static PC
-    when B == 1 or pc_halo_max == 0.
+    Monodisperse.  Falls back to the bare static PC when B == 1 or
+    pc_halo_max == 0.
+
+    axis_name: distributed mode — ``ops`` is the LOCAL body shard inside
+    ``shard_map``.  Halo clusters cross body shards, so the build
+    all_gathers the blob positions and body offsets ONCE per solve (the
+    same O(N)-bytes traffic class as one ring matvec), selects each local
+    body's halo against the GLOBAL blob set, and builds the Woodbury
+    factors for local bodies only.  The coupled consistent Ñ is assembled
+    from per-device row blocks (each device applies its local RAS rows to
+    all 6B K columns) and all-gathered to a replicated (6B)² matrix —
+    the Newton–Schulz inverse is then redundantly replicated, which is
+    cheap (6B ≪ N) and keeps ``_n_solve`` a local matvec.  The halo
+    VALUES needed per application arrive via one (N, 3) all_gather in
+    ``_inv_m_apply``.
     """
-    B, n, _ = ops.offsets.shape
+    B_l, n, _ = ops.offsets.shape
     if static_pc is None or static_pc.minv_ref is None:
         static_pc = build_pc(ops, cfg.replace(pc_mode="block_free"))
+    from jax import lax
+
+    D_ax = 1 if axis_name is None else lax.axis_size(axis_name)
+    B = B_l * D_ax                                         # global bodies
     H = min(cfg.pc_halo_max, (B - 1) * n)
     if H <= 0 or B == 1:
         return static_pc
-    pos = ops.flat_positions                               # (N, 3)
+    pos_l = ops.flat_positions                             # (N_l, 3)
+    if axis_name is None:
+        pos = pos_l
+        offsets_all = ops.offsets
+        b0 = 0
+    else:
+        pos = lax.all_gather(pos_l, axis_name, tiled=True)     # (N, 3)
+        offsets_all = lax.all_gather(ops.offsets, axis_name,
+                                     tiled=True)               # (B, n, 3)
+        b0 = lax.axis_index(axis_name) * B_l
     N = B * n
     dtype = pos.dtype
-    from jax import lax
 
     # ---- halo selection: coarse top-2H by distance to the body center,
     # refined by exact distance to the body's nearest blob, cutoff-masked
-    X = ops.positions[:, 0, :] - ops.offsets[:, 0, :]      # (B, 3) tracking
+    X = ops.positions[:, 0, :] - ops.offsets[:, 0, :]      # (B_l, 3) tracking
     body_of = jnp.repeat(jnp.arange(B), n)
     d_c = jnp.linalg.norm(pos[None, :, :] - X[:, None, :], axis=-1)
-    d_c = jnp.where(body_of[None, :] == jnp.arange(B)[:, None],
-                    jnp.inf, d_c)                          # (B, N)
+    d_c = jnp.where(body_of[None, :] == (b0 + jnp.arange(B_l))[:, None],
+                    jnp.inf, d_c)                          # (B_l, N)
     K2 = min(2 * H, (B - 1) * n)
-    _, cand = lax.top_k(-d_c, K2)                          # (B, K2)
-    cand_pos = pos[cand.reshape(-1)].reshape(B, K2, 3)
+    _, cand = lax.top_k(-d_c, K2)                          # (B_l, K2)
+    cand_pos = pos[cand.reshape(-1)].reshape(B_l, K2, 3)
     d_exact = jnp.min(jnp.linalg.norm(
         ops.positions[:, :, None, :] - cand_pos[:, None, :, :], axis=-1),
-        axis=1)                                            # (B, K2)
+        axis=1)                                            # (B_l, K2)
     neg_d, sel = lax.top_k(-d_exact, H)
-    halo_idx = jnp.take_along_axis(cand, sel, axis=1)      # (B, H)
-    mask = (-neg_d) < jnp.asarray(cfg.pc_halo * cfg.a, dtype)  # (B, H)
-    halo_pos = pos[halo_idx.reshape(-1)].reshape(B, H, 3)
+    halo_idx = jnp.take_along_axis(cand, sel, axis=1)      # (B_l, H) global
+    mask = (-neg_d) < jnp.asarray(cfg.pc_halo * cfg.a, dtype)  # (B_l, H)
+    halo_pos = pos[halo_idx.reshape(-1)].reshape(B_l, H, 3)
 
     # ---- coupling C (B, 3n, 3H) and halo block D (B, 3H, 3H): exact
     # damped wall pair blocks of the OPERATOR (masked columns → zero, so
@@ -663,9 +693,9 @@ def build_pc_ras(ops: GeometryOps, cfg: SimulationConfig,
     Db = rpy.cross_mobility_blocks(halo_pos, halo_pos, cfg.a, cfg.eta,
                                    wall=wall, h_floor=cfg.wall_h_floor)
     if wall:
-        b_all = rpy.damping_factors(pos, cfg.a)            # (N,)
-        b_body = b_all.reshape(B, n)
-        b_halo = b_all[halo_idx.reshape(-1)].reshape(B, H)
+        b_all = rpy.damping_factors(pos, cfg.a)            # (N,) global
+        b_body = rpy.damping_factors(pos_l, cfg.a).reshape(B_l, n)
+        b_halo = b_all[halo_idx.reshape(-1)].reshape(B_l, H)
         Cb = Cb * (b_body[:, :, None] * b_halo[:, None, :])[..., None, None]
         Db = Db * (b_halo[:, :, None] * b_halo[:, None, :])[..., None, None]
     Cb = Cb * mf[:, None, :, None, None]
@@ -674,23 +704,23 @@ def build_pc_ras(ops: GeometryOps, cfg: SimulationConfig,
     # get an identity diagonal so the Schur block stays invertible
     selfb = rpy.self_mobility_blocks(
         halo_pos.reshape(-1, 3), cfg.a, cfg.eta, wall,
-        h_floor=cfg.wall_h_floor).reshape(B, H, 3, 3)
+        h_floor=cfg.wall_h_floor).reshape(B_l, H, 3, 3)
     if wall:
         selfb = selfb * (b_halo * b_halo)[:, :, None, None]
     eye3 = jnp.eye(3, dtype=dtype)
     diag_blocks = jnp.where(mask[:, :, None, None], selfb, eye3)
     hh = jnp.arange(H)
     Db = Db.at[:, hh, hh].set(diag_blocks)
-    C = Cb.transpose(0, 1, 3, 2, 4).reshape(B, 3 * n, 3 * H)
-    D = Db.transpose(0, 1, 3, 2, 4).reshape(B, 3 * H, 3 * H)
+    C = Cb.transpose(0, 1, 3, 2, 4).reshape(B_l, 3 * n, 3 * H)
+    D = Db.transpose(0, 1, 3, 2, 4).reshape(B_l, 3 * H, 3 * H)
 
     # ---- Woodbury factors: W = A⁻¹C (A = rotated static body core), and
     # the Schur inverse (D − CᵀW)⁻¹ — identity on ghost slots by the
     # masking above
     minv_ref, rot = static_pc.minv_ref, ops.rot
     W = _ras_core_apply(
-        minv_ref, rot, C.reshape(B, n, 3, 3 * H).transpose(3, 0, 1, 2)
-    ).transpose(1, 2, 3, 0).reshape(B, 3 * n, 3 * H)
+        minv_ref, rot, C.reshape(B_l, n, 3, 3 * H).transpose(3, 0, 1, 2)
+    ).transpose(1, 2, 3, 0).reshape(B_l, 3 * n, 3 * H)
     S = D - jnp.einsum("bph,bpg->bhg", C, W, precision=_RAS_PRECISION)
     S_inv = _ns_inverse(S, _NS_ITERS_S)
 
@@ -698,42 +728,64 @@ def build_pc_ras(ops: GeometryOps, cfg: SimulationConfig,
     # inverse to all 6B K columns.  One batched apply when the column
     # block fits comfortably (a sequential lax.map over bodies is
     # latency-bound on TPU — 2B tiny dispatches); chunked otherwise.
-    Kb = body_K_blocks(ops.offsets)                        # (B, n, 3, 6)
+    # Distributed: every device holds the full (6B, N, 3) K columns
+    # (reconstructed from the gathered offsets — no extra traffic),
+    # applies its LOCAL RAS rows, and the row blocks all_gather into the
+    # replicated (6B)² matrix.
+    Kb = body_K_blocks(ops.offsets)                        # (B_l, n, 3, 6)
+    Kb_all = Kb if axis_name is None else body_K_blocks(offsets_all)
     cols_bytes = 6 * B * N * 3 * 4
+
+    def local_rows(cols):
+        """cols (c, N, 3) global K columns → (c, B_l, 6) = Kᵀ(M̃⁻¹cols)
+        rows of the LOCAL bodies."""
+        cols_l = (cols if axis_name is None else
+                  lax.dynamic_slice_in_dim(cols, b0 * n, B_l * n, axis=1))
+        y = _ras_apply(cols_l, minv_ref, rot, halo_idx, W, S_inv,
+                       v_full=cols)
+        return jnp.einsum("bnif,cbni->cbf", Kb,
+                          y.reshape(-1, B_l, n, 3),
+                          precision=_RAS_PRECISION)
 
     if cols_bytes <= 256 * 2**20:
         arr = jnp.zeros((B, 6, B, n, 3), dtype)
         idx = jnp.arange(B)
-        arr = arr.at[idx, :, idx].set(Kb.transpose(0, 3, 1, 2))
-        y = _ras_apply(arr.reshape(6 * B, N, 3), minv_ref, rot, halo_idx,
-                       W, S_inv)
-        ninv = jnp.einsum("bnif,qbni->qbf", Kb,
-                          y.reshape(6 * B, B, n, 3),
-                          precision=_RAS_PRECISION)        # (6B, B, 6)
+        arr = arr.at[idx, :, idx].set(Kb_all.transpose(0, 3, 1, 2))
+        ninv = local_rows(arr.reshape(6 * B, N, 3))        # (6B, B_l, 6)
+        if axis_name is not None:
+            ninv = lax.all_gather(ninv, axis_name, axis=1, tiled=True)
         ninv = ninv.reshape(6 * B, 6 * B).T                # [p,q]=KₚᵀM̃⁻¹K_q
     else:
         def n_cols(j):
             cols = jnp.zeros((6, N, 3), dtype)
             cols = lax.dynamic_update_slice(
-                cols, Kb[j].transpose(2, 0, 1), (0, j * n, 0))
-            y = _ras_apply(cols, minv_ref, rot, halo_idx, W, S_inv)
-            # (6, N, 3) → Kᵀy → (6, B, 6): rows p = (body, comp)
-            return jnp.einsum("bnif,cbni->cbf", Kb, y.reshape(6, B, n, 3))
+                cols, Kb_all[j].transpose(2, 0, 1), (0, j * n, 0))
+            # (6, N, 3) → Kᵀy → (6, B_l, 6): rows p = (body, comp)
+            return local_rows(cols)
 
-        ninv = lax.map(n_cols, jnp.arange(B))              # (B, 6, B, 6)
+        ninv = lax.map(n_cols, jnp.arange(B))              # (B, 6, B_l, 6)
+        if axis_name is not None:
+            ninv = lax.all_gather(ninv, axis_name, axis=2, tiled=True)
         ninv = ninv.reshape(6 * B, 6 * B).T
     n_full = _ns_inverse(ninv, _NS_ITERS_N)
     return static_pc._replace(halo_idx=halo_idx, halo_w=W, halo_sinv=S_inv,
                               n_full=n_full)
 
 
-def _inv_m_apply(pc: PCData, v, ops: GeometryOps):
-    """M̃⁻¹ · v for any PC flavor; v, result (B, n, 3)."""
+def _inv_m_apply(pc: PCData, v, ops: GeometryOps, axis_name=None):
+    """M̃⁻¹ · v for any PC flavor; v, result (B, n, 3) — the LOCAL body
+    shard in distributed (axis_name) mode, where the RAS flavor
+    all_gathers the blob vector once to read its halo values."""
     B, n, _ = v.shape
     if pc.halo_w is not None:
-        return _ras_apply(v.reshape(B * n, 3), pc.minv_ref, ops.rot,
-                          pc.halo_idx, pc.halo_w, pc.halo_sinv
-                          ).reshape(B, n, 3)
+        from jax import lax
+
+        v_flat = v.reshape(B * n, 3)
+        v_full = (v_flat if axis_name is None else
+                  lax.all_gather(v_flat, axis_name, tiled=True))
+        return _ras_apply(v_flat, pc.minv_ref, ops.rot,
+                          pc.halo_idx, pc.halo_w, pc.halo_sinv,
+                          v_full=v_full).reshape(B, n, 3)
     if pc.minv_ref is not None:
         v_body = jnp.einsum("bji,bnj->bni", ops.rot, v).reshape(B, 3 * n)
         w = jnp.einsum("pq,bq->bp", pc.minv_ref, v_body).reshape(B, n, 3)
@@ -745,12 +797,21 @@ def _inv_m_apply(pc: PCData, v, ops: GeometryOps):
     return jnp.einsum("bkij,bkj->bki", blocks, v)
 
 
-def _n_solve(pc: PCData, rhs, ops: GeometryOps):
-    """Solve Ñ⁻¹ U = rhs per body; rhs (B, 6)."""
+def _n_solve(pc: PCData, rhs, ops: GeometryOps, axis_name=None):
+    """Solve Ñ⁻¹ U = rhs per body; rhs (B, 6) (local shard under
+    axis_name — the RAS coupled Ñ gathers the tiny (B, 6) rhs, applies
+    the replicated (6B)² matrix, and keeps the local rows)."""
     if pc.n_full is not None:
         # coupled consistent Ñ of the RAS PC: one dense (6B)² matvec
-        B = rhs.shape[0]
-        return (pc.n_full @ rhs.reshape(-1)).reshape(B, 6)
+        B_l = rhs.shape[0]
+        if axis_name is None:
+            return (pc.n_full @ rhs.reshape(-1)).reshape(B_l, 6)
+        from jax import lax
+
+        rhs_all = lax.all_gather(rhs, axis_name, tiled=True)  # (B, 6)
+        U_all = (pc.n_full @ rhs_all.reshape(-1)).reshape(-1, 6)
+        b0 = lax.axis_index(axis_name) * B_l
+        return lax.dynamic_slice_in_dim(U_all, b0, B_l, axis=0)
     if pc.n_ref is not None:
         f_b = jnp.einsum("bji,bj->bi", ops.rot, rhs[:, 0:3])
         t_b = jnp.einsum("bji,bj->bi", ops.rot, rhs[:, 3:6])
@@ -762,18 +823,23 @@ def _n_solve(pc: PCData, rhs, ops: GeometryOps):
     return jnp.linalg.solve(pc.n_mat, rhs[..., None])[..., 0]
 
 
-def apply_pc(pc: PCData, slip, F, ops: GeometryOps, cfg: SimulationConfig):
+def apply_pc(pc: PCData, slip, F, ops: GeometryOps, cfg: SimulationConfig,
+             axis_name=None):
     """Apply the saddle preconditioner: (slip (N,3), F (B,6)) → (λ, U).
 
     Parity: reference ``apply_PC`` steady-state path
     (``c_rigid_obj.cpp:598-615``); the per-body 6×6 systems are solved by
-    batched LU (see PCData docstring).
+    batched LU (see PCData docstring).  axis_name: distributed mode —
+    inputs are the local body shard; only the RAS flavor communicates
+    (see ``_inv_m_apply``/``_n_solve``), the body-diagonal PCs stay
+    device-local.
     """
     B, n, _ = ops.offsets.shape
     slip_b = slip.reshape(B, n, 3)
-    im_slip = _inv_m_apply(pc, slip_b, ops)
+    im_slip = _inv_m_apply(pc, slip_b, ops, axis_name=axis_name)
     rhs = -F - kin.KT_dot(im_slip, ops.offsets)
-    U = _n_solve(pc, rhs, ops)
-    lam = _inv_m_apply(pc, slip_b + kin.K_dot(U, ops.offsets), ops)
+    U = _n_solve(pc, rhs, ops, axis_name=axis_name)
+    lam = _inv_m_apply(pc, slip_b + kin.K_dot(U, ops.offsets), ops,
+                       axis_name=axis_name)
     lam = jnp.asarray(cfg.m_scale, lam.dtype) * lam
     return lam.reshape(-1, 3), U

@@ -73,13 +73,12 @@ def solve_saddle(
     if cfg.pc_mode == "ras" and pc.halo_w is None:
         # attach the configuration-dependent RAS halo coupling at THIS
         # solve's geometry (the static block_free tier arrives prebuilt
-        # from the scan drivers; standalone calls built it just above)
-        if axis_name is not None:
-            raise NotImplementedError(
-                "pc_mode='ras' is single-device for now — halo clusters "
-                "cross body shards; distributed runs use pc_mode="
-                "'block_free'")
-        pc = saddle_mod.build_pc_ras(ops, cfg, static_pc=pc)
+        # from the scan drivers; standalone calls built it just above).
+        # Distributed (axis_name): halo clusters cross body shards — the
+        # build gathers positions once and keeps per-local-body factors
+        # (see build_pc_ras docstring).
+        pc = saddle_mod.build_pc_ras(ops, cfg, static_pc=pc,
+                                     axis_name=axis_name)
     dtype = ops.positions.dtype
     B, n, _ = ops.offsets.shape
     nb = 3 * B * n
@@ -87,7 +86,8 @@ def solve_saddle(
     force = jnp.asarray(force, dtype).reshape(-1, 6)
 
     def pc_apply_flat(s, f):
-        lam, U = saddle_mod.apply_pc(pc, s, f, ops, cfg)
+        lam, U = saddle_mod.apply_pc(pc, s, f, ops, cfg,
+                                     axis_name=axis_name)
         return jnp.concatenate([lam.reshape(-1), U.reshape(-1)])
 
     def matvec(x):

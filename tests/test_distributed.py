@@ -614,3 +614,88 @@ def test_distributed_step_on_pseudo2d_farfield_backend():
     with pytest.raises(NotImplementedError, match="ring sweep"):
         parallel.make_distributed_step(geom, cfg_ring, mesh,
                                        deterministic=True)
+
+
+# ------------------------------------------------------------------ RAS PC
+def _settled_layer_8(seed=11, **cfg_kw):
+    """Dense near-wall layer of 12-blob shells (the RAS regime — see
+    tests/test_solver.py::_settled_layer), sized for the 8-device mesh."""
+    params, cfgb = load_structure("shell_N_12")
+    rng = np.random.default_rng(seed)
+    B = 8
+    xs = np.array([[2.3 * (i % 4), 2.3 * (i // 4), 1.35]
+                   for i in range(B)], float)
+    xs[:, :2] += 0.1 * rng.standard_normal((B, 2))
+    xs[:, 2] += 0.05 * rng.standard_normal(B)
+    qs = rng.standard_normal((B, 4))
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    kw = dict(a=params["sep"] / 2, wall=True, dtype=jnp.float64,
+              gmres_tol=1e-8, gmres_maxiter=200, use_pallas=False,
+              pc_mode="ras", pc_halo=4.0, pc_halo_max=16)
+    kw.update(cfg_kw)
+    cfg = SimulationConfig(**kw)
+    geom = kin.make_ref_geometry(cfgb, dtype=jnp.float64)
+    state = make_state(xs, qs, dtype=jnp.float64)
+    mesh = parallel.make_mesh(8, axis_name=AX)
+    return geom, cfg, state, mesh
+
+
+def test_distributed_ras_solve_matches_single_device():
+    """pc_mode='ras' distributed (round-5): the gathered-halo build +
+    sharded Woodbury apply reproduce the single-device RAS solve — same
+    solution AND the same GMRES iteration count (the PC algebra is
+    identical, only sharded; one body per device here, so every halo
+    cluster crosses shards)."""
+    from rigid_body_light_tpu.ops import solvers
+    from rigid_body_light_tpu.state import BodyState
+
+    geom, cfg, state, mesh = _settled_layer_8()
+    ops_g = saddle.geometry_ops(geom, state)
+    B, n, _ = ops_g.offsets.shape
+    rng = np.random.default_rng(3)
+    slip = jnp.asarray(rng.standard_normal((B * n, 3)))
+    force = jnp.asarray(rng.standard_normal((B, 6)))
+    res_ref = solvers.solve_saddle(ops_g, cfg, slip, force)
+    res_bf = solvers.solve_saddle(ops_g, cfg.replace(pc_mode="block_free"),
+                                  slip, force)
+    assert float(res_ref.residual) < 1e-8
+    # the halo coupling must actually engage on this geometry — otherwise
+    # this parity test silently degrades to block_free-vs-block_free
+    assert int(res_ref.iters) < int(res_bf.iters)
+
+    mob_local = parallel.ring_mobility_apply_fn(cfg, 8, AX)
+
+    def local(X_l, Q_l, slip_l, force_l):
+        ops_l = saddle.geometry_ops(geom, BodyState(X=X_l, Q=Q_l))
+        res = solvers.solve_saddle(ops_l, cfg, slip_l, force_l,
+                                   mob_apply=mob_local, axis_name=AX)
+        return res.lam, res.U, res.residual, res.iters
+
+    lam, U, resid, iters = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AX), P(AX), P(AX), P(AX)),
+        out_specs=(P(AX), P(AX), P(), P()),
+        check_vma=False,
+    )(state.X, state.Q, slip.reshape(B, n, 3), force)
+    assert float(resid) < 1e-8
+    assert int(iters) == int(res_ref.iters)
+    np.testing.assert_allclose(np.asarray(U), np.asarray(res_ref.U),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(lam).reshape(-1, 3),
+                               np.asarray(res_ref.lam), atol=1e-9)
+
+
+@pytest.mark.medium
+def test_distributed_ras_stochastic_step_runs():
+    """End-to-end distributed BD step with pc_mode='ras' (the settled
+    production config, sharded): finite, converged, reproducible."""
+    geom, cfg, state, mesh = _settled_layer_8(kBT=1.0, dt=0.005,
+                                              lanczos_iters=8,
+                                              gmres_tol=1e-6)
+    F = jnp.zeros((8, 6), jnp.float64).at[:, 2].set(-1.0)
+    step = jax.jit(parallel.make_distributed_step(geom, cfg, mesh))
+    s1, a1 = step(state, jax.random.key(3), F)
+    assert np.isfinite(np.asarray(s1.X)).all()
+    assert float(a1.residual) < 1e-5
+    s2, _ = step(state, jax.random.key(3), F)
+    assert np.array_equal(np.asarray(s1.X), np.asarray(s2.X))
