@@ -55,7 +55,7 @@ class SimulationConfig:
     kBT: float = 0.0
     wall: bool = False
     box: Any = None  # None (open domain); (Lx, Ly): pseudo-periodic in the plane via minimum-image wrapping (z open — the wall geometry; not guaranteed SPD at high density); or (Lx, Ly, Lz): TRUE triply-periodic RPY via positively-split Ewald (ops/ewald.py) — exact periodic operator, SPD for every splitting, validated against Hasimoto's lattice constants.  3-D boxes require wall=False and are incompatible with per-blob radii for now.  Trajectories keep unwrapped coordinates; only pair interactions see the wrap.
-    image_shells: int = 0  # 2-D boxes only: 0 = minimum-image wrapping (the classic pseudo-periodic approximation); S ≥ 1 = exact doubly-periodic operator truncated at the (2S+1)² nearest in-plane lattice images (ops/rpy.image_offsets).  The wall-corrected pair mobility decays like 1/ρ³, so the sum converges absolutely with an O(1/S) tail (measured in tests/test_pseudo2d.py).  Cost ≈ (2S+1)² × the pair sweep (routes to the XLA sweep — the Pallas kernel and distributed modes stay minimum-image for now).  With farfield_grid, sets the kernel-lattice image depth instead (two-ring tail extrapolation; ~2e-4 lattice accuracy at S=6).
+    image_shells: int = 0  # 2-D boxes only: 0 = minimum-image wrapping (the classic pseudo-periodic approximation); S ≥ 1 = exact doubly-periodic operator truncated at the (2S+1)² nearest in-plane lattice images (ops/rpy.image_offsets).  The wall-corrected pair mobility decays like 1/ρ³, so the sum converges absolutely with an O(1/S) tail (measured in tests/test_pseudo2d.py).  Cost ≈ (2S+1)² × the pair sweep — on every backend: the Pallas kernels carry the offset lattice in-kernel, and the distributed ring/gather/SUMMA sweeps sum it per slab (round 5).  With farfield_grid, sets the kernel-lattice image depth instead (two-ring tail extrapolation; ~2e-4 lattice accuracy at S=6).
     ewald_xi: float = 0.0  # Ewald splitting parameter for 3-D boxes; 0 = auto (real-space error ~ewald_tol at min(L)/2, so the real sweep needs no image loop)
     ewald_tol: float = 1.0e-6  # truncation tolerance of both Ewald parts (sets xi and kmax)
     ewald_rc: float = 0.0  # balanced splitting: real-space cutoff (2a < rc < min(L)/2).  Shifts cost from the O(N²) real sweep to MXU wave matmuls and runs the real part over a sorted-tile neighbor structure at O(N·ρ·rc³) — the at-scale periodic mode (ops/ewald_cells.py).  0 = off (classic min(L)/2 split).  Monodisperse only; incompatible with ewald_xi.
@@ -64,7 +64,7 @@ class SimulationConfig:
     farfield_p: int = 4  # Chebyshev nodes per dim for the far field: 4 ≈ 5e-3 relative operator error, 6 ≈ 3e-4 (measured, tests/test_farfield.py)
     farfield_nbr_tiles: int = 0  # static neighbor-tile list width for the near sweep; 0 = auto (overflow NaN-poisons the step, caught by the stepper's rejection guards — raise for extreme density contrast)
     block_diag_pc: bool = False
-    pc_mode: str = ""  # "", "diag", "block", "block_free", "ras" — "" derives from block_diag_pc.  "ras" = block_free static core + per-solve restricted-additive-Schwarz halo coupling (ops/saddle.build_pc_ras): the dense-settled-suspension PC — captures inter-body near-contact coupling via per-body overlapping clusters solved exactly (Woodbury around the static core), with a consistent coupled (6B)² body matrix.  Monodisperse, single-device; dispersed suspensions see block_free behavior (empty halos reduce to it exactly).
+    pc_mode: str = ""  # "", "diag", "block", "block_free", "ras" — "" derives from block_diag_pc.  "ras" = block_free static core + per-solve restricted-additive-Schwarz halo coupling (ops/saddle.build_pc_ras): the dense-settled-suspension PC — captures inter-body near-contact coupling via per-body overlapping clusters solved exactly (Woodbury around the static core), with a consistent coupled (6B)² body matrix.  Monodisperse; works single-device AND distributed (gathered-halo Woodbury clusters + replicated coupled Ñ, round 5); dispersed suspensions see block_free behavior (empty halos reduce to it exactly).
     pc_halo: float = 4.0  # "ras": halo cutoff — other-body blobs within this many radii of a body's nearest blob join its cluster
     pc_halo_max: int = 64  # "ras": fixed cluster-halo width H (top-H closest within pc_halo; more near blobs than H degrades the PC gracefully, never correctness).  0 disables the coupling (pure block_free).
     pc_refresh: int = 1  # rebuild the preconditioner every k steps in run_bd (k>1 = lagged PC)

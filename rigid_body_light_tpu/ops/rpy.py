@@ -324,6 +324,69 @@ def image_tail_weights(shells, dtype):
     return jnp.asarray(w, dtype)
 
 
+def self_image_sum(r_over_a, F, wall, box_n, shells,
+                   h_floor=WALL_H_FLOOR, ahat=None, tail=True):
+    """Σ_o w_o M(off_o; z_i, z_i)·F_i — every blob against its OWN in-plane
+    periodic images: the diagonal of the exact doubly-periodic image sum.
+
+    The XLA lattice sweep (:func:`_pair_tile`) covers these in-line (its
+    image terms drop the self mask — a blob DOES interact with its own
+    images); the symmetric Pallas kernel and per-device ring bookkeeping
+    cover only i≠j pairs and add this term separately.  Pair terms only —
+    no self mobility / damping / scaling.  r_over_a: positions in units
+    of a; box_n: (Lx, Ly) in units of a; F: (N, 3) or (k, N, 3) →
+    matching shape.
+    """
+    multi = F.ndim == 3
+    Fk = F if multi else F[None]
+    dtype = Fk.dtype
+    off = image_offsets(box_n, shells, dtype)                     # (O, 3)
+    w = (image_tail_weights(shells, dtype) if tail
+         else jnp.ones((off.shape[0],), dtype))
+    z = r_over_a[:, 2]
+    poly = ahat is not None
+    if poly:
+        inv_ae = 1.0 / jnp.asarray(ahat, dtype)                   # aᵢaᵢ pair
+        zs = z * inv_ae
+    else:
+        inv_ae = None
+        zs = z
+    if wall and h_floor > 0:
+        zs = jnp.maximum(zs, h_floor)
+
+    def one(acc, ow):
+        o, wt = ow
+        if poly:
+            a_ = jnp.asarray(ahat, dtype)
+            alpha, beta = _free_coeffs_poly(jnp.sum(o * o), a_, a_, dtype)
+            alpha, beta = alpha[:, None], beta                    # (N,1),(N,)
+        else:
+            alpha, beta = _free_coeffs(jnp.sum(o * o), dtype)     # scalars
+        dF = o[0] * Fk[..., 0] + o[1] * Fk[..., 1]                # (k, N)
+        out = alpha * Fk + (beta * dF)[..., None] * o
+        if wall:
+            oxy = o[:2] * (inv_ae[:, None] if poly
+                           else jnp.ones((1, 1), dtype))          # (N|1, 2)
+            d_img = jnp.concatenate(
+                [jnp.broadcast_to(oxy, (zs.shape[0], 2)),
+                 (2.0 * zs)[:, None]], axis=-1)                   # (N, 3)
+            f1, f2, f3, f4, f5, invR = _wall_coeffs(d_img, zs)
+            if poly:
+                f1, f2, f3, f4, f5 = (f * inv_ae
+                                      for f in (f1, f2, f3, f4, f5))
+            e = d_img * invR[:, None]                             # (N, 3)
+            eF = jnp.einsum("nx,knx->kn", e, Fk)
+            Fz = Fk[..., 2]
+            out = out + f1[:, None] * Fk
+            out = out + (f2 * eF)[..., None] * e
+            out = out + (f3 * Fz)[..., None] * e
+            out = out.at[..., 2].add(f4 * eF + f5 * Fz)
+        return acc + wt * out.astype(dtype), None
+
+    out, _ = lax.scan(one, jnp.zeros_like(Fk), (off, w))
+    return out if multi else out[0]
+
+
 def _pair_field_sum(d, keep, Fk, wall, dtype, zi, zj, inv_ae,
                     ahat_rows, ahat_cols):
     """Σ_j M(d_ij)·F_j for one displacement set d (T, N, 3) → (k, T, 3).

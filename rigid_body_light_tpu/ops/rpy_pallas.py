@@ -175,7 +175,8 @@ def _wall_coeffs(dx, dy, zR, zC, *, h_floor, poly, aR=None, aC=None):
 def _kernel(off_ref, rows_ref, cols_ref, out_ref, *, n_cols_valid: int,
             n_cols_pad: int, wall: bool, nrhs: int, h_floor: float,
             box_x: float = 0.0, box_y: float = 0.0, poly: bool = False,
-            ar_row: int = 0):
+            ar_row: int = 0, img_shells: int = 0, img_alpha: float = 0.0,
+            img_beta: float = 0.0):
     i = pl.program_id(0)
     row_start = i * TR
     row_offset = off_ref[0]
@@ -202,73 +203,101 @@ def _kernel(off_ref, rows_ref, cols_ref, out_ref, *, n_cols_valid: int,
         # pair validity: not self (compared on GLOBAL ids — row_offset /
         # col_offset place this slab in the full pair matrix), and the
         # column is a real blob (n_cols_valid bounds the LOCAL index).
-        live = jnp.logical_and(row_ids != col_ids, col_local < n_cols_valid)
+        col_ok = col_local < n_cols_valid
+        live = jnp.logical_and(row_ids != col_ids, col_ok)
+        aC = (cols_ref[ar_row, pl.ds(c0, TC)].reshape(1, TC)
+              if poly else None)
 
-        dx = xR - xC
-        dy = yR - yC
+        dx0 = xR - xC
+        dy0 = yR - yC
         dz = zR - zC
         if box_x > 0:
             # pseudo-periodic minimum image in the plane (units of a); the
             # wrapped dx/dy feed the wall image term below as well
-            dx = dx - box_x * jnp.round(dx * (1.0 / box_x))
-            dy = dy - box_y * jnp.round(dy * (1.0 / box_y))
-        r2 = jnp.maximum(dx * dx + dy * dy + dz * dz, _R2_FLOOR)
-        invr = jax.lax.rsqrt(r2)
-        invr2 = invr * invr
-        r = r2 * invr  # = sqrt(r2), one less transcendental
-        if poly:
-            aC = cols_ref[ar_row, pl.ds(c0, TC)].reshape(1, TC)
-            alpha, beta = _poly_coeffs(r2, invr, invr2, r, aR, aC)
-        else:
-            alpha, beta = _mono_coeffs(r, invr, invr2)
-        alpha = jnp.where(live, alpha, 0.0)
-        beta = jnp.where(live, beta, 0.0)
+            dx0 = dx0 - box_x * jnp.round(dx0 * (1.0 / box_x))
+            dy0 = dy0 - box_y * jnp.round(dy0 * (1.0 / box_y))
 
-        if wall:
-            # image displacement: (dx, dy, zR' + zC'); source height hj = zC'.
-            # Heights are floored at h_floor (units of a) — the raw image
-            # terms diverge as h^-5 and make the damped mobility indefinite
-            # for deep wall overlap (see rpy.WALL_H_FLOOR).  All five
-            # coefficient fields are RHS-independent — computed once,
-            # applied to every RHS below.  Polydisperse: the whole image
-            # system is evaluated in units of the pair-effective radius
-            # √(aᵢaⱼ) and scaled back (see rpy._pair_tile) — the unit image
-            # direction (ex, ey, ez) is scale-invariant.
-            ex, ey, ez, f1, f2, f3, f4, f5 = _wall_coeffs(
-                dx, dy, zR, zC, h_floor=h_floor, poly=poly, aR=aR,
-                aC=aC if poly else None)
-            f1 = jnp.where(live, f1, 0.0)
-            f2 = jnp.where(live, f2, 0.0)
-            f3 = jnp.where(live, f3, 0.0)
-            f4 = jnp.where(live, f4, 0.0)
-            f5 = jnp.where(live, f5, 0.0)
-
-        new_acc = []
-        for k in range(nrhs):
-            ux, uy, uz = acc[3 * k], acc[3 * k + 1], acc[3 * k + 2]
-            fx = cols_ref[3 + 3 * k, pl.ds(c0, TC)].reshape(1, TC)
-            fy = cols_ref[4 + 3 * k, pl.ds(c0, TC)].reshape(1, TC)
-            fz = cols_ref[5 + 3 * k, pl.ds(c0, TC)].reshape(1, TC)
-
-            dF = dx * fx + dy * fy + dz * fz
-            bdF = beta * dF
-            cx = alpha * fx + bdF * dx
-            cy = alpha * fy + bdF * dy
-            cz = alpha * fz + bdF * dz
+        def pair_apply(dx, dy, mask, wt, acc):
+            """Fields at displacement (dx, dy, dz) with validity mask and
+            weight wt, accumulated into the row outputs.  All five wall
+            coefficient fields are RHS-independent — computed once,
+            applied to every RHS.  Heights floored at h_floor (the raw
+            image terms diverge as h^-5 below the Swan–Brady validity
+            region, see rpy.WALL_H_FLOOR); polydisperse pairs evaluate in
+            pair-effective-radius units (see rpy._pair_tile)."""
+            r2 = jnp.maximum(dx * dx + dy * dy + dz * dz, _R2_FLOOR)
+            invr = jax.lax.rsqrt(r2)
+            invr2 = invr * invr
+            r = r2 * invr  # = sqrt(r2), one less transcendental
+            if poly:
+                alpha, beta = _poly_coeffs(r2, invr, invr2, r, aR, aC)
+            else:
+                alpha, beta = _mono_coeffs(r, invr, invr2)
+            alpha = jnp.where(mask, alpha, 0.0) * wt
+            beta = jnp.where(mask, beta, 0.0) * wt
 
             if wall:
-                eF = ex * fx + ey * fy + ez * fz
-                f2eF = f2 * eF
-                cx = cx + f1 * fx + f2eF * ex + f3 * fz * ex
-                cy = cy + f1 * fy + f2eF * ey + f3 * fz * ey
-                cz = cz + f1 * fz + f2eF * ez + f3 * fz * ez + f4 * eF + f5 * fz
+                ex, ey, ez, f1, f2, f3, f4, f5 = _wall_coeffs(
+                    dx, dy, zR, zC, h_floor=h_floor, poly=poly, aR=aR,
+                    aC=aC)
+                f1 = jnp.where(mask, f1, 0.0) * wt
+                f2 = jnp.where(mask, f2, 0.0) * wt
+                f3 = jnp.where(mask, f3, 0.0) * wt
+                f4 = jnp.where(mask, f4, 0.0) * wt
+                f5 = jnp.where(mask, f5, 0.0) * wt
 
-            new_acc.extend([
-                ux + jnp.sum(cx, axis=1, keepdims=True),
-                uy + jnp.sum(cy, axis=1, keepdims=True),
-                uz + jnp.sum(cz, axis=1, keepdims=True),
-            ])
-        return tuple(new_acc)
+            new_acc = []
+            for k in range(nrhs):
+                ux, uy, uz = acc[3 * k], acc[3 * k + 1], acc[3 * k + 2]
+                fx = cols_ref[3 + 3 * k, pl.ds(c0, TC)].reshape(1, TC)
+                fy = cols_ref[4 + 3 * k, pl.ds(c0, TC)].reshape(1, TC)
+                fz = cols_ref[5 + 3 * k, pl.ds(c0, TC)].reshape(1, TC)
+
+                dF = dx * fx + dy * fy + dz * fz
+                bdF = beta * dF
+                cx = alpha * fx + bdF * dx
+                cy = alpha * fy + bdF * dy
+                cz = alpha * fz + bdF * dz
+
+                if wall:
+                    eF = ex * fx + ey * fy + ez * fz
+                    f2eF = f2 * eF
+                    cx = cx + f1 * fx + f2eF * ex + f3 * fz * ex
+                    cy = cy + f1 * fy + f2eF * ey + f3 * fz * ey
+                    cz = (cz + f1 * fz + f2eF * ez + f3 * fz * ez
+                          + f4 * eF + f5 * fz)
+
+                new_acc.extend([
+                    ux + jnp.sum(cx, axis=1, keepdims=True),
+                    uy + jnp.sum(cy, axis=1, keepdims=True),
+                    uz + jnp.sum(cz, axis=1, keepdims=True),
+                ])
+            return tuple(new_acc)
+
+        acc = pair_apply(dx0, dy0, live, jnp.float32(1.0), acc)
+        if img_shells > 0:
+            # exact doubly-periodic image sum over the ordered slab: all
+            # nonzero offsets of the wrapped displacement with the
+            # two-ring tail weights.  Self pairs ARE kept (a blob
+            # interacts with its own periodic images — only offset 0
+            # masks them), matching the XLA _pair_tile convention, so the
+            # ring/distributed sweep needs no separate diagonal term.
+            side = 2 * img_shells + 1
+
+            def img_body(m, acc):
+                ix = m // side - img_shells
+                iy = m % side - img_shells
+                ring = jnp.maximum(jnp.abs(ix), jnp.abs(iy))
+                wt = jnp.where(
+                    ring == 0, 0.0,
+                    1.0 + img_alpha * (ring == img_shells).astype(jnp.float32)
+                    + img_beta * (ring == img_shells - 1).astype(jnp.float32))
+                return pair_apply(dx0 + ix.astype(jnp.float32) * box_x,
+                                  dy0 + iy.astype(jnp.float32) * box_y,
+                                  col_ok, wt, acc)
+
+            acc = jax.lax.fori_loop(0, side * side, img_body, acc)
+        return acc
 
     zero = jnp.zeros((TR, 1), jnp.float32)
     acc = jax.lax.fori_loop(0, n_col_tiles, col_tile, (zero,) * (3 * nrhs))
@@ -282,7 +311,8 @@ def _kernel(off_ref, rows_ref, cols_ref, out_ref, *, n_cols_valid: int,
 
 def _kernel_sym(P_ref, out_ref, *, n_pad: int, wall: bool, nrhs: int,
                 h_floor: float, box_x: float = 0.0, box_y: float = 0.0,
-                poly: bool = False, ar_row: int = 0):
+                poly: bool = False, ar_row: int = 0, img_shells: int = 0,
+                img_alpha: float = 0.0, img_beta: float = 0.0):
     """Symmetric (unordered-pair) square sweep: each strict-upper tile's
     coefficient fields are computed ONCE and applied twice — forward
     (M_ij·F_j into rows i) and transposed (M_ijᵀ·F_i into columns j).
@@ -331,84 +361,118 @@ def _kernel_sym(P_ref, out_ref, *, n_pad: int, wall: bool, nrhs: int,
         zC = P_ref[2, pl.ds(c0, TC)].reshape(1, TC)
         col_ids = c0 + jax.lax.broadcasted_iota(jnp.int32, (1, TC), 1)
         upper = col_ids > row_ids          # strict upper triangle only
+        aC = (P_ref[ar_row, pl.ds(c0, TC)].reshape(1, TC) if poly else None)
 
-        dx = xR - xC
-        dy = yR - yC
+        dx0 = xR - xC
+        dy0 = yR - yC
         dz = zR - zC
         if box_x > 0:
             # minimum-image wrap is antisymmetric under i<->j, so the
             # forward + transposed application stays exact
-            dx = dx - box_x * jnp.round(dx * (1.0 / box_x))
-            dy = dy - box_y * jnp.round(dy * (1.0 / box_y))
-        r2 = jnp.maximum(dx * dx + dy * dy + dz * dz, _R2_FLOOR)
-        invr = jax.lax.rsqrt(r2)
-        invr2 = invr * invr
-        r = r2 * invr
-        if poly:
-            aC = P_ref[ar_row, pl.ds(c0, TC)].reshape(1, TC)
-            alpha, beta = _poly_coeffs(r2, invr, invr2, r, aR, aC)
-        else:
-            alpha, beta = _mono_coeffs(r, invr, invr2)
-        alpha = jnp.where(upper, alpha, 0.0)
-        beta = jnp.where(upper, beta, 0.0)
+            dx0 = dx0 - box_x * jnp.round(dx0 * (1.0 / box_x))
+            dy0 = dy0 - box_y * jnp.round(dy0 * (1.0 / box_y))
 
-        if wall:
-            # polydisperse: image system in pair-effective-radius units —
-            # see the ordered kernel note; C_ji = C_ijT still holds (the
-            # a_eff scaling is i<->j symmetric), so the transposed apply
-            # below stays exact.
-            ex, ey, ez, f1, f2, f3, f4, f5 = _wall_coeffs(
-                dx, dy, zR, zC, h_floor=h_floor, poly=poly, aR=aR,
-                aC=aC if poly else None)
-            f1 = jnp.where(upper, f1, 0.0)
-            f2 = jnp.where(upper, f2, 0.0)
-            f3 = jnp.where(upper, f3, 0.0)
-            f4 = jnp.where(upper, f4, 0.0)
-            f5 = jnp.where(upper, f5, 0.0)
+        def pair_apply(dx, dy, wt, acc):
+            """Fields at displacement (dx, dy, dz), weighted wt, masked to
+            the strict upper triangle; forward into acc, transpose into
+            out_ref columns.  wt=1 for the principal (wrapped) displacement,
+            the ring-tail weight for image offsets (0 kills offset 0)."""
+            r2 = jnp.maximum(dx * dx + dy * dy + dz * dz, _R2_FLOOR)
+            invr = jax.lax.rsqrt(r2)
+            invr2 = invr * invr
+            r = r2 * invr
+            if poly:
+                alpha, beta = _poly_coeffs(r2, invr, invr2, r, aR, aC)
+            else:
+                alpha, beta = _mono_coeffs(r, invr, invr2)
+            alpha = jnp.where(upper, alpha, 0.0) * wt
+            beta = jnp.where(upper, beta, 0.0) * wt
 
-        new_acc = []
-        for k in range(nrhs):
-            ux, uy, uz = acc[3 * k], acc[3 * k + 1], acc[3 * k + 2]
-            fx = P_ref[3 + 3 * k, pl.ds(c0, TC)].reshape(1, TC)
-            fy = P_ref[4 + 3 * k, pl.ds(c0, TC)].reshape(1, TC)
-            fz = P_ref[5 + 3 * k, pl.ds(c0, TC)].reshape(1, TC)
-
-            # forward: M_ij F_j accumulated into rows i
-            dF = dx * fx + dy * fy + dz * fz
-            bdF = beta * dF
-            cx = alpha * fx + bdF * dx
-            cy = alpha * fy + bdF * dy
-            cz = alpha * fz + bdF * dz
             if wall:
-                eF = ex * fx + ey * fy + ez * fz
-                f2eF = f2 * eF
-                cx = cx + f1 * fx + f2eF * ex + f3 * fz * ex
-                cy = cy + f1 * fy + f2eF * ey + f3 * fz * ey
-                cz = cz + f1 * fz + f2eF * ez + f3 * fz * ez + f4 * eF + f5 * fz
-            new_acc.extend([
-                ux + jnp.sum(cx, axis=1, keepdims=True),
-                uy + jnp.sum(cy, axis=1, keepdims=True),
-                uz + jnp.sum(cz, axis=1, keepdims=True),
-            ])
+                # polydisperse: image system in pair-effective-radius units
+                # — see the ordered kernel note; C_ji = C_ijT still holds
+                # (the a_eff scaling is i<->j symmetric), so the transposed
+                # apply below stays exact.
+                ex, ey, ez, f1, f2, f3, f4, f5 = _wall_coeffs(
+                    dx, dy, zR, zC, h_floor=h_floor, poly=poly, aR=aR,
+                    aC=aC)
+                f1 = jnp.where(upper, f1, 0.0) * wt
+                f2 = jnp.where(upper, f2, 0.0) * wt
+                f3 = jnp.where(upper, f3, 0.0) * wt
+                f4 = jnp.where(upper, f4, 0.0) * wt
+                f5 = jnp.where(upper, f5, 0.0) * wt
 
-            # transpose: M_ijᵀ F_i accumulated into columns j
-            fxR, fyR, fzR = FR[3 * k], FR[3 * k + 1], FR[3 * k + 2]
-            dFr = dx * fxR + dy * fyR + dz * fzR
-            bdFr = beta * dFr
-            tx = alpha * fxR + bdFr * dx
-            ty = alpha * fyR + bdFr * dy
-            tz = alpha * fzR + bdFr * dz
-            if wall:
-                eFr = ex * fxR + ey * fyR + ez * fzR
-                f2eFr = f2 * eFr
-                tx = tx + f1 * fxR + f2eFr * ex + f4 * fzR * ex
-                ty = ty + f1 * fyR + f2eFr * ey + f4 * fzR * ey
-                tz = tz + f1 * fzR + f2eFr * ez + f4 * fzR * ez \
-                    + f3 * eFr + f5 * fzR
-            out_ref[3 * k + 0, pl.ds(c0, TC)] += jnp.sum(tx, axis=0)
-            out_ref[3 * k + 1, pl.ds(c0, TC)] += jnp.sum(ty, axis=0)
-            out_ref[3 * k + 2, pl.ds(c0, TC)] += jnp.sum(tz, axis=0)
-        return tuple(new_acc)
+            new_acc = []
+            for k in range(nrhs):
+                ux, uy, uz = acc[3 * k], acc[3 * k + 1], acc[3 * k + 2]
+                fx = P_ref[3 + 3 * k, pl.ds(c0, TC)].reshape(1, TC)
+                fy = P_ref[4 + 3 * k, pl.ds(c0, TC)].reshape(1, TC)
+                fz = P_ref[5 + 3 * k, pl.ds(c0, TC)].reshape(1, TC)
+
+                # forward: M_ij F_j accumulated into rows i
+                dF = dx * fx + dy * fy + dz * fz
+                bdF = beta * dF
+                cx = alpha * fx + bdF * dx
+                cy = alpha * fy + bdF * dy
+                cz = alpha * fz + bdF * dz
+                if wall:
+                    eF = ex * fx + ey * fy + ez * fz
+                    f2eF = f2 * eF
+                    cx = cx + f1 * fx + f2eF * ex + f3 * fz * ex
+                    cy = cy + f1 * fy + f2eF * ey + f3 * fz * ey
+                    cz = (cz + f1 * fz + f2eF * ez + f3 * fz * ez
+                          + f4 * eF + f5 * fz)
+                new_acc.extend([
+                    ux + jnp.sum(cx, axis=1, keepdims=True),
+                    uy + jnp.sum(cy, axis=1, keepdims=True),
+                    uz + jnp.sum(cz, axis=1, keepdims=True),
+                ])
+
+                # transpose: M_ijᵀ F_i accumulated into columns j (for an
+                # image offset o this IS row j's image term at −o, so the
+                # upper-triangle sweep covers the full ± offset lattice)
+                fxR, fyR, fzR = FR[3 * k], FR[3 * k + 1], FR[3 * k + 2]
+                dFr = dx * fxR + dy * fyR + dz * fzR
+                bdFr = beta * dFr
+                tx = alpha * fxR + bdFr * dx
+                ty = alpha * fyR + bdFr * dy
+                tz = alpha * fzR + bdFr * dz
+                if wall:
+                    eFr = ex * fxR + ey * fyR + ez * fzR
+                    f2eFr = f2 * eFr
+                    tx = tx + f1 * fxR + f2eFr * ex + f4 * fzR * ex
+                    ty = ty + f1 * fyR + f2eFr * ey + f4 * fzR * ey
+                    tz = tz + f1 * fzR + f2eFr * ez + f4 * fzR * ez \
+                        + f3 * eFr + f5 * fzR
+                out_ref[3 * k + 0, pl.ds(c0, TC)] += jnp.sum(tx, axis=0)
+                out_ref[3 * k + 1, pl.ds(c0, TC)] += jnp.sum(ty, axis=0)
+                out_ref[3 * k + 2, pl.ds(c0, TC)] += jnp.sum(tz, axis=0)
+            return tuple(new_acc)
+
+        acc = pair_apply(dx0, dy0, jnp.float32(1.0), acc)
+        if img_shells > 0:
+            # exact doubly-periodic image sum: every nonzero in-plane
+            # lattice offset of the wrapped displacement, with the two-ring
+            # Richardson tail weights folded in (rpy.tail_coeffs) — the
+            # Pallas twin of the XLA _pair_tile image scan.  i==j images
+            # are excluded by the upper mask and added outside the kernel
+            # (rpy.self_image_sum).
+            side = 2 * img_shells + 1
+
+            def img_body(m, acc):
+                ix = m // side - img_shells
+                iy = m % side - img_shells
+                ring = jnp.maximum(jnp.abs(ix), jnp.abs(iy))
+                wt = jnp.where(
+                    ring == 0, 0.0,
+                    1.0 + img_alpha * (ring == img_shells).astype(jnp.float32)
+                    + img_beta * (ring == img_shells - 1).astype(jnp.float32))
+                return pair_apply(dx0 + ix.astype(jnp.float32) * box_x,
+                                  dy0 + iy.astype(jnp.float32) * box_y,
+                                  wt, acc)
+
+            acc = jax.lax.fori_loop(0, side * side, img_body, acc)
+        return acc
 
     zero = jnp.zeros((TR, 1), jnp.float32)
     acc = jax.lax.fori_loop(j_start, n_col_tiles, col_tile,
@@ -422,17 +486,23 @@ def _kernel_sym(P_ref, out_ref, *, n_pad: int, wall: bool, nrhs: int,
 
 @functools.partial(
     jax.jit, static_argnames=("n_pad", "wall", "nrhs", "h_floor", "interpret",
-                              "box_x", "box_y", "poly", "ar_row")
+                              "box_x", "box_y", "poly", "ar_row",
+                              "img_shells", "img_alpha", "img_beta")
 )
 def _pair_sweep_sym(P, n_pad: int, wall: bool, nrhs: int = 1,
                     h_floor: float = 0.0, interpret: bool = False,
                     box_x: float = 0.0, box_y: float = 0.0,
-                    poly: bool = False, ar_row: int = 0):
+                    poly: bool = False, ar_row: int = 0,
+                    img_shells: int = 0, img_alpha: float = 0.0,
+                    img_beta: float = 0.0):
     n_row_tiles = n_pad // TR
-    flops_per_pair = ((60 if wall else 25) + 2 * nrhs * (30 if wall else 15))
+    n_img = (2 * img_shells + 1) ** 2 if img_shells else 1
+    flops_per_pair = n_img * (
+        (60 if wall else 25) + 2 * nrhs * (30 if wall else 15))
     kernel = functools.partial(
         _kernel_sym, n_pad=n_pad, wall=wall, nrhs=nrhs, h_floor=h_floor,
         box_x=box_x, box_y=box_y, poly=poly, ar_row=ar_row,
+        img_shells=img_shells, img_alpha=img_alpha, img_beta=img_beta,
     )
     return pl.pallas_call(
         kernel,
@@ -454,6 +524,7 @@ def _pair_sweep_sym(P, n_pad: int, wall: bool, nrhs: int = 1,
     static_argnames=(
         "n_cols_valid", "n_cols_pad", "n_rows_pad", "wall", "nrhs",
         "h_floor", "interpret", "box_x", "box_y", "poly", "ar_row",
+        "img_shells", "img_alpha", "img_beta",
     ),
 )
 def _pair_sweep_packed(
@@ -461,14 +532,18 @@ def _pair_sweep_packed(
     n_cols_valid: int, n_cols_pad: int, n_rows_pad: int,
     wall: bool, nrhs: int = 1, h_floor: float = 0.0, interpret: bool = False,
     box_x: float = 0.0, box_y: float = 0.0, poly: bool = False,
-    ar_row: int = 0,
+    ar_row: int = 0, img_shells: int = 0, img_alpha: float = 0.0,
+    img_beta: float = 0.0,
 ):
     n_row_tiles = n_rows_pad // TR
-    flops_per_pair = (60 if wall else 25) + nrhs * (30 if wall else 15)
+    n_img = (2 * img_shells + 1) ** 2 if img_shells else 1
+    flops_per_pair = n_img * (
+        (60 if wall else 25) + nrhs * (30 if wall else 15))
     kernel = functools.partial(
         _kernel, n_cols_valid=n_cols_valid, n_cols_pad=n_cols_pad, wall=wall,
         nrhs=nrhs, h_floor=h_floor, box_x=box_x, box_y=box_y, poly=poly,
-        ar_row=ar_row,
+        ar_row=ar_row, img_shells=img_shells, img_alpha=img_alpha,
+        img_beta=img_beta,
     )
     return pl.pallas_call(
         kernel,
@@ -515,13 +590,17 @@ def _pack(r_over_a, Fs, n_pad, ahat=None):
 
 
 def pair_sum(r_over_a, F, wall: bool, h_floor: float = None,
-             interpret: bool = False, box_over_a=None, ahat=None):
+             interpret: bool = False, box_over_a=None, ahat=None,
+             image_shells=0, image_tail=True):
     """Σ_{j≠i} M_ij F_j (unscaled, undamped pair terms).
 
     F: (N, 3) single RHS, or (k, N, 3) multi-RHS (k ≤ 2 on the compiled
     path) — pair coefficient fields are shared across RHS.
     r_over_a: positions already normalized by the blob radius.
     ahat: optional (N,) per-blob radii in units of a — polydisperse RPY.
+    image_shells: S ≥ 1 adds the exact doubly-periodic in-plane image sum
+    (incl. self-images, matching ``rpy.pair_sum``) — the in-kernel offset
+    lattice with two-ring Richardson tail weights when ``image_tail``.
     """
     if h_floor is None:
         h_floor = rpy_xla.WALL_H_FLOOR
@@ -537,23 +616,40 @@ def pair_sum(r_over_a, F, wall: bool, h_floor: float = None,
         float(box_over_a[0]), float(box_over_a[1]))
     if box_over_a is not None and (bx <= 0 or by <= 0):
         raise ValueError(f"periodic box lengths must be positive, got {box_over_a}")
+    S = int(image_shells)
+    if S and box_over_a is None:
+        raise ValueError("image_shells needs a 2-D box_over_a")
+    ia, ib = (rpy_xla.tail_coeffs(S) if (S and image_tail) else (0.0, 0.0))
     if USE_SYM and (k == 1 or n_pad >= _SYM_K2_MIN_NPAD):
         out = _pair_sweep_sym(P, n_pad, wall, k, h_floor, interpret,
-                              box_x=bx, box_y=by, poly=poly, ar_row=ar_row)
+                              box_x=bx, box_y=by, poly=poly, ar_row=ar_row,
+                              img_shells=S, img_alpha=float(ia),
+                              img_beta=float(ib))
+        U = jnp.stack([out[3 * i : 3 * i + 3, :n].T for i in range(k)])
+        if S:
+            # the strict-upper kernel never visits i==i: add the
+            # self-image diagonal (a blob interacts with its own images)
+            U = U + rpy_xla.self_image_sum(
+                r_over_a, Fk, wall, box_over_a, S, h_floor=h_floor,
+                ahat=ahat, tail=image_tail).astype(U.dtype)
     else:
         off = jnp.zeros((2,), jnp.int32)
         out = _pair_sweep_packed(
             P, P, off, n, n_pad, n_pad, wall, k, h_floor, interpret,
             box_x=bx, box_y=by, poly=poly, ar_row=ar_row,
+            img_shells=S, img_alpha=float(ia), img_beta=float(ib),
         )
-    U = jnp.stack([out[3 * i : 3 * i + 3, :n].T for i in range(k)])
+        # the ordered kernel keeps self pairs at nonzero offsets — the
+        # image sum arrives complete
+        U = jnp.stack([out[3 * i : 3 * i + 3, :n].T for i in range(k)])
     return U if multi else U[0]
 
 
 def pair_sum_slab(r_rows_over_a, row_offset, r_cols_over_a, F_cols, wall: bool,
                   n_cols_valid: int = None, col_offset=0,
                   h_floor: float = None, interpret: bool = False,
-                  box_over_a=None, ahat_rows=None, ahat_cols=None):
+                  box_over_a=None, ahat_rows=None, ahat_cols=None,
+                  image_shells=0, image_tail=True):
     """Rectangular slab sweep for the sharded paths: local rows × columns.
 
     row_offset / col_offset: global index of the first row / column blob —
@@ -563,6 +659,11 @@ def pair_sum_slab(r_rows_over_a, row_offset, r_cols_over_a, F_cols, wall: bool,
     col_offset = j·n_loc_c.  n_cols_valid bounds the LOCAL column index.
     F_cols: (N, 3) single RHS or (k, N, 3) multi-RHS (shared pair fields —
     the distributed fused 2-draw Lanczos noise path).
+    image_shells: exact doubly-periodic image sum over the slab — each
+    (row, col) pair contributes ALL its in-plane lattice images INCLUDING
+    i == i self-images at nonzero offsets (masked only at offset 0), so a
+    ring/SUMMA decomposition that visits every global ordered pair once
+    assembles the exact operator with no separate diagonal term.
     """
     multi = F_cols.ndim == 3
     Fk = F_cols if multi else F_cols[None]
@@ -586,10 +687,15 @@ def pair_sum_slab(r_rows_over_a, row_offset, r_cols_over_a, F_cols, wall: bool,
         float(box_over_a[0]), float(box_over_a[1]))
     if box_over_a is not None and (bx <= 0 or by <= 0):
         raise ValueError(f"periodic box lengths must be positive, got {box_over_a}")
+    S = int(image_shells)
+    if S and box_over_a is None:
+        raise ValueError("image_shells needs a 2-D box_over_a")
+    ia, ib = (rpy_xla.tail_coeffs(S) if (S and image_tail) else (0.0, 0.0))
     out = _pair_sweep_packed(
         P_rows, P_cols, off, n_cols_valid, n_cols_pad, n_rows_pad, wall, k,
         h_floor, interpret, box_x=bx, box_y=by,
         poly=ahat_rows is not None, ar_row=3 + 3 * k,
+        img_shells=S, img_alpha=float(ia), img_beta=float(ib),
     )
     U = jnp.stack([out[3 * i: 3 * i + 3, :n_rows].T for i in range(k)])
     return U if multi else U[0]
@@ -639,7 +745,8 @@ def mobility_apply_rows(F, r, row_start: int, row_len: int, a=1.0, eta=1.0,
 
 
 def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, damp=None,
-                   h_floor=None, interpret=False, box=None, radii=None):
+                   h_floor=None, interpret=False, box=None, radii=None,
+                   image_shells=0, image_tail=True):
     """Drop-in for :func:`rigid_body_light_tpu.ops.rpy.mobility_apply` on TPU
     (float32): U = M·F, or B·M·B·F when ``wall``.
 
@@ -665,16 +772,19 @@ def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, damp=None,
     else:
         radii = jnp.asarray(radii, jnp.float32).reshape(-1)
     params = (float(a), float(eta), bool(wall), damp, float(h_floor),
-              bool(interpret), box)
+              bool(interpret), box, int(image_shells), bool(image_tail))
     return _mobility_apply_diff(F, r, radii, params)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _mobility_apply_diff(F, r, radii, params):
-    a, eta, wall, damp, h_floor, interpret, box = params
+    (a, eta, wall, damp, h_floor, interpret, box, image_shells,
+     image_tail) = params
     return _mobility_apply_impl(F, r, a=a, eta=eta, wall=wall, damp=damp,
                                 h_floor=h_floor, interpret=interpret, box=box,
-                                radii=None if radii.shape[0] == 0 else radii)
+                                radii=None if radii.shape[0] == 0 else radii,
+                                image_shells=image_shells,
+                                image_tail=image_tail)
 
 
 def _mobility_diff_fwd(F, r, radii, params):
@@ -682,18 +792,23 @@ def _mobility_diff_fwd(F, r, radii, params):
 
 
 def _mobility_diff_bwd(params, res, U_bar):
-    a, eta, wall, damp, h_floor, interpret, box = params
+    (a, eta, wall, damp, h_floor, interpret, box, image_shells,
+     image_tail) = params
     F, r, radii = res
     rad = None if radii.shape[0] == 0 else radii
     U_bar = jnp.asarray(U_bar, jnp.float32)
     # (B·M·B)ᵀ = B·M·B — the force cotangent is one more kernel sweep
+    # (the image sum preserves the symmetry: offsets come in ± pairs)
     F_bar = _mobility_apply_impl(U_bar, r, a=a, eta=eta, wall=wall, damp=damp,
                                  h_floor=h_floor, interpret=interpret,
-                                 box=box, radii=rad)
+                                 box=box, radii=rad,
+                                 image_shells=image_shells,
+                                 image_tail=image_tail)
     _, pull = jax.vjp(
         lambda rr: rpy_xla.mobility_apply(
             F, rr, a=a, eta=eta, wall=wall, damp=damp, h_floor=h_floor,
-            box=box, radii=rad),
+            box=box, radii=rad, image_shells=image_shells,
+            image_tail=image_tail),
         r,
     )
     (r_bar,) = pull(U_bar)
@@ -704,7 +819,8 @@ _mobility_apply_diff.defvjp(_mobility_diff_fwd, _mobility_diff_bwd)
 
 
 def _mobility_apply_impl(F, r, a=1.0, eta=1.0, wall=False, damp=None,
-                         h_floor=None, interpret=False, box=None, radii=None):
+                         h_floor=None, interpret=False, box=None, radii=None,
+                         image_shells=0, image_tail=True):
     r = jnp.asarray(r, jnp.float32).reshape(-1, 3)
     F = jnp.asarray(F, jnp.float32).reshape(-1, 3)
     use_damp = wall if damp is None else damp
@@ -720,7 +836,8 @@ def _mobility_apply_impl(F, r, a=1.0, eta=1.0, wall=False, damp=None,
         h_floor = rpy_xla.WALL_H_FLOOR
     boa = None if box is None else (box[0] / a, box[1] / a)
     U = pair_sum(r * inv_a, Fd, wall, h_floor=h_floor, interpret=interpret,
-                 box_over_a=boa, ahat=ahat)
+                 box_over_a=boa, ahat=ahat, image_shells=image_shells,
+                 image_tail=image_tail)
 
     self_diag = jnp.full(r.shape, _SELF_COEF, jnp.float32)
     if radii is not None:
@@ -737,7 +854,8 @@ def _mobility_apply_impl(F, r, a=1.0, eta=1.0, wall=False, damp=None,
 
 
 def mobility_apply_multi(Fs, r, a=1.0, eta=1.0, wall=False, damp=None,
-                         h_floor=None, interpret=False, box=None, radii=None):
+                         h_floor=None, interpret=False, box=None, radii=None,
+                         image_shells=0, image_tail=True):
     """Multi-RHS variant: (k, N, 3) forces → (k, N, 3) velocities, sharing
     the pair coefficient fields across RHS (k ≤ 2 on the compiled path)."""
     r = jnp.asarray(r, jnp.float32).reshape(-1, 3)
@@ -757,7 +875,8 @@ def mobility_apply_multi(Fs, r, a=1.0, eta=1.0, wall=False, damp=None,
         h_floor = rpy_xla.WALL_H_FLOOR
     boa = None if box is None else (box[0] / a, box[1] / a)
     U = pair_sum(r * inv_a, Fd, wall, h_floor=h_floor, interpret=interpret,
-                 box_over_a=boa, ahat=ahat)
+                 box_over_a=boa, ahat=ahat, image_shells=image_shells,
+                 image_tail=image_tail)
 
     self_diag = jnp.full(r.shape, _SELF_COEF, jnp.float32)
     if radii is not None:

@@ -104,7 +104,7 @@ def mobility_apply_fn(cfg: SimulationConfig, radii=None):
         return _ewald_apply_fn(cfg, radii, multi=False)
     if cfg.farfield_grid is not None:
         return _farfield_apply_fn(cfg, radii)
-    if cfg.use_pallas and cfg.dtype == jnp.float32 and not cfg.image_shells:
+    if cfg.use_pallas and cfg.dtype == jnp.float32:
         try:
             from rigid_body_light_tpu.ops import rpy_pallas
 
@@ -113,6 +113,7 @@ def mobility_apply_fn(cfg: SimulationConfig, radii=None):
                     return rpy_pallas.mobility_apply(
                         F, r, a=cfg.a, eta=cfg.eta, wall=cfg.wall,
                         h_floor=cfg.wall_h_floor, box=cfg.box, radii=radii,
+                        image_shells=cfg.image_shells,
                     )
 
                 return apply_pallas
@@ -282,7 +283,7 @@ def mobility_apply_multi_fn(cfg: SimulationConfig, radii=None):
         return _ewald_apply_fn(cfg, radii, multi=True)
     if cfg.farfield_grid is not None:
         return _farfield_apply_fn(cfg, radii)
-    if cfg.use_pallas and cfg.dtype == jnp.float32 and not cfg.image_shells:
+    if cfg.use_pallas and cfg.dtype == jnp.float32:
         try:
             from rigid_body_light_tpu.ops import rpy_pallas
 
@@ -291,6 +292,7 @@ def mobility_apply_multi_fn(cfg: SimulationConfig, radii=None):
                     return rpy_pallas.mobility_apply_multi(
                         Fs, r, a=cfg.a, eta=cfg.eta, wall=cfg.wall,
                         h_floor=cfg.wall_h_floor, box=cfg.box, radii=radii,
+                        image_shells=cfg.image_shells,
                     )
 
                 return apply_pallas

@@ -49,7 +49,7 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = AXIS) -> Mesh:
 
 def sharded_pair_sum(
     r, F, mesh: Mesh, a=1.0, wall=False, row_tile=512, axis_name=AXIS,
-    use_pallas=False, h_floor=None, box=None,
+    use_pallas=False, h_floor=None, box=None, image_shells=0,
 ):
     """Row-sharded Σ_j M_ij F_j (pair terms only) over the mesh.
 
@@ -84,11 +84,12 @@ def sharded_pair_sum(
             return rpy_pallas.pair_sum_slab(
                 r_l * inv_a, idx * n_loc, r_all * inv_a, F_all, wall,
                 h_floor=h_floor, box_over_a=boa,
+                image_shells=image_shells,
             )
         row_ids = idx * n_loc + jnp.arange(n_loc, dtype=jnp.int32)
         return rpy.pair_sum(
             r_l, row_ids, r_all, col_ids, F_all, a=a, wall=wall,
-            row_tile=row_tile, box=box,
+            row_tile=row_tile, box=box, image_shells=image_shells,
             **({} if h_floor is None else {"h_floor": h_floor}),
         )
 
@@ -115,6 +116,7 @@ def make_mesh_2d(shape, axis_names=("rows", "cols")) -> Mesh:
 def sharded_pair_sum_2d(
     r, F, mesh: Mesh, a=1.0, wall=False, row_tile=512,
     axis_names=("rows", "cols"), use_pallas=False, h_floor=None, box=None,
+    image_shells=0,
 ):
     """2-D (SUMMA-style) sharded Σ_j M_ij F_j over a (Dr, Dc) mesh.
 
@@ -153,6 +155,7 @@ def sharded_pair_sum_2d(
             part = rpy_pallas.pair_sum_slab(
                 r_rows * inv_a, i * n_loc_r, r_cols * inv_a, F_cols, wall,
                 col_offset=j * n_loc_c, h_floor=h_floor, box_over_a=boa,
+                image_shells=image_shells,
             )
         else:
             row_ids = i * n_loc_r + jnp.arange(n_loc_r, dtype=jnp.int32)
@@ -161,6 +164,7 @@ def sharded_pair_sum_2d(
             part = rpy.pair_sum(
                 r_rows, row_ids, r_cols, col_ids, F_cols,
                 a=a, wall=wall, row_tile=row_tile, box=box,
+                image_shells=image_shells,
                 **({} if h_floor is None else {"h_floor": h_floor}),
             )
         return lax.psum(part, ax_c)
@@ -200,14 +204,14 @@ def sharded_mobility_apply_fn(
                 r, Fd, mesh, a=cfg.a, wall=cfg.wall,
                 row_tile=cfg.matvec_row_tile, axis_names=mesh.axis_names,
                 use_pallas=cfg.use_pallas, h_floor=cfg.wall_h_floor,
-                box=cfg.box,
+                box=cfg.box, image_shells=cfg.image_shells,
             )
         else:
             U = sharded_pair_sum(
                 r, Fd, mesh, a=cfg.a, wall=cfg.wall,
                 row_tile=cfg.matvec_row_tile, axis_name=axis_name,
                 use_pallas=cfg.use_pallas, h_floor=cfg.wall_h_floor,
-                box=cfg.box,
+                box=cfg.box, image_shells=cfg.image_shells,
             )
         self_diag = jnp.full(r.shape, 4.0 / 3.0, dtype=dtype)
         if cfg.wall:
@@ -226,6 +230,7 @@ def sharded_mobility_apply_fn(
 def ring_pair_sum_local(
     r_l, F_l, n_devices: int, axis_name: str, a=1.0, wall=False, row_tile=512,
     h_floor=None, box=None, use_pallas=False, radii_l=None,
+    image_shells=0, image_tail=True,
 ):
     """Ring-pipelined Σ_j M_ij F_j for the LOCAL row shard (inside shard_map).
 
@@ -242,6 +247,12 @@ def ring_pair_sum_local(
     physical radii shard (polydisperse RPY) — rotates around the ring with
     the positions.  Returns matching-shape pair terms (no self term /
     scaling / damping — same contract as ``rpy.pair_sum``).
+
+    image_shells: S ≥ 1 sums the exact doubly-periodic in-plane images of
+    every pair (2-D ``box``, wall): each ring step's slab carries its own
+    offset lattice (incl. i==i self-images, masked only at offset 0), and
+    every global ordered pair rides exactly one ring step — so the ring
+    assembles the same exact operator as the single-device image sweep.
     """
     n_l = r_l.shape[0]
     idx = lax.axis_index(axis_name)
@@ -271,6 +282,7 @@ def ring_pair_sum_local(
                 col_offset=src * n_l, h_floor=h_floor, box_over_a=boa,
                 ahat_rows=None if not poly else radii_l * inv_a,
                 ahat_cols=None if not poly else blk_a * inv_a,
+                image_shells=image_shells, image_tail=image_tail,
             )
         else:
             col_ids = src * n_l + jnp.arange(n_l, dtype=jnp.int32)
@@ -278,6 +290,7 @@ def ring_pair_sum_local(
                 r_l, row_ids, blk_r, col_ids, blk_F, a=a, wall=wall,
                 row_tile=row_tile, box=box,
                 radii_rows=radii_l, radii_cols=blk_a,
+                image_shells=image_shells, image_tail=image_tail,
                 **({} if h_floor is None else {"h_floor": h_floor}),
             )
         acc = acc + part
@@ -312,6 +325,7 @@ def ring_mobility_apply_fn(cfg: SimulationConfig, n_devices: int,
             r, Fd, n_devices, axis_name, a=cfg.a, wall=cfg.wall,
             row_tile=cfg.matvec_row_tile, h_floor=cfg.wall_h_floor,
             box=cfg.box, use_pallas=cfg.use_pallas, radii_l=radii,
+            image_shells=cfg.image_shells,
         )
         self_diag = jnp.full(r.shape, 4.0 / 3.0, dtype=dtype)
         if radii is not None:
@@ -412,13 +426,8 @@ def _local_mobility_fn(cfg: SimulationConfig, n_devices: int,
         # periodicity distributes through the replicated image-summed
         # lattice + seam-wrapped sharded near sweep
         return farfield_mobility_apply_local_fn(cfg, n_devices, axis_name)
-    if cfg.image_shells:
-        raise NotImplementedError(
-            "image_shells over the ring sweep (exact doubly-periodic "
-            "image sum) is single-device only — distributed 2-D boxes "
-            "run the minimum-image ring sweep (image_shells=0) or the "
-            "O(N) pseudo-2D far field (set farfield_grid)"
-        )
+    # incl. image_shells >= 1: the ring slabs carry the exact
+    # doubly-periodic image sum (see ring_pair_sum_local)
     return ring_mobility_apply_fn(cfg, n_devices, axis_name)
 
 

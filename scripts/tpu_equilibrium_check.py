@@ -18,7 +18,7 @@ from rigid_body_light_tpu.state import make_state
 
 
 def main(mode="midpoint_slip", lanczos_iters=10, pc_mode=None, box=None,
-         n_chunks=20):
+         n_chunks=20, gmres_tol=1e-5):
     params, cfgb = load_structure("shell_N_12")
     kBT, mg, k_wall, lam_wall = 0.3, 1.0, 4.0, 0.3
     geom = kin.make_ref_geometry(cfgb, dtype=jnp.float32)
@@ -37,7 +37,8 @@ def main(mode="midpoint_slip", lanczos_iters=10, pc_mode=None, box=None,
     elif isinstance(box, (tuple, list)):
         box = tuple(float(b) for b in box)
         spacing = min(box) / 8.0
-    elif box is None:
+    elif box is None or box in ("", "none", "None"):
+        box = None
         spacing = 20.0
     else:
         raise ValueError(f"box must be None, 'box', or an (Lx, Ly) pair; got {box!r}")
@@ -49,7 +50,7 @@ def main(mode="midpoint_slip", lanczos_iters=10, pc_mode=None, box=None,
     cfg = SimulationConfig(
         a=params["sep"] / 2, dt=0.01, kBT=kBT, wall=True, dtype=jnp.float32,
         lanczos_iters=int(lanczos_iters), lanczos_precond=True, drift_mode=mode,
-        gmres_tol=1e-5, gmres_restart=25, gmres_maxiter=75,
+        gmres_tol=float(gmres_tol), gmres_restart=25, gmres_maxiter=75,
         pc_mode=pc_mode, box=box,
     )
     # domain starts at the lowest accessible body-center height (blob shell
@@ -73,7 +74,7 @@ def main(mode="midpoint_slip", lanczos_iters=10, pc_mode=None, box=None,
     z = np.concatenate(zs[n_chunks // 4:], axis=0)
     se = z.mean(axis=0).std() / np.sqrt(B)
     print(f"{mode} (lanczos {int(lanczos_iters)}, pc {pc_mode or 'diag'}, "
-          f"box {box}): "
+          f"box {box}, tol {cfg.gmres_tol:g}): "
           f"mean z = {z.mean():.4f} ± {se:.4f} "
           f"(theory {z_theory:.4f}, bias {z.mean() - z_theory:+.4f}); "
           f"zmax {np.concatenate(zs).max():.2f}, "
@@ -81,4 +82,7 @@ def main(mode="midpoint_slip", lanczos_iters=10, pc_mode=None, box=None,
 
 
 if __name__ == "__main__":
-    main(*(sys.argv[1:5] or ["midpoint_slip"]))
+    kw = {}
+    if len(sys.argv) > 5:
+        kw["gmres_tol"] = float(sys.argv[5])
+    main(*(sys.argv[1:5] or ["midpoint_slip"]), **kw)

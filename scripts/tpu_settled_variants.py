@@ -96,6 +96,28 @@ def main():
         # (lagged halo-tier variants were measured catastrophic — 27-29
         # mean iters even at refresh 4 — and the config now rejects them;
         # the fresh build is cheap instead: bf16 + Newton–Schulz.)
+        # round 5: close the >=10 steps/s gate.  The step is sweep-count
+        # bound (~20 sweep-equivalents at ~4 ms); the levers are GMRES
+        # iterations (PC quality, tolerance vs the 5e-4..1e-3 noise floor)
+        # and the Lanczos adaptive cap.
+        "r5_tol3e4": dict(gmres_restart=60, pc_mode="ras",
+                          pc_halo=8.0, pc_halo_max=64,
+                          lanczos_max_iters=14, lanczos_err_tol=1e-3,
+                          gmres_tol=3e-4),
+        "r5_c96_adaptive": dict(gmres_restart=60, pc_mode="ras",
+                                pc_halo=8.0, pc_halo_max=96,
+                                lanczos_max_iters=14, lanczos_err_tol=1e-3),
+        "r5_tol3e4_c96": dict(gmres_restart=60, pc_mode="ras",
+                              pc_halo=8.0, pc_halo_max=96,
+                              lanczos_max_iters=14, lanczos_err_tol=1e-3,
+                              gmres_tol=3e-4),
+        "r5_noise2e3": dict(gmres_restart=60, pc_mode="ras",
+                            pc_halo=8.0, pc_halo_max=64,
+                            lanczos_max_iters=14, lanczos_err_tol=2e-3),
+        "r5_tol3e4_noise2e3": dict(gmres_restart=60, pc_mode="ras",
+                                   pc_halo=8.0, pc_halo_max=64,
+                                   lanczos_max_iters=14,
+                                   lanczos_err_tol=2e-3, gmres_tol=3e-4),
     }
     # run one variant per process (the axon tunnel wedges on long-lived
     # clients issuing several distinct compile RPCs back to back)

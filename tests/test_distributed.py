@@ -610,10 +610,31 @@ def test_distributed_step_on_pseudo2d_farfield_backend():
     np.testing.assert_allclose(np.asarray(aux_sh.U), np.asarray(aux_ref.U),
                                atol=1e-10)
     assert int(aux_sh.iters) == int(aux_ref.iters)
-    cfg_ring = cfg.replace(farfield_grid=None)
-    with pytest.raises(NotImplementedError, match="ring sweep"):
-        parallel.make_distributed_step(geom, cfg_ring, mesh,
-                                       deterministic=True)
+
+
+@pytest.mark.medium
+def test_distributed_exact_image_ring_matches_single_device():
+    """image_shells ≥ 1 over the ring (round-5): every ring slab carries
+    the exact doubly-periodic offset lattice (incl. self-images at the
+    diagonal step), so the fully-distributed step reproduces the
+    single-device exact image sweep — same answer, same iterations."""
+    geom, cfg, state, mesh = _setup()
+    cfg = cfg.replace(box=(11.0, 11.0), image_shells=2, gmres_tol=1e-8)
+    F = jnp.zeros((8, 6), jnp.float64).at[:, 2].set(-1.0)
+    s_ref, aux_ref = deterministic_step(geom, cfg, state, F)
+    step_d = jax.jit(parallel.make_distributed_step(geom, cfg, mesh,
+                                                    deterministic=True))
+    s_sh, aux_sh = step_d(state, jax.random.key(0), F)
+    np.testing.assert_allclose(np.asarray(s_sh.X), np.asarray(s_ref.X),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(aux_sh.U), np.asarray(aux_ref.U),
+                               atol=1e-10)
+    assert int(aux_sh.iters) == int(aux_ref.iters)
+    # the image sum actually engages: it differs from minimum-image
+    _, aux_mi = deterministic_step(geom, cfg.replace(image_shells=0),
+                                   state, F)
+    assert not np.allclose(np.asarray(aux_sh.U), np.asarray(aux_mi.U),
+                           atol=1e-8)
 
 
 # ------------------------------------------------------------------ RAS PC

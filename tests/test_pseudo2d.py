@@ -266,3 +266,91 @@ def test_gradients_flow_through_image_sum(slab):
     rm = r64.at[2, 0].add(-eps)
     fd = (f(rp) - f(rm)) / (2 * eps)
     assert abs(float(g[2, 0]) - float(fd)) < 1e-5 * max(1.0, abs(float(fd)))
+
+
+# ------------------------------------------------- Pallas twin (round 5)
+def test_pallas_image_sum_matches_xla_exact(slab):
+    """The in-kernel offset lattice (symmetric kernel + self-image
+    diagonal) reproduces the XLA exact image sweep — mono/poly,
+    single/multi-RHS, at f32 kernel precision (interpreter mode)."""
+    from rigid_body_light_tpu.ops import rpy_pallas
+
+    r64, box = slab
+    r = jnp.asarray(r64, jnp.float32)
+    n = r.shape[0]
+    rng = np.random.default_rng(5)
+    ids = jnp.arange(n, dtype=jnp.int32)
+    ahat = jnp.asarray(rng.choice([0.8, 1.25], n), jnp.float32)
+    for F in (jnp.asarray(rng.standard_normal((n, 3)), jnp.float32),
+              jnp.asarray(rng.standard_normal((2, n, 3)), jnp.float32)):
+        for ah in (None, ahat):
+            ref = rpy.pair_sum(r, ids, r, ids, F, a=1.0, wall=True,
+                               box=box, image_shells=2,
+                               radii_rows=ah, radii_cols=ah)
+            got = rpy_pallas.pair_sum(r, F, True, interpret=True,
+                                      box_over_a=box, ahat=ah,
+                                      image_shells=2)
+            scale = float(jnp.max(jnp.abs(ref)))
+            assert float(jnp.max(jnp.abs(ref - got))) / scale < 3e-6
+
+
+def test_pallas_slab_image_sum_splits_exactly(slab):
+    """The ordered slab kernel keeps i==i self-images at nonzero offsets,
+    so a column-split (ring-style) decomposition sums to the exact
+    operator with no separate diagonal term."""
+    from rigid_body_light_tpu.ops import rpy_pallas
+
+    r64, box = slab
+    r = jnp.asarray(r64, jnp.float32)
+    n = r.shape[0]
+    rng = np.random.default_rng(6)
+    F = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
+    ids = jnp.arange(n, dtype=jnp.int32)
+    ref = rpy.pair_sum(r, ids, r, ids, F, a=1.0, wall=True, box=box,
+                       image_shells=2)
+    h = n // 2 + 1
+    g1 = rpy_pallas.pair_sum_slab(r, 0, r[:h], F[:h], True, interpret=True,
+                                  box_over_a=box, image_shells=2,
+                                  col_offset=0)
+    g2 = rpy_pallas.pair_sum_slab(r, 0, r[h:], F[h:], True, interpret=True,
+                                  box_over_a=box, image_shells=2,
+                                  col_offset=h)
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(ref - (g1 + g2)))) / scale < 3e-6
+
+
+def test_pallas_mobility_apply_image_sum(slab):
+    """Full Pallas mobility (damping sandwich + self term + image pair
+    sweep) vs the XLA exact operator; the no-tail variant too."""
+    from rigid_body_light_tpu.ops import rpy_pallas
+
+    r64, box = slab
+    r = jnp.asarray(r64, jnp.float32)
+    rng = np.random.default_rng(7)
+    F = jnp.asarray(rng.standard_normal(r.shape), jnp.float32)
+    for tail in (True, False):
+        ref = rpy.mobility_apply(F, r, a=1.0, eta=0.9, wall=True, box=box,
+                                 image_shells=2, image_tail=tail)
+        got = rpy_pallas.mobility_apply(F, r, a=1.0, eta=0.9, wall=True,
+                                        box=box, image_shells=2,
+                                        image_tail=tail, interpret=True)
+        scale = float(jnp.max(jnp.abs(ref)))
+        assert float(jnp.max(jnp.abs(ref - got))) / scale < 3e-6
+
+
+def test_self_image_sum_is_pair_sum_diagonal():
+    """A single blob's image sweep is ALL self-images — rpy.self_image_sum
+    must equal the exact pair sweep there (mono + poly, multi-RHS)."""
+    rng = np.random.default_rng(8)
+    r = jnp.asarray([[1.3, 2.1, 2.7]], jnp.float64)
+    ids = jnp.arange(1, dtype=jnp.int32)
+    box = (7.0, 9.0)
+    for ahat in (None, jnp.asarray([1.3], jnp.float64)):
+        for F in (jnp.asarray(rng.standard_normal((1, 3))),
+                  jnp.asarray(rng.standard_normal((2, 1, 3)))):
+            ref = rpy.pair_sum(r, ids, r, ids, F, a=1.0, wall=True,
+                               box=box, image_shells=3,
+                               radii_rows=ahat, radii_cols=ahat)
+            got = rpy.self_image_sum(r, F, True, box, 3, ahat=ahat)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-14)
