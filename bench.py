@@ -142,10 +142,16 @@ def seg_settled():
     params, cfgb = load_structure("shell_N_642")
     geom = kin.make_ref_geometry(cfgb, dtype=jnp.float32)
     # halo 8 beats 4 (9.2 vs 10.2 mean iters); adaptive noise is ~free at
-    # restart 60 (tpu_settled_variants round-4 A/B)
+    # restart 60 (tpu_settled_variants round-4 A/B).  gmres_tol 3e-4
+    # (round 5): the step's accuracy floor is the Lanczos noise
+    # truncation (measured noise_err ≈ 8.5e-4 at the adaptive cap), so a
+    # 1e-4 solve polishes past what the noise can honor — 3e-4 stays
+    # below the noise floor, cuts mean iters 9.2 → 8.0 (+0.4 steps/s,
+    # r5_tol3e4 A/B) and is equilibrium-validated unbiased
+    # (tpu_equilibrium_check @ 3e-4 RAS: z bias −0.013 ± 0.023).
     cfg = _base_cfg(params, jnp).replace(
         gmres_restart=60, pc_mode="ras", pc_halo=8.0, pc_halo_max=64,
-        lanczos_max_iters=14, lanczos_err_tol=1e-3)
+        lanczos_max_iters=14, lanczos_err_tol=1e-3, gmres_tol=3e-4)
     state, key, _, _ = ckpt.load_checkpoint(
         "scripts/data/settled_642.npz", dtype=jnp.float32)
     force_fn = forces.sum_forces(
