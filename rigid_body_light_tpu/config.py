@@ -62,6 +62,7 @@ class SimulationConfig:
     ewald_nbr_tiles: int = 0  # balanced splitting: static neighbor-list width (tiles of 128 sorted blobs per row tile).  0 = auto (4× the uniform-density estimate + 8).  Overflow NaN-poisons the step (caught by the stepper's rejection guards) — raise for extreme density contrast.
     farfield_grid: Any = None  # proxy-grid far field for open/wall domains (ops/farfield.py): None = off (exact O(N²) sweeps); "auto" = near-cubic grid of ~tile-sized cells; int or (Gx, Gy, Gz) = explicit supercell counts (pass anisotropic counts for flat sedimented slabs).  Splits M into exact near pairs (adjacent cells) + Chebyshev-interpolated far field evaluated as FFT convolutions on the MXU — O(N) at fixed density instead of O(N²).  The operator is approximate (farfield_p controls accuracy) but symmetric to roundoff; polydisperse supported via radius-split kernel lattices.  With a 2-D (Lx, Ly) box + wall=True this becomes the PSEUDO-2D doubly-periodic far field: cyclic xy convolution with image-summed combined (free+wall) kernel lattices — exact in-plane periodicity at O(N) per apply, image depth = image_shells (must be ≥ 1; tail-extrapolated).  Polydisperse supported (four radius-split image lattices); works single-device AND distributed (replicated lattice build + seam-wrapped sharded near sweep).
     farfield_p: int = 4  # Chebyshev nodes per dim for the far field: 4 ≈ 5e-3 relative operator error, 6 ≈ 3e-4 (measured, tests/test_farfield.py)
+    farfield_band_p: int = 0  # two-tier mixed-order far field (round 5): 0 = off; ≥ 3 adds a high-order BAND tier — cell offsets with ∞-norm in [2, 3] evaluated at band_p as a direct banded block convolution (a few hundred MXU matmuls, storage ∝ the 316-offset band only, no p⁶ spectrum) while the FFT tier is masked to offsets ≥ 4 where low farfield_p is already accurate (measured interpolation error by offset: p=4 → 6e-3 at 2, 2.3e-4 at ≥4; band_p=6 at 2 → 1.7e-4).  band_p=6 over farfield_p=4 ≈ p=6-class operator error at p=4 lattice cost.  Open/wall domains; does not compose with the pseudo-2D 2-D-box far field.
     farfield_nbr_tiles: int = 0  # static neighbor-tile list width for the near sweep; 0 = auto (overflow NaN-poisons the step, caught by the stepper's rejection guards — raise for extreme density contrast)
     block_diag_pc: bool = False
     pc_mode: str = ""  # "", "diag", "block", "block_free", "ras" — "" derives from block_diag_pc.  "ras" = block_free static core + per-solve restricted-additive-Schwarz halo coupling (ops/saddle.build_pc_ras): the dense-settled-suspension PC — captures inter-body near-contact coupling via per-body overlapping clusters solved exactly (Woodbury around the static core), with a consistent coupled (6B)² body matrix.  Monodisperse; works single-device AND distributed (gathered-halo Woodbury clusters + replicated coupled Ñ, round 5); dispersed suspensions see block_free behavior (empty halos reduce to it exactly).
@@ -167,6 +168,13 @@ class SimulationConfig:
             # monodisperse wall — the worst case): p=4 ≈ 5e-3, p=6 ≈ 5e-4.
             est = {3: 2e-2, 4: 5e-3, 5: 1.5e-3, 6: 5e-4}.get(
                 self.farfield_p, 1e-4 if self.farfield_p > 6 else 5e-2)
+            if self.farfield_band_p:
+                # two-tier: error = max(band order at offset 2, FFT order
+                # at offsets ≥ 4) — measured per-offset interpolation table
+                band_tbl = {3: 2e-2, 4: 6e-3, 5: 1.6e-3, 6: 2e-4, 7: 1e-4}
+                far4_tbl = {3: 1e-3, 4: 3e-4, 5: 2e-5, 6: 3e-6}
+                est = max(band_tbl.get(self.farfield_band_p, 5e-5),
+                          far4_tbl.get(self.farfield_p, 1e-6))
             if self.gmres_tol < est:
                 import warnings
 

@@ -168,7 +168,7 @@ def _free_split_coeffs(r2, dtype):
             ((invr3 / 3.0).astype(dtype), (-invr5).astype(dtype)))
 
 
-def _far_kernel_hat(h, grid, p, dtype, poly=False):
+def _far_kernel_hat(h, grid, p, dtype, poly=False, near_excl=1):
     """K̂: half-spectrum FFT over the offset grid of the masked node→node
     RPY blocks, as (nk, n_freq, B, B) with B = 3p³.
 
@@ -198,7 +198,7 @@ def _far_kernel_hat(h, grid, p, dtype, poly=False):
     dn = tn[:, None, :] - tn[None, :, :]                     # (p³, p³, 3)
     oyz = np.stack(np.meshgrid(_signed_offsets(gy), _signed_offsets(gz),
                                indexing="ij"), axis=-1).reshape(-1, 2)
-    far_yz = np.any(np.abs(oyz) > 1, axis=-1)                # (2gy·2gz,)
+    far_yz = np.any(np.abs(oyz) > near_excl, axis=-1)        # (2gy·2gz,)
     oyz3 = np.concatenate([np.zeros((len(oyz), 1)), oyz], axis=1)
     oyz_j = jnp.asarray(oyz3, dtype)                         # (m, 3) x=0
     far_yz_j = jnp.asarray(far_yz)
@@ -214,8 +214,8 @@ def _far_kernel_hat(h, grid, p, dtype, poly=False):
             coeffs = _free_split_coeffs(r2, dtype)
         else:
             coeffs = (rpy._free_coeffs(r2, dtype),)
-        far = (far_yz_j | (jnp.abs(ox_val) > 1.5)).astype(   # exclude near
-            dtype)[:, None, None]
+        far = (far_yz_j | (jnp.abs(ox_val) > near_excl + 0.5)).astype(
+            dtype)[:, None, None]                            # exclude near(+band)
         Ks = []
         for alpha, beta in coeffs:
             alpha = alpha * far
@@ -371,7 +371,8 @@ def _wall_coeffs_split(d_img, hj):
     return (p0, p1, p2), invR
 
 
-def _wall_kernel_hat(lo_z, h, grid, p, dtype, h_floor, poly=False):
+def _wall_kernel_hat(lo_z, h, grid, p, dtype, h_floor, poly=False,
+                     near_excl=1):
     """K̂_wall[czi, czj]: per-z-cell-pair xy-offset lattices of Swan–Brady
     node blocks, 2-D FFT'd over the padded xy offsets.
 
@@ -393,7 +394,7 @@ def _wall_kernel_hat(lo_z, h, grid, p, dtype, h_floor, poly=False):
     OX, OY = np.meshgrid(_signed_offsets(gx), _signed_offsets(gy),
                          indexing="ij")                      # (2gx, 2gy)
     oxy = np.stack([OX, OY], axis=-1).reshape(-1, 2)         # (m, 2)
-    near_xy = np.all(np.abs(oxy) <= 1, axis=-1)              # (m,)
+    near_xy = np.all(np.abs(oxy) <= near_excl, axis=-1)      # (m,)
     tn = jnp.asarray(
         np.stack(np.meshgrid(nodes, nodes, nodes, indexing="ij"),
                  axis=-1).reshape(-1, 3), dtype)             # (p³, 3)
@@ -421,8 +422,9 @@ def _wall_kernel_hat(lo_z, h, grid, p, dtype, h_floor, poly=False):
             d_img, jnp.broadcast_to(zj, d_img.shape[:-1]))
         if not poly:
             parts = (tuple(a + b + c for a, b, c in zip(*parts)),)
-        # zero exactly the near set: |Δz_cell| ≤ 1 AND |Δxy_cell|∞ ≤ 1
-        near_z = jnp.abs(jnp.arange(gz, dtype=jnp.int32) - ci) <= 1
+        # zero exactly the near(+band) set: both cell-offset components
+        # within near_excl (1 plain; _BAND_MAX with the band tier)
+        near_z = jnp.abs(jnp.arange(gz, dtype=jnp.int32) - ci) <= near_excl
         far = ~(near_z[:, None] & near_xy_j[None, :])        # (gz, m)
         farb = far.astype(dtype)[..., None, None]
         e = d_img * invR[..., None]
@@ -444,6 +446,194 @@ def _wall_kernel_hat(lo_z, h, grid, p, dtype, h_floor, poly=False):
     nk = Kh.shape[1]
     return _pack_hat(Kh.transpose(1, 0, 2, 3, 4, 5, 6).reshape(
         nk, gz, gz, 2 * gx * (gy + 1), B, B), axis=1)
+
+
+# ------------------------------------------------- band tier (round 5)
+# Two-tier mixed-order far field: the FFT lattice's p⁶ storage makes high
+# p unaffordable at production grids (p=6 blocks are 3.4 MB/frequency —
+# 18 GB at a 102k wall grid), yet the p=4 operator error is DOMINATED by
+# the closest non-adjacent cells (measured interpolation error by cell
+# offset: p=4 → 6e-3 at offset 2, 1e-3 at 3, 2.3e-4 at ≥4; p=6 → 1.7e-4
+# at offset 2).  So ``farfield_band_p`` adds a BAND tier: cell offsets
+# with ∞-norm in [2, _BAND_MAX] evaluated at high order (band_p) as a
+# DIRECT banded block convolution (a few hundred MXU matmuls — no
+# spectrum, storage ∝ the 316-offset band only), while the FFT tier is
+# masked to offsets ≥ _BAND_MAX+1 where low p is already accurate.
+# Net: p=6-class operator error at p=4 lattice cost.
+_BAND_MAX = 3
+
+
+def _band_offsets_free() -> np.ndarray:
+    """All 3-D cell offsets with ∞-norm in [2, _BAND_MAX] — (316, 3)."""
+    rng_ = np.arange(-_BAND_MAX, _BAND_MAX + 1)
+    O = np.stack(np.meshgrid(rng_, rng_, rng_, indexing="ij"),
+                 axis=-1).reshape(-1, 3)
+    m = np.abs(O).max(axis=1)
+    return O[(m >= 2) & (m <= _BAND_MAX)].astype(np.int64)
+
+
+def _band_offsets_xy() -> np.ndarray:
+    """All xy cell offsets with ∞-norm ≤ _BAND_MAX (the wall band is
+    z-pair indexed; the band membership test lives in the block mask)."""
+    rng_ = np.arange(-_BAND_MAX, _BAND_MAX + 1)
+    OX, OY = np.meshgrid(rng_, rng_, indexing="ij")
+    return np.stack([OX, OY], axis=-1).reshape(-1, 2).astype(np.int64)
+
+
+def _band_blocks_free(h, bp, dtype, poly=False):
+    """Free-space node blocks K_o at the band offsets:
+    (nk, n_off, B6, B6), B6 = 3·bp³ — same row/col convention as
+    :func:`_far_kernel_hat` (row = target node·comp, col = source)."""
+    off = _band_offsets_free()
+    nodes = _cheb_nodes(bp)
+    p3 = bp ** 3
+    tn = jnp.asarray(
+        np.stack(np.meshgrid(nodes, nodes, nodes, indexing="ij"),
+                 axis=-1).reshape(-1, 3), dtype)
+    dn = tn[:, None, :] - tn[None, :, :]                     # (p³, p³, 3)
+    off_j = jnp.asarray(off, dtype)
+    eye = jnp.eye(3, dtype=dtype)
+
+    def one(o):
+        d = (dn + o[None, None, :]) * h                      # (p³, p³, 3)
+        r2 = jnp.sum(d * d, axis=-1)
+        coeffs = (_free_split_coeffs(r2, dtype) if poly
+                  else (rpy._free_coeffs(r2, dtype),))
+        Ks = []
+        for alpha, beta in coeffs:
+            K = (alpha[..., None, None] * eye
+                 + beta[..., None, None] * d[..., :, None] * d[..., None, :])
+            Ks.append(K.transpose(0, 2, 1, 3).reshape(3 * p3, 3 * p3))
+        return jnp.stack(Ks)
+
+    Kb = lax.map(one, off_j)                                 # (n_off, nk, B6, B6)
+    return Kb.transpose(1, 0, 2, 3)
+
+
+def _band_blocks_wall(lo_z, h, grid, bp, dtype, h_floor, poly=False):
+    """Wall-correction band blocks (nk, n_oxy, gz, gz, B6, B6): all xy
+    offsets with ∞-norm ≤ _BAND_MAX, z-cell-pair indexed like
+    :func:`_wall_kernel_hat`, masked to the band set
+    2 ≤ max(|oxy|∞, |czi−czj|) ≤ _BAND_MAX."""
+    gz = grid[2]
+    oxy = _band_offsets_xy()
+    nodes = _cheb_nodes(bp)
+    p3 = bp ** 3
+    B6 = 3 * p3
+    tn = jnp.asarray(
+        np.stack(np.meshgrid(nodes, nodes, nodes, indexing="ij"),
+                 axis=-1).reshape(-1, 3), dtype)
+    oxy_j = jnp.asarray(oxy, dtype)
+    oxy_norm = np.abs(oxy).max(axis=1)                       # (n_oxy,)
+    dx = (oxy_j[:, None, None, 0]
+          + tn[None, :, None, 0] - tn[None, None, :, 0]) * h[0]
+    dy = (oxy_j[:, None, None, 1]
+          + tn[None, :, None, 1] - tn[None, None, :, 1]) * h[1]
+    cz = jnp.arange(gz, dtype=dtype)
+    zn = lo_z + (cz[:, None] + tn[None, :, 2]) * h[2]        # (gz, p³)
+    znf = jnp.maximum(zn, h_floor) if h_floor > 0 else zn
+    eye = jnp.eye(3, dtype=dtype)
+    zhat = jnp.zeros(3, dtype).at[2].set(1.0)
+    oxy_norm_j = jnp.asarray(oxy_norm, jnp.int32)
+    czi_idx = jnp.arange(gz, dtype=jnp.int32)
+
+    def slab(ci):
+        zi = znf[ci][None, None, :, None]
+        zj = znf[:, None, None, :]                           # (czj, 1, 1, p³)
+        d_img = jnp.stack(jnp.broadcast_arrays(
+            dx[None], dy[None], zi + zj), axis=-1)           # (gz, m, p³, p³, 3)
+        parts, invR = _wall_coeffs_split(
+            d_img, jnp.broadcast_to(zj, d_img.shape[:-1]))
+        if not poly:
+            parts = (tuple(a + b + c for a, b, c in zip(*parts)),)
+        dz = jnp.abs(jnp.arange(gz, dtype=jnp.int32) - ci)   # (gz,)
+        mnorm = jnp.maximum(dz[:, None], oxy_norm_j[None, :])
+        band = ((mnorm >= 2) & (mnorm <= _BAND_MAX)).astype(
+            dtype)[..., None, None]                          # (gz, m, 1, 1)
+        e = d_img * invR[..., None]
+        Ws = []
+        for f1, f2, f3, f4, f5 in parts:
+            f1, f2, f3, f4, f5 = (f * band for f in (f1, f2, f3, f4, f5))
+            W = (f1[..., None, None] * eye
+                 + f2[..., None, None] * e[..., :, None] * e[..., None, :]
+                 + f3[..., None, None] * e[..., :, None] * zhat[None, :]
+                 + f4[..., None, None] * zhat[:, None] * e[..., None, :]
+                 + f5[..., None, None] * zhat[:, None] * zhat[None, :])
+            Ws.append(W.transpose(0, 1, 2, 4, 3, 5).reshape(
+                gz, -1, B6, B6))
+        return jnp.stack(Ws)                   # (nk, gz_s, n_oxy, B6, B6)
+
+    Kh = lax.map(slab, czi_idx)                # (gz_t, nk, gz_s, n_oxy, B6, B6)
+    return Kh.transpose(1, 3, 0, 2, 4, 5)      # (nk, n_oxy, gz_t, gz_s, B6, B6)
+
+
+def _band_apply_free(Kb, Q, grid):
+    """Direct banded block convolution (free kernel): Q (nm, k, ncell, B6)
+    × Kb (nk, n_off, B6, B6) → (nout, k, ncell, B6) with
+    :func:`_far_free`'s channel conventions."""
+    gx, gy, gz = grid
+    off = _band_offsets_free()
+    cidx = np.stack(np.meshgrid(np.arange(gx), np.arange(gy),
+                                np.arange(gz), indexing="ij"),
+                    axis=-1).reshape(-1, 3)
+    src = cidx[None, :, :] - off[:, None, :]
+    ok = np.all((src >= 0) & (src < np.array([gx, gy, gz])), axis=-1)
+    flat = (src[..., 0] * gy + src[..., 1]) * gz + src[..., 2]
+    idx = jnp.asarray(np.where(ok, flat, 0), jnp.int32)     # (n_off, ncell)
+    okf = jnp.asarray(ok, Q.dtype)
+    nm, k, ncell, B6 = Q.shape
+    poly = nm == 2
+    Qf = Q.reshape(nm * k, ncell, B6)
+
+    def body(acc, xs):
+        K_o, ix, okv = xs
+        Qs = (Qf[:, ix, :] * okv[None, :, None]).reshape(nm, k, ncell, B6)
+        if poly:
+            U0 = (jnp.einsum("ij,kcj->kci", K_o[0], Qs[0])
+                  + jnp.einsum("ij,kcj->kci", K_o[1], Qs[1]))
+            U2 = jnp.einsum("ij,kcj->kci", K_o[1], Qs[0])
+            upd = jnp.stack([U0, U2])
+        else:
+            upd = jnp.einsum("ij,kcj->kci", K_o[0], Qs[0])[None]
+        return acc + upd, None
+
+    nout = 2 if poly else 1
+    acc0 = jnp.zeros((nout, k, ncell, B6), Q.dtype)
+    acc, _ = lax.scan(body, acc0, (Kb.transpose(1, 0, 2, 3), idx, okf))
+    return acc
+
+
+def _band_apply_wall(Kw, Q, grid):
+    """Direct banded block convolution (wall correction): Q
+    (nm, k, ncell, B6) × Kw (nk, n_oxy, gz_t, gz_s, B6, B6) →
+    (nm, k, ncell, B6) output channels (:func:`_far_wall`'s convention:
+    interpolation weights [1] mono / [1, âᵢ, âᵢ²] poly)."""
+    gx, gy, gz = grid
+    oxy = _band_offsets_xy()
+    cxy = np.stack(np.meshgrid(np.arange(gx), np.arange(gy),
+                               indexing="ij"), axis=-1).reshape(-1, 2)
+    src = cxy[None, :, :] - oxy[:, None, :]
+    ok = np.all((src >= 0) & (src < np.array([gx, gy])), axis=-1)
+    flat = src[..., 0] * gy + src[..., 1]
+    idx = jnp.asarray(np.where(ok, flat, 0), jnp.int32)     # (n_oxy, nxy)
+    okf = jnp.asarray(ok, Q.dtype)
+    nm, k, ncell, B6 = Q.shape
+    nxy = gx * gy
+    Qz = Q.reshape(nm * k, nxy, gz, B6)
+
+    def body(acc, xs):
+        K_o, ix, okv = xs                 # K_o (nk, gz_t, gz_s, B6, B6)
+        Qs = (Qz[:, ix] * okv[None, :, None, None]).reshape(
+            nm, k, nxy, gz, B6)
+        upd = jnp.stack([
+            jnp.einsum("tsij,kcsj->kcti", K_o[m], Qs[m])
+            for m in range(nm)])                             # (nm,k,nxy,gz,B6)
+        return acc + upd.reshape(nm, k, ncell, B6), None
+
+    acc0 = jnp.zeros((nm, k, ncell, B6), Q.dtype)
+    acc, _ = lax.scan(body, acc0, (Kw.transpose(1, 0, 2, 3, 4, 5), idx,
+                                   okf))
+    return acc
 
 
 def _signed_offsets_cyclic(g: int) -> np.ndarray:
@@ -496,7 +686,7 @@ def _kernel_hat_2p(lo_z, h, grid, p, dtype, h_floor, shells: int,
     OX, OY = np.meshgrid(_signed_offsets_cyclic(gx),
                          _signed_offsets_cyclic(gy), indexing="ij")
     oxy = np.stack([OX, OY], axis=-1).reshape(-1, 2)         # (m, 2)
-    near_xy = np.all(np.abs(oxy) <= 1, axis=-1)              # (m,)
+    near_xy = np.all(np.abs(oxy) <= near_excl, axis=-1)      # (m,)
     tn = jnp.asarray(
         np.stack(np.meshgrid(nodes, nodes, nodes, indexing="ij"),
                  axis=-1).reshape(-1, 3), dtype)             # (p³, 3)
@@ -782,6 +972,10 @@ class FarCtx(NamedTuple):
     ah_s: jax.Array          # (t·TILE,) sorted padded radii, or None
     nbr: jax.Array           # (t, max_nbr) neighbor-tile lists
     overflow: jax.Array      # () bool: neighbor lists overflowed
+    # --- band tier (farfield_band_p > 0), else None:
+    W6: jax.Array = None         # (N, band_p³) band spread weights
+    band_free: jax.Array = None  # (nk, n_off, B6, B6) free band blocks
+    band_wall: jax.Array = None  # (nk, n_oxy, gz, gz, B6, B6) wall band
 
 
 class FarGeo(NamedTuple):
@@ -796,6 +990,8 @@ class FarGeo(NamedTuple):
     h: jax.Array
     khat_free: jax.Array
     khat_wall: jax.Array
+    band_free: jax.Array = None
+    band_wall: jax.Array = None
 
 
 def _check_2p(wall, poly, box, grid, shells=1):
@@ -872,9 +1068,28 @@ def _wrap_box(x, box_n):
                      x - bx * jnp.floor(x / jnp.where(bx > 0, bx, 1.0)), x)
 
 
+def _check_band(band_p, per):
+    """Validate the band-tier order: 0 = off; otherwise ≥ 3 (a band at or
+    below the FFT tier's typical order would ADD cost without accuracy).
+    Pseudo-2D lattices are image-summed/cyclic — the band tier does not
+    compose with them yet."""
+    band_p = int(band_p)
+    if band_p == 0:
+        return 0
+    if band_p < 3:
+        raise ValueError(f"farfield_band_p must be 0 (off) or >= 3, got "
+                         f"{band_p}")
+    if per:
+        raise ValueError(
+            "farfield_band_p does not compose with the pseudo-2D (2-D "
+            "box) far field yet — its lattices are cyclic/image-summed; "
+            "use image_shells for accuracy there")
+    return band_p
+
+
 def prepare_geometry(r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
                      max_nbr=None, h_floor=rpy.WALL_H_FLOOR, radii=None,
-                     box=None, image_shells=8):
+                     box=None, image_shells=8, band_p=0):
     """Build only the geometry tier (:class:`FarGeo`) for positions ``r``
     — pass the result as ``geo=`` to :func:`prepare` to share one kernel-
     lattice build across several nearby position sets.
@@ -891,17 +1106,28 @@ def prepare_geometry(r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
     x = r * jnp.asarray(1.0 / a, dtype)
     if box is not None:
         _check_2p(wall, poly, box, grid, int(image_shells))
+        _check_band(band_p, True)
         box_n = tuple(b / a for b in box)
         lo, h = _geometry_2p(x, grid, box_n)
         return FarGeo(lo=lo, h=h, khat_free=None,
                       khat_wall=_kernel_hat_2p(lo[2], h, grid, p, dtype,
                                                h_floor, int(image_shells),
                                                poly=poly))
+    band_p = _check_band(band_p, False)
+    ne = _BAND_MAX if band_p else 1
     lo, h = _grid_geometry(x, grid)
-    khat_free = _far_kernel_hat(h, grid, p, dtype, poly=poly)
+    khat_free = _far_kernel_hat(h, grid, p, dtype, poly=poly, near_excl=ne)
     khat_wall = (_wall_kernel_hat(lo[2], h, grid, p, dtype, h_floor,
-                                  poly=poly) if wall else None)
-    return FarGeo(lo=lo, h=h, khat_free=khat_free, khat_wall=khat_wall)
+                                  poly=poly, near_excl=ne)
+                 if wall else None)
+    band_free = band_wall = None
+    if band_p:
+        band_free = _band_blocks_free(h, band_p, dtype, poly=poly)
+        band_wall = (_band_blocks_wall(lo[2], h, grid, band_p, dtype,
+                                       h_floor, poly=poly)
+                     if wall else None)
+    return FarGeo(lo=lo, h=h, khat_free=khat_free, khat_wall=khat_wall,
+                  band_free=band_free, band_wall=band_wall)
 
 
 def _resolve(n, wall, grid, p, max_nbr, poly):
@@ -917,7 +1143,7 @@ def _resolve(n, wall, grid, p, max_nbr, poly):
 
 def prepare(r, a=1.0, eta=1.0, wall=False, grid=None, p=4, max_nbr=None,
             h_floor=rpy.WALL_H_FLOOR, radii=None, geo: FarCtx = None,
-            box=None, image_shells=8):
+            box=None, image_shells=8, band_p=0):
     """Build the :class:`FarCtx` for positions ``r`` (same kwargs as
     :func:`mobility_apply`).
 
@@ -937,6 +1163,7 @@ def prepare(r, a=1.0, eta=1.0, wall=False, grid=None, p=4, max_nbr=None,
     if per:
         _check_2p(wall, poly, box, grid, int(image_shells))
         box_n = tuple(b / a for b in box)
+    band_p = _check_band(band_p, per)
     ahat = None
     if poly:
         ahat = jnp.asarray(radii, dtype).reshape(-1) * jnp.asarray(
@@ -947,9 +1174,11 @@ def prepare(r, a=1.0, eta=1.0, wall=False, grid=None, p=4, max_nbr=None,
     if per:
         x = _wrap_box(x, box_n)
     geo_bad = None
+    band_free = band_wall = None
     if geo is not None:
         lo, h = geo.lo, geo.h
         khat_free, khat_wall = geo.khat_free, geo.khat_wall
+        band_free, band_wall = geo.band_free, geo.band_wall
         # Reused geometry is only valid while positions stay within ~a cell
         # fraction of the bounding box that built it: blobs past the edge
         # clip to edge cells and the Chebyshev basis extrapolates SILENTLY
@@ -971,13 +1200,22 @@ def prepare(r, a=1.0, eta=1.0, wall=False, grid=None, p=4, max_nbr=None,
         khat_wall = _kernel_hat_2p(lo[2], h, grid, p, dtype, h_floor,
                                    int(image_shells), poly=poly)
     else:
+        ne = _BAND_MAX if band_p else 1
         lo, h = _grid_geometry(x, grid)
-        khat_free = _far_kernel_hat(h, grid, p, dtype, poly=poly)
+        khat_free = _far_kernel_hat(h, grid, p, dtype, poly=poly,
+                                    near_excl=ne)
         khat_wall = (_wall_kernel_hat(lo[2], h, grid, p, dtype, h_floor,
-                                      poly=poly) if wall else None)
+                                      poly=poly, near_excl=ne)
+                     if wall else None)
+        if band_p:
+            band_free = _band_blocks_free(h, band_p, dtype, poly=poly)
+            band_wall = (_band_blocks_wall(lo[2], h, grid, band_p, dtype,
+                                           h_floor, poly=poly)
+                         if wall else None)
     ci, cid = _cell_indices(x, lo, h, grid)
     t3 = (x - lo) / h - ci.astype(dtype)
     W3 = _blob_weights(t3, _cheb_nodes(p))                   # (N, p³)
+    W6 = _blob_weights(t3, _cheb_nodes(band_p)) if band_p else None
 
     order = tiles.cell_snake_order(ci, grid)
     t = -(-n // TILE)
@@ -1005,13 +1243,14 @@ def prepare(r, a=1.0, eta=1.0, wall=False, grid=None, p=4, max_nbr=None,
     return FarCtx(lo=lo, h=h, khat_free=khat_free, khat_wall=khat_wall,
                   b=b, ahat=ahat, cid=cid, W3=W3, self_diag=self_diag,
                   order=order, x_s=x_s, ci_s=ci_s, id_s=id_s, ah_s=ah_s,
-                  nbr=nbr, overflow=overflow)
+                  nbr=nbr, overflow=overflow, W6=W6, band_free=band_free,
+                  band_wall=band_wall)
 
 
 def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
                    max_nbr=None, h_floor=rpy.WALL_H_FLOOR, radii=None,
                    ctx: FarCtx = None, box=None, image_shells=8,
-                   use_pallas=True):
+                   use_pallas=True, band_p=0):
     """U = M(r)·F via near-exact + proxy-grid far field.
 
     box: None (open/wall domain, as before) or (Lx, Ly) physical box —
@@ -1050,18 +1289,21 @@ def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
     per = box is not None
     if per:
         _check_2p(wall, poly, box, grid, int(image_shells))
+    band_p = _check_band(band_p, per)
     if ctx is None:
         ctx = prepare(r, a=a, eta=eta, wall=wall, grid=grid, p=p,
                       max_nbr=max_nbr, h_floor=h_floor, radii=radii,
-                      box=box, image_shells=image_shells)
+                      box=box, image_shells=image_shells, band_p=band_p)
 
     if wall:
         Fs = Fs * ctx.b[None, :, None]
 
+    band = ((ctx.W6, band_p, ctx.band_free, ctx.band_wall)
+            if band_p else None)
     U_far = _far_part(Fs, ctx.ahat, ctx.W3, ctx.cid, grid, ctx.h,
                       ctx.lo[2], p, wall, h_floor,
                       khat_free=ctx.khat_free, khat_wall=ctx.khat_wall,
-                      per=per)
+                      per=per, band=band)
 
     # ---- near: cell-snake equal-population tiles, cell-offset mask
     t = -(-n // TILE)
@@ -1102,7 +1344,8 @@ def mobility_apply(F, r, a=1.0, eta=1.0, wall=False, grid=None, p=4,
 
 
 def _far_part(Fs, ahat, W3, cid, grid, h, lo_z, p, wall, h_floor,
-              psum_fn=None, khat_free=None, khat_wall=None, per=False):
+              psum_fn=None, khat_free=None, khat_wall=None, per=False,
+              band=None):
     """Moment channels → spread → kernel-lattice convolution → interpolate.
 
     Shared by the single-device and distributed paths; in distributed mode
@@ -1110,6 +1353,11 @@ def _far_part(Fs, ahat, W3, cid, grid, h, lo_z, p, wall, h_floor,
     (tiny) node-grid moments over the mesh.  ahat: None (monodisperse) or
     (N, ) normalized radii — â^m-weighted forces ride the same spread/FFT
     batch as extra RHS channels, read back with â^m output weights.
+
+    band: optional (W6, band_p, band_free, band_wall) — the high-order
+    band tier (cell offsets 2.._BAND_MAX, see the band-tier section); its
+    moments psum over the mesh exactly like Q, so the distributed path
+    rides along.
     """
     poly = ahat is not None
     k, n = Fs.shape[0], Fs.shape[1]
@@ -1139,18 +1387,39 @@ def _far_part(Fs, ahat, W3, cid, grid, h, lo_z, p, wall, h_floor,
     Un = _far_free(Qm_free, h, grid, p, khat=khat_free)      # (nf, k, nc, B)
     Uw = (_far_wall(Q, lo_z, h, grid, p, h_floor, khat=khat_wall)
           if wall else None)
+    U_far = _combine_channels(Un, Uw, W3, cid, p, ahat, wall)
+    if band is not None:
+        W6, bp, band_free, band_wall = band
+        Qb = _p2m(W6, cid, Fm, ncell, bp)
+        if psum_fn is not None:
+            Qb = psum_fn(Qb)
+        Qb = Qb.reshape(nm, k, ncell, -1)
+        Qb_free = jnp.stack([Qb[0], Qb[nm - 1]]) if poly else Qb
+        Unb = _band_apply_free(band_free, Qb_free, grid)
+        Uwb = _band_apply_wall(band_wall, Qb, grid) if wall else None
+        U_far = U_far + _combine_channels(Unb, Uwb, W6, cid, bp, ahat,
+                                          wall)
+    return U_far
+
+
+def _combine_channels(Un, Uw, W, cid, p, ahat, wall):
+    """Interpolate far-tier output channels back to blobs with the
+    [1] (mono) / [1, âᵢ², âᵢ] (poly) output weights — shared by the FFT
+    and band tiers (identical channel conventions)."""
+    poly = ahat is not None
     if not poly:
         Unodes = Un[0] if Uw is None else Un[0] + Uw[0]
-        return _l2p(W3, cid, Unodes, p)
+        return _l2p(W, cid, Unodes, p)
+    k, n = Un.shape[1], W.shape[0]
     ch_1 = Un[0] if Uw is None else Un[0] + Uw[0]            # weight 1
     ch_a2 = Un[1] if Uw is None else Un[1] + Uw[2]           # weight âᵢ²
     chans = [ch_1, ch_a2] + ([Uw[1]] if wall else [])        # (+ weight âᵢ)
-    L = _l2p(W3, cid, jnp.concatenate(chans), p).reshape(
+    L = _l2p(W, cid, jnp.concatenate(chans), p).reshape(
         len(chans), k, n, 3)
-    U_far = L[0] + (ahat * ahat)[None, :, None] * L[1]
+    U = L[0] + (ahat * ahat)[None, :, None] * L[1]
     if wall:
-        U_far = U_far + ahat[None, :, None] * L[2]
-    return U_far
+        U = U + ahat[None, :, None] * L[2]
+    return U
 
 
 def _self_diag_field(n, dtype, ahat, wall, rz, a, h_floor, radii):
@@ -1277,7 +1546,7 @@ def mobility_apply_local(F_l, r_l, n_devices: int, axis_name: str, a=1.0,
                          eta=1.0, wall=False, grid=None, p=4, max_nbr=None,
                          h_floor=rpy.WALL_H_FLOOR, radii_l=None,
                          ctx: FarCtx = None, box=None, image_shells=8,
-                         use_pallas=True):
+                         use_pallas=True, band_p=0):
     """Local-shard proxy-grid mobility for use INSIDE ``shard_map``.
 
     Multi-chip far field (the O(N) analogue of
@@ -1316,22 +1585,26 @@ def mobility_apply_local(F_l, r_l, n_devices: int, axis_name: str, a=1.0,
     per = box is not None
     if per:
         _check_2p(wall, poly, box, grid, int(image_shells))
+    band_p = _check_band(band_p, per)
     if ctx is None:
         ctx = prepare_local(r_l, n_devices, axis_name, a=a, eta=eta,
                             wall=wall, grid=grid, p=p, max_nbr=max_nbr,
                             h_floor=h_floor, radii_l=radii_l, box=box,
-                            image_shells=image_shells)
+                            image_shells=image_shells, band_p=band_p)
 
     if wall:
         Fs = Fs * ctx.b[None, :, None]
 
     # far part: local spread, psum'd node moments, replicated convolution,
-    # local interpolation — identical numbers on every device
+    # local interpolation — identical numbers on every device (the band
+    # tier's moments psum along with Q)
+    band = ((ctx.W6, band_p, ctx.band_free, ctx.band_wall)
+            if band_p else None)
     U_far = _far_part(Fs, ctx.ahat, ctx.W3, ctx.cid, grid, ctx.h,
                       ctx.lo[2], p, wall, h_floor,
                       psum_fn=lambda q: lax.psum(q, axis_name),
                       khat_free=ctx.khat_free, khat_wall=ctx.khat_wall,
-                      per=per)
+                      per=per, band=band)
 
     # near part: gather the global forces once per apply (the sorted tile
     # structure comes prebuilt from the ctx), sweep only this device's
@@ -1389,7 +1662,8 @@ def _resolve_local(n, wall, grid, p, max_nbr, poly, n_devices):
 def prepare_geometry_local(r_l, n_devices: int, axis_name: str, a=1.0,
                            eta=1.0, wall=False, grid=None, p=4,
                            max_nbr=None, h_floor=rpy.WALL_H_FLOOR,
-                           radii_l=None, box=None, image_shells=8):
+                           radii_l=None, box=None, image_shells=8,
+                           band_p=0):
     """Distributed analogue of :func:`prepare_geometry`: the grid bounding
     box closes over the mesh (pmin/pmax); the kernel-hat lattices are
     computed replicated (identical on every device)."""
@@ -1408,19 +1682,29 @@ def prepare_geometry_local(r_l, n_devices: int, axis_name: str, a=1.0,
                       khat_wall=_kernel_hat_2p(lo[2], h, grid, p, dtype,
                                                h_floor, int(image_shells),
                                                poly=poly))
+    band_p = _check_band(band_p, False)
+    ne = _BAND_MAX if band_p else 1
     lo = lax.pmin(jnp.min(x, axis=0), axis_name)
     hi = lax.pmax(jnp.max(x, axis=0), axis_name)
     lo, h = _geometry_from_bounds(lo, hi, grid)
-    khat_free = _far_kernel_hat(h, grid, p, dtype, poly=poly)
+    khat_free = _far_kernel_hat(h, grid, p, dtype, poly=poly, near_excl=ne)
     khat_wall = (_wall_kernel_hat(lo[2], h, grid, p, dtype, h_floor,
-                                  poly=poly) if wall else None)
-    return FarGeo(lo=lo, h=h, khat_free=khat_free, khat_wall=khat_wall)
+                                  poly=poly, near_excl=ne)
+                 if wall else None)
+    band_free = band_wall = None
+    if band_p:
+        band_free = _band_blocks_free(h, band_p, dtype, poly=poly)
+        band_wall = (_band_blocks_wall(lo[2], h, grid, band_p, dtype,
+                                       h_floor, poly=poly)
+                     if wall else None)
+    return FarGeo(lo=lo, h=h, khat_free=khat_free, khat_wall=khat_wall,
+                  band_free=band_free, band_wall=band_wall)
 
 
 def prepare_local(r_l, n_devices: int, axis_name: str, a=1.0, eta=1.0,
                   wall=False, grid=None, p=4, max_nbr=None,
                   h_floor=rpy.WALL_H_FLOOR, radii_l=None, geo=None,
-                  box=None, image_shells=8):
+                  box=None, image_shells=8, band_p=0):
     """Build the F-independent setup of :func:`mobility_apply_local` once
     — the distributed :class:`FarCtx` analogue, hoistable out of Krylov /
     Lanczos loops exactly like the single-device ``prepare`` (without it
@@ -1442,6 +1726,7 @@ def prepare_local(r_l, n_devices: int, axis_name: str, a=1.0, eta=1.0,
     if per:
         _check_2p(wall, poly, box, grid, int(image_shells))
         box_n = tuple(b / a for b in box)
+    band_p = _check_band(band_p, per)
     ahat = None
     if poly:
         ahat = jnp.asarray(radii_l, dtype).reshape(-1) * jnp.asarray(
@@ -1452,9 +1737,11 @@ def prepare_local(r_l, n_devices: int, axis_name: str, a=1.0, eta=1.0,
     if per:
         x = _wrap_box(x, box_n)
     geo_bad = None
+    band_free = band_wall = None
     if geo is not None:
         lo, h = geo.lo, geo.h
         khat_free, khat_wall = geo.khat_free, geo.khat_wall
+        band_free, band_wall = geo.band_free, geo.band_wall
         # pseudo-2D: xy wraps (never excursions), so guard z only
         u = (x - lo) / h
         if per:
@@ -1471,15 +1758,24 @@ def prepare_local(r_l, n_devices: int, axis_name: str, a=1.0, eta=1.0,
                                    int(image_shells), poly=poly)
     else:
         # global grid geometry: bbox closes over the mesh with pmin/pmax
+        ne = _BAND_MAX if band_p else 1
         lo = lax.pmin(jnp.min(x, axis=0), axis_name)
         hi = lax.pmax(jnp.max(x, axis=0), axis_name)
         lo, h = _geometry_from_bounds(lo, hi, grid)
-        khat_free = _far_kernel_hat(h, grid, p, dtype, poly=poly)
+        khat_free = _far_kernel_hat(h, grid, p, dtype, poly=poly,
+                                    near_excl=ne)
         khat_wall = (_wall_kernel_hat(lo[2], h, grid, p, dtype, h_floor,
-                                      poly=poly) if wall else None)
+                                      poly=poly, near_excl=ne)
+                     if wall else None)
+        if band_p:
+            band_free = _band_blocks_free(h, band_p, dtype, poly=poly)
+            band_wall = (_band_blocks_wall(lo[2], h, grid, band_p, dtype,
+                                           h_floor, poly=poly)
+                         if wall else None)
     ci, cid = _cell_indices(x, lo, h, grid)
     t3 = (x - lo) / h - ci.astype(dtype)
     W3 = _blob_weights(t3, _cheb_nodes(p))                   # (N_l, p³)
+    W6 = _blob_weights(t3, _cheb_nodes(band_p)) if band_p else None
 
     # sorted tile structure, built redundantly from one gather of the
     # global positions (O(N log N) sort + O(t²) adjacency — trivial next
@@ -1518,4 +1814,5 @@ def prepare_local(r_l, n_devices: int, axis_name: str, a=1.0, eta=1.0,
     return FarCtx(lo=lo, h=h, khat_free=khat_free, khat_wall=khat_wall,
                   b=b, ahat=ahat, cid=cid, W3=W3, self_diag=self_diag,
                   order=order, x_s=x_s, ci_s=ci_s, id_s=id_s, ah_s=ah_s,
-                  nbr=nbr, overflow=overflow)
+                  nbr=nbr, overflow=overflow, W6=W6, band_free=band_free,
+                  band_wall=band_wall)

@@ -147,7 +147,7 @@ def _farfield_apply_fn(cfg: SimulationConfig, radii):
     max_nbr = cfg.farfield_nbr_tiles if cfg.farfield_nbr_tiles > 0 else None
     kw = dict(a=cfg.a, eta=cfg.eta, wall=cfg.wall, grid=grid,
               p=cfg.farfield_p, max_nbr=max_nbr, h_floor=cfg.wall_h_floor,
-              radii=radii)
+              radii=radii, band_p=cfg.farfield_band_p)
     if cfg.box is not None:
         # pseudo-2D: doubly-periodic wall far field (cyclic xy convolution
         # with image-summed combined kernel lattices, images to depth

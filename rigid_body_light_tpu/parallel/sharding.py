@@ -360,7 +360,8 @@ def farfield_mobility_apply_local_fn(cfg: SimulationConfig, n_devices: int,
     grid = None if cfg.farfield_grid == "auto" else cfg.farfield_grid
     max_nbr = cfg.farfield_nbr_tiles if cfg.farfield_nbr_tiles > 0 else None
     kw = dict(a=cfg.a, eta=cfg.eta, wall=cfg.wall, grid=grid,
-              p=cfg.farfield_p, max_nbr=max_nbr, h_floor=cfg.wall_h_floor)
+              p=cfg.farfield_p, max_nbr=max_nbr, h_floor=cfg.wall_h_floor,
+              band_p=cfg.farfield_band_p)
     if cfg.box is not None:
         # pseudo-2D (doubly-periodic wall) distributed far field: the
         # image-summed cyclic lattices build replicated, the near sweep
@@ -566,7 +567,8 @@ def _local_mobility_multi_fn(cfg: SimulationConfig, n_devices: int,
         max_nbr = cfg.farfield_nbr_tiles if cfg.farfield_nbr_tiles > 0 else None
         kw = dict(a=cfg.a, eta=cfg.eta, wall=cfg.wall, grid=grid,
                   p=cfg.farfield_p, max_nbr=max_nbr,
-                  h_floor=cfg.wall_h_floor, radii_l=radii_l)
+                  h_floor=cfg.wall_h_floor, radii_l=radii_l,
+                  band_p=cfg.farfield_band_p)
 
         def apply_ff(F, r, ctx=None):
             return farfield.mobility_apply_local(

@@ -34,7 +34,14 @@ def main():
         (10240, 14.0, (2.5, 3.5)),
         (40960, 22.0, (2.5, 3.5, 4.5)),
         (102400, 30.0, (3.5,)),
+        # round 5: hunt the crossover the 10k-102k table ruled out — the
+        # balanced path's wave k-count grows ~N at fixed rc while the
+        # all-pairs sweep grows N² (and its VMEM packing tops out ~300k)
+        (204800, 38.0, (4.5,)),
+        (409600, 48.0, (5.5,)),
     ]
+    if len(sys.argv) > 1:  # one case per process (tunnel stability)
+        cases = [cases[int(sys.argv[1])]]
     for n, L, rcs in cases:
         r = jnp.asarray(rng.uniform(0, L, (n, 3)), jnp.float32)
         F = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)

@@ -53,15 +53,23 @@ def main():
         # scale headroom: 1M blobs on one chip (dense cells ≈ 750/supercell;
         # the blocked-SMEM neighbor stream makes the Pallas near sweep
         # feasible here — the whole-table prefetch layout could not fit).
-        # Far-only exact check is impossible at this size (the O(N²) ref
-        # sweep would need ~80 s/apply); accuracy rides the p=4 ladder
-        # validated at 205k.
-        (1048576, False, cube(1048576, 64.9), [(None, 4)]),
-        (1048576, True, slab(1048576), [((14, 14, 5), 4)]),  # 2.9 GiB K̂
+        # The all-pairs baseline CHAIN is skipped ("noref"): 10 chained
+        # exact N² sweeps at 1M is ~minutes of chip time in one execute
+        # RPC and crashed the TPU worker (round-5 log) — accuracy is
+        # still measured on-chip via the streamed row-block comparator.
+        (1048576, False, cube(1048576, 64.9), [(None, 4)], "noref"),
+        (1048576, True, slab(1048576), [((14, 14, 5), 4)], "noref"),
+        # band tier (round 5): p=6-class error at p=4 lattice cost —
+        # (grid, p, band_p) triples
+        (102400, True, slab(102400), [((10, 10, 5), 4, 6), ((10, 10, 5), 6)],
+         "noref"),
+        (102400, False, cube(102400, 30.0), [(None, 4, 6)], "noref"),
     ]
     if len(sys.argv) > 1:  # one case per process (tunnel stability)
         cases = [cases[int(sys.argv[1])]]
-    for n, wall, pos, variants in cases:
+    for case in cases:
+        n, wall, pos, variants = case[:4]
+        noref = len(case) > 4 and case[4] == "noref"
         r = jnp.asarray(pos, jnp.float32)
         F = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
         out = {"n_blobs": n, "wall": wall}
@@ -78,23 +86,26 @@ def main():
                                                          wall=wall))
             return jax.lax.fori_loop(0, REPS, body, F)
 
-        t0 = time.perf_counter()
-        u_ref = ap_chain(F)
-        _sync(u_ref)
-        out["allpairs_compile_s"] = round(time.perf_counter() - t0, 0)
-        t0 = time.perf_counter()
-        _sync(ap_chain(F))
-        out["allpairs_pallas_ms"] = round(
-            (time.perf_counter() - t0) / REPS * 1e3, 2)
-        print(json.dumps(out), flush=True)
-        time.sleep(5)
+        if not noref:
+            t0 = time.perf_counter()
+            u_ref = ap_chain(F)
+            _sync(u_ref)
+            out["allpairs_compile_s"] = round(time.perf_counter() - t0, 0)
+            t0 = time.perf_counter()
+            _sync(ap_chain(F))
+            out["allpairs_pallas_ms"] = round(
+                (time.perf_counter() - t0) / REPS * 1e3, 2)
+            print(json.dumps(out), flush=True)
+            time.sleep(5)
         u_ref1 = None
 
-        for grid, p in variants:
+        for variant in variants:
+            grid, p = variant[:2]
+            band_p = variant[2] if len(variant) > 2 else 0
             resolved = grid if grid is not None else farfield.auto_grid(
                 n, p, wall)
             rec = {"n_blobs": n, "wall": wall, "grid": grid, "p": p,
-                   "resolved_grid": resolved}
+                   "band_p": band_p, "resolved_grid": resolved}
 
             # ctx hoisted ONCE per chain — exactly how the production
             # solvers run it (saddle.hoist_positions binds a prepared
@@ -105,7 +116,7 @@ def main():
             t0 = time.perf_counter()
             ctx = jax.jit(functools.partial(
                 farfield.prepare, a=a, eta=eta, wall=wall, grid=grid,
-                p=p))(r)
+                p=p, band_p=band_p))(r)
             _sync(ctx.W3)
             rec["prepare_s"] = round(time.perf_counter() - t0, 1)
 
@@ -114,7 +125,7 @@ def main():
                 def body(_, v):
                     return _renorm(farfield.mobility_apply(
                         v, r, a=a, eta=eta, wall=wall, grid=grid, p=p,
-                        ctx=ctx))
+                        band_p=band_p, ctx=ctx))
                 return jax.lax.fori_loop(0, REPS, body, F)
 
             t0 = time.perf_counter()
@@ -136,7 +147,7 @@ def main():
             jax.clear_caches()
             u1 = jax.jit(functools.partial(
                 farfield.mobility_apply, r=r, a=a, eta=eta, wall=wall,
-                grid=grid, p=p))(F, ctx=ctx)
+                grid=grid, p=p, band_p=band_p))(F, ctx=ctx)
             if n <= 50000 and not wall:
                 if u_ref1 is None:
                     u_ref1 = jax.jit(functools.partial(

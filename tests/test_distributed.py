@@ -720,3 +720,29 @@ def test_distributed_ras_stochastic_step_runs():
     assert float(a1.residual) < 1e-5
     s2, _ = step(state, jax.random.key(3), F)
     assert np.array_equal(np.asarray(s1.X), np.asarray(s2.X))
+
+
+@pytest.mark.medium
+def test_distributed_farfield_band_tier_matches_single_device():
+    """Band tier (farfield_band_p) under shard_map: the high-order band
+    moments psum along with the FFT-tier moments, so the distributed
+    apply reproduces the single-device band operator to machine
+    precision (wall + polydisperse included)."""
+    from rigid_body_light_tpu.ops import farfield
+
+    _, _, _, mesh = _setup()
+    rng = np.random.default_rng(9)
+    n = 800
+    r = jnp.asarray(rng.uniform(0, 16, (n, 3)) + [0, 0, 1.0], jnp.float64)
+    F = jnp.asarray(rng.standard_normal((n, 3)), jnp.float64)
+    radii = jnp.asarray(rng.choice([0.7, 1.2], n), jnp.float64)
+    kw = dict(a=0.9, eta=1.3, grid=(4, 4, 2), p=3, band_p=4, wall=True)
+    U_ref = farfield.mobility_apply(F, r, radii=radii, **kw)
+
+    def local(F_l, r_l, a_l):
+        return farfield.mobility_apply_local(F_l, r_l, 8, AX, radii_l=a_l,
+                                             **kw)
+
+    U = shard_map(local, mesh=mesh, in_specs=(P(AX), P(AX), P(AX)),
+                  out_specs=P(AX), check_vma=False)(F, r, radii)
+    np.testing.assert_allclose(np.asarray(U), np.asarray(U_ref), atol=1e-13)

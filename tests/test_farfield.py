@@ -475,3 +475,133 @@ def test_pin_geometry_reuses_lattices_across_nearby_positions(cloud):
     U_ref = rpy.mobility_apply(F64, r2, a=0.9, eta=1.3, wall=False)
     rel = float(jnp.abs(U_pin - U_ref).max() / jnp.abs(U_ref).max())
     assert rel < 3e-3
+
+
+# ------------------------------------------------------- band tier (round 5)
+# farfield_band_p: cell offsets with ∞-norm in [2, 3] re-evaluated at high
+# order as a direct banded block convolution while the FFT tier is masked
+# to offsets ≥ 4 — p=6-class operator error at p=4 lattice cost
+# (ops/farfield.py band-tier section).
+
+
+def test_band_validation():
+    from rigid_body_light_tpu import SimulationConfig
+
+    with pytest.raises(ValueError, match="band_p"):
+        farfield.mobility_apply(jnp.zeros((8, 3)), jnp.zeros((8, 3)),
+                                grid=4, p=3, band_p=2)
+    with pytest.raises(ValueError, match="pseudo-2D"):
+        farfield.prepare(jnp.ones((8, 3)), wall=True, grid=(3, 3, 2), p=3,
+                         band_p=4, box=(10.0, 10.0))
+    # config plumbing: the two-tier accuracy estimate feeds the
+    # tolerance-mismatch warning (p=4+band6 ≈ p=6-class → 1e-3 is fine)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        SimulationConfig(farfield_grid=4, farfield_p=4, farfield_band_p=6,
+                         gmres_tol=1e-3)
+    with pytest.warns(UserWarning, match="operator error"):
+        SimulationConfig(farfield_grid=4, farfield_p=4, farfield_band_p=6,
+                         gmres_tol=1e-5)
+
+
+def test_band_tier_tightens_free(cloud):
+    """The p=3 operator error is dominated by the closest non-adjacent
+    cells; re-evaluating offsets 2..3 at band_p=5 must cut it several-fold
+    (measured: ~2e-2 → ~1.5e-3)."""
+    r, F = cloud
+    r64 = jnp.asarray(r, jnp.float64)
+    F64 = jnp.asarray(F[0], jnp.float64)
+    U_ref = rpy.mobility_apply(F64, r64, a=0.9, eta=1.3, wall=False)
+    kw = dict(a=0.9, eta=1.3, grid=5, p=3)
+    scale = float(jnp.abs(U_ref).max())
+    e_base = float(jnp.abs(farfield.mobility_apply(F64, r64, **kw)
+                           - U_ref).max()) / scale
+    e_band = float(jnp.abs(farfield.mobility_apply(F64, r64, band_p=5, **kw)
+                           - U_ref).max()) / scale
+    assert e_band < e_base / 4
+    assert e_band < 3e-3
+
+
+def test_band_symmetry_multi_rhs_and_ctx(cloud):
+    """Band-tier operator stays symmetric (shared P-basis both sides),
+    multi-RHS rides the same moment batch, and the prepared ctx is the
+    identical computation hoisted."""
+    r, F = cloud
+    r64 = jnp.asarray(r, jnp.float64)
+    F1 = jnp.asarray(F[0], jnp.float64)
+    F2 = jnp.asarray(F[1], jnp.float64)
+    kw = dict(a=0.9, eta=1.3, grid=5, p=3, band_p=4)
+    U1 = farfield.mobility_apply(F1, r64, **kw)
+    U2 = farfield.mobility_apply(F2, r64, **kw)
+    s1, s2 = float(jnp.vdot(F2, U1)), float(jnp.vdot(F1, U2))
+    assert abs(s1 - s2) / abs(s1) < 1e-12
+    Um = farfield.mobility_apply(jnp.stack([F1, F2]), r64, **kw)
+    assert float(jnp.abs(Um[0] - U1).max()) < 1e-13
+    assert float(jnp.abs(Um[1] - U2).max()) < 1e-13
+    ctx = farfield.prepare(r64, **kw)
+    U_ctx = farfield.mobility_apply(F1, r64, ctx=ctx, **kw)
+    assert float(jnp.abs(U_ctx - U1).max()) == 0.0
+
+
+@pytest.mark.medium
+def test_band_wall_matches_exact_sweep():
+    """Wall band tier: p=4+band6 reaches p=6-class accuracy (vs p=4's
+    5e-3) against the exact Swan–Brady sweep."""
+    rng = np.random.default_rng(11)
+    n = 1200
+    r = jnp.asarray(np.column_stack([
+        rng.uniform(0, 30, n), rng.uniform(0, 30, n),
+        rng.uniform(0.9, 12.0, n)]), jnp.float64)
+    F = jnp.asarray(rng.standard_normal((n, 3)), jnp.float64)
+    U_ref = rpy.mobility_apply(F, r, a=0.9, eta=1.3, wall=True)
+    U = farfield.mobility_apply(F, r, a=0.9, eta=1.3, wall=True,
+                                grid=(5, 5, 2), p=4, band_p=6)
+    err = float(jnp.abs(U - U_ref).max() / jnp.abs(U_ref).max())
+    assert err < 8e-4
+
+
+@pytest.mark.medium
+def test_band_polydisperse_wall_matches_exact_sweep():
+    """Polydisperse wall band tier (radius-split band blocks ride the
+    same moment channels as the FFT tier)."""
+    rng = np.random.default_rng(5)
+    n = 1000
+    r = jnp.asarray(np.column_stack([
+        rng.uniform(0, 28, n), rng.uniform(0, 28, n),
+        rng.uniform(1.2, 12.0, n)]), jnp.float64)
+    F = jnp.asarray(rng.standard_normal((n, 3)), jnp.float64)
+    radii = jnp.asarray(rng.choice([0.7, 1.15], n), jnp.float64)
+    U_ref = rpy.mobility_apply(F, r, a=0.9, eta=1.3, wall=True, radii=radii)
+    e4 = float(jnp.abs(farfield.mobility_apply(
+        F, r, a=0.9, eta=1.3, wall=True, grid=(5, 5, 2), p=4, radii=radii)
+        - U_ref).max() / jnp.abs(U_ref).max())
+    e_band = float(jnp.abs(farfield.mobility_apply(
+        F, r, a=0.9, eta=1.3, wall=True, grid=(5, 5, 2), p=4, band_p=6,
+        radii=radii) - U_ref).max() / jnp.abs(U_ref).max())
+    assert e_band < e4 / 3
+    assert e_band < 1.5e-3
+
+
+@pytest.mark.medium
+def test_band_config_dispatch_matches_direct():
+    """cfg.farfield_band_p routes through saddle.mobility_apply_fn to the
+    same operator as the direct band call (machine-identical)."""
+    from rigid_body_light_tpu import SimulationConfig
+    from rigid_body_light_tpu.ops import saddle as sad
+
+    rng = np.random.default_rng(23)
+    n = 900
+    r = jnp.asarray(np.column_stack([
+        rng.uniform(0, 25, n), rng.uniform(0, 25, n),
+        rng.uniform(0.9, 8.0, n)]), jnp.float64)
+    F = jnp.asarray(rng.standard_normal((n, 3)), jnp.float64)
+    cfg = SimulationConfig(a=0.9, eta=1.3, wall=True, dtype=jnp.float64,
+                           farfield_grid=(4, 4, 2), farfield_p=4,
+                           farfield_band_p=5, gmres_tol=1e-2,
+                           max_step_residual=1e-1)
+    U = sad.mobility_apply_fn(cfg)(F, r)
+    U_direct = farfield.mobility_apply(F, r, a=0.9, eta=1.3, wall=True,
+                                       grid=(4, 4, 2), p=4, band_p=5)
+    assert float(jnp.abs(U - U_direct).max()) == 0.0
