@@ -252,6 +252,12 @@ def main():
         "unit": "steps/s",
         "vs_baseline": (round(d["steps_per_s"] / CPU_REFERENCE_STEPS_PER_SEC,
                               1) if d.get("steps_per_s") else None),
+        # vs_baseline divides by a COST MODEL of the single-core CPU
+        # reference (BENCH_NOTES "End-to-end anchor"): the 768-blob
+        # measured step overpredicts that model by 1.6x, so the
+        # multiplier carries ~1.6x uncertainty either way
+        "vs_baseline_note": "cost-model denominator, ~1.6x uncertainty "
+                            "(BENCH_NOTES end-to-end anchor)",
         # the deep-settled continuation (real checkpoint, RAS PC) — the
         # steady-state number for dense near-wall suspensions
         "settled_steps_per_s": s.get("steps_per_s"),

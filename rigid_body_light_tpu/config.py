@@ -65,7 +65,7 @@ class SimulationConfig:
     farfield_band_p: int = 0  # two-tier mixed-order far field (round 5): 0 = off; ≥ 3 adds a high-order BAND tier — cell offsets with ∞-norm in [2, 3] evaluated at band_p as a direct banded block convolution (a few hundred MXU matmuls, storage ∝ the 316-offset band only, no p⁶ spectrum) while the FFT tier is masked to offsets ≥ 4 where low farfield_p is already accurate (measured interpolation error by offset: p=4 → 6e-3 at 2, 2.3e-4 at ≥4; band_p=6 at 2 → 1.7e-4).  band_p=6 over farfield_p=4 ≈ p=6-class operator error at p=4 lattice cost.  Open/wall domains; does not compose with the pseudo-2D 2-D-box far field.
     farfield_nbr_tiles: int = 0  # static neighbor-tile list width for the near sweep; 0 = auto (overflow NaN-poisons the step, caught by the stepper's rejection guards — raise for extreme density contrast)
     block_diag_pc: bool = False
-    pc_mode: str = ""  # "", "diag", "block", "block_free", "ras" — "" derives from block_diag_pc.  "ras" = block_free static core + per-solve restricted-additive-Schwarz halo coupling (ops/saddle.build_pc_ras): the dense-settled-suspension PC — captures inter-body near-contact coupling via per-body overlapping clusters solved exactly (Woodbury around the static core), with a consistent coupled (6B)² body matrix.  Monodisperse; works single-device AND distributed (gathered-halo Woodbury clusters + replicated coupled Ñ, round 5); dispersed suspensions see block_free behavior (empty halos reduce to it exactly).
+    pc_mode: str = ""  # "", "diag", "block", "block_free", "ras" — "" derives from block_diag_pc.  "ras" = block_free static core + per-solve restricted-additive-Schwarz halo coupling (ops/saddle.build_pc_ras): the dense-settled-suspension PC — captures inter-body near-contact coupling via per-body overlapping clusters solved exactly (Woodbury around the static core), with a consistent coupled (6B)² body matrix.  Works single-device AND distributed (gathered-halo Woodbury clusters + replicated coupled Ñ, round 5); mixtures too (multi.build_pc_ras_multi — polydisperse cross-species halos, single-device; distributed mixtures keep the static per-species PC); dispersed suspensions see block_free behavior (empty halos reduce to it exactly).
     pc_halo: float = 4.0  # "ras": halo cutoff — other-body blobs within this many radii of a body's nearest blob join its cluster
     pc_halo_max: int = 64  # "ras": fixed cluster-halo width H (top-H closest within pc_halo; more near blobs than H degrades the PC gracefully, never correctness).  0 disables the coupling (pure block_free).
     pc_refresh: int = 1  # rebuild the preconditioner every k steps in run_bd (k>1 = lagged PC)

@@ -23,6 +23,7 @@ from typing import NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rigid_body_light_tpu.config import SimulationConfig
 from rigid_body_light_tpu.ops import gmres as gmres_mod
@@ -152,6 +153,202 @@ def build_pc_multi(opses, cfg: SimulationConfig, species_a=None):
     )
 
 
+class RasMultiPC(NamedTuple):
+    """Mixture RAS halo-coupling preconditioner (round 5) — the
+    polydisperse generalization of ``saddle.build_pc_ras``.
+
+    Same construction per species as the single-species PC (overlapping
+    per-body clusters solved exactly via a Woodbury split around each
+    species' static body-frame core), except halo blobs are drawn from
+    ALL species (polydisperse Zuk/wall-a_eff coupling blocks) and Ñ is
+    the consistent coupled matrix over every body of every species.
+    ``apply_pc_multi`` dispatches on this type."""
+
+    pcs: Tuple                 # per-species static PCData (block_free core)
+    halo_idx: Tuple            # per-species (B_s, H_s) GLOBAL blob ids
+    halo_w: Tuple              # per-species (B_s, 3n_s, 3H_s) W = A⁻¹C
+    halo_sinv: Tuple           # per-species (B_s, 3H_s, 3H_s) Schur⁻¹
+    n_full: jax.Array          # (6B_tot, 6B_tot) coupled (KᵀM̃⁻¹K)⁻¹
+
+
+def build_pc_ras_multi(opses, cfg: SimulationConfig, static_pcs,
+                       species_a) -> "RasMultiPC":
+    """Attach RAS halo coupling across a mixture (single-device).
+
+    Mirrors ``saddle.build_pc_ras`` (see its docstring for the design and
+    the measured SPD-safety/consistency constraints) with three mixture
+    deltas: (a) each body's halo candidates span the CONCATENATED blob
+    array of all species, so cross-species near contacts are captured;
+    (b) the coupling/halo blocks are polydisperse
+    (``rpy.cross_mobility_blocks(radii_i=…, radii_j=…)`` — Zuk RPY +
+    wall a_eff); (c) the consistent Ñ couples all 6·B_tot body
+    coordinates in ``_flatten``'s species-major ordering.  Empty halos
+    reduce each species to its static block_free PC exactly.
+
+    Falls back to ``static_pcs`` when there is one body total or
+    ``pc_halo_max == 0``.  Distributed mixtures keep the static
+    per-species PC (the solve hook only attaches RAS when
+    ``axis_name is None``)."""
+    from jax import lax
+
+    from rigid_body_light_tpu.ops import rpy
+
+    Bs = [o.offsets.shape[0] for o in opses]
+    ns = [o.offsets.shape[1] for o in opses]
+    counts = _blob_counts(opses)
+    B_tot, N_tot = sum(Bs), sum(counts)
+    Hs = [min(cfg.pc_halo_max, N_tot - n) for n in ns]
+    if B_tot == 1 or cfg.pc_halo_max <= 0 or min(Hs) <= 0:
+        return static_pcs
+    pos = concat_positions(opses)                          # (N_tot, 3)
+    dtype = pos.dtype
+    radii_all = jnp.concatenate([
+        jnp.full((c,), a_s, dtype) for c, a_s in zip(counts, species_a)])
+    body_of = jnp.concatenate([
+        jnp.repeat(boff + jnp.arange(B), n)
+        for boff, B, n in zip(np.cumsum([0] + Bs[:-1]), Bs, ns)])
+    wall = cfg.wall
+    b_all = rpy.damping_factors(pos, cfg.a, radii=radii_all) if wall else None
+    cutoff = jnp.asarray(cfg.pc_halo * cfg.a, dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+
+    halo_idx_t, halo_w_t, halo_sinv_t = [], [], []
+    boffs = np.cumsum([0] + Bs[:-1])
+    coffs = np.cumsum([0] + list(counts[:-1]))
+    for s, o in enumerate(opses):
+        B_l, n, H = Bs[s], ns[s], Hs[s]
+        # ---- halo selection: coarse top-2H by body-center distance,
+        # refined by exact distance to the body's nearest blob
+        X = o.positions[:, 0, :] - o.offsets[:, 0, :]      # (B_l, 3)
+        d_c = jnp.linalg.norm(pos[None, :, :] - X[:, None, :], axis=-1)
+        own = body_of[None, :] == (boffs[s] + jnp.arange(B_l))[:, None]
+        d_c = jnp.where(own, jnp.inf, d_c)                 # (B_l, N_tot)
+        K2 = min(2 * H, N_tot - n)
+        _, cand = lax.top_k(-d_c, K2)                      # (B_l, K2)
+        cand_pos = pos[cand.reshape(-1)].reshape(B_l, K2, 3)
+        d_exact = jnp.min(jnp.linalg.norm(
+            o.positions[:, :, None, :] - cand_pos[:, None, :, :], axis=-1),
+            axis=1)                                        # (B_l, K2)
+        neg_d, sel = lax.top_k(-d_exact, H)
+        halo_idx = jnp.take_along_axis(cand, sel, axis=1)  # (B_l, H) global
+        mask = (-neg_d) < cutoff
+        halo_pos = pos[halo_idx.reshape(-1)].reshape(B_l, H, 3)
+        halo_rad = radii_all[halo_idx.reshape(-1)].reshape(B_l, H)
+        body_rad = jnp.full((B_l, n), species_a[s], dtype)
+
+        # ---- polydisperse coupling C and halo block D (masked columns →
+        # zero: an empty halo reduces to the static block_free PC exactly)
+        mf = mask.astype(dtype)
+        Cb = rpy.cross_mobility_blocks(
+            o.positions, halo_pos, cfg.a, cfg.eta, wall=wall,
+            h_floor=cfg.wall_h_floor, radii_i=body_rad, radii_j=halo_rad)
+        Db = rpy.cross_mobility_blocks(
+            halo_pos, halo_pos, cfg.a, cfg.eta, wall=wall,
+            h_floor=cfg.wall_h_floor, radii_i=halo_rad, radii_j=halo_rad)
+        if wall:
+            b_body = rpy.damping_factors(
+                o.flat_positions, cfg.a,
+                radii=body_rad.reshape(-1)).reshape(B_l, n)
+            b_halo = b_all[halo_idx.reshape(-1)].reshape(B_l, H)
+            Cb = Cb * (b_body[:, :, None]
+                       * b_halo[:, None, :])[..., None, None]
+            Db = Db * (b_halo[:, :, None]
+                       * b_halo[:, None, :])[..., None, None]
+        Cb = Cb * mf[:, None, :, None, None]
+        Db = Db * (mf[:, :, None] * mf[:, None, :])[..., None, None]
+        selfb = rpy.self_mobility_blocks(
+            halo_pos.reshape(-1, 3), cfg.a, cfg.eta, wall,
+            h_floor=cfg.wall_h_floor,
+            radii=halo_rad.reshape(-1)).reshape(B_l, H, 3, 3)
+        if wall:
+            selfb = selfb * (b_halo * b_halo)[:, :, None, None]
+        diag_blocks = jnp.where(mask[:, :, None, None], selfb, eye3)
+        hh = jnp.arange(H)
+        Db = Db.at[:, hh, hh].set(diag_blocks)
+        C = Cb.transpose(0, 1, 3, 2, 4).reshape(B_l, 3 * n, 3 * H)
+        D = Db.transpose(0, 1, 3, 2, 4).reshape(B_l, 3 * H, 3 * H)
+
+        # ---- Woodbury factors around this species' static core
+        minv_ref = static_pcs[s].minv_ref
+        W = saddle_mod._ras_core_apply(
+            minv_ref, o.rot,
+            C.reshape(B_l, n, 3, 3 * H).transpose(3, 0, 1, 2)
+        ).transpose(1, 2, 3, 0).reshape(B_l, 3 * n, 3 * H)
+        S = D - jnp.einsum("bph,bpg->bhg", C, W,
+                           precision=saddle_mod._RAS_PRECISION)
+        halo_idx_t.append(halo_idx)
+        halo_w_t.append(W)
+        halo_sinv_t.append(saddle_mod._ns_inverse(S, saddle_mod._NS_ITERS_S))
+
+    mpc = RasMultiPC(pcs=tuple(static_pcs), halo_idx=tuple(halo_idx_t),
+                     halo_w=tuple(halo_w_t), halo_sinv=tuple(halo_sinv_t),
+                     n_full=None)
+
+    # ---- consistent coupled Ñ = (Kᵀ M̃⁻¹ K)⁻¹ over ALL bodies of all
+    # species, in _flatten's species-major (body, component) ordering:
+    # one batched RAS apply over the 6·B_tot K columns (see
+    # saddle.build_pc_ras for the chunked variant if this ever outgrows
+    # memory — mixtures at that scale run the far-field backend anyway)
+    cols = jnp.zeros((B_tot, 6, N_tot, 3), dtype)
+    for s, o in enumerate(opses):
+        B_l, n = Bs[s], ns[s]
+        Kb = saddle_mod.body_K_blocks(o.offsets)           # (B_l, n, 3, 6)
+        sub = jnp.zeros((B_l, 6, B_l, n, 3), dtype)
+        idx = jnp.arange(B_l)
+        sub = sub.at[idx, :, idx].set(Kb.transpose(0, 3, 1, 2))
+        cols = lax.dynamic_update_slice(
+            cols, sub.reshape(B_l, 6, B_l * n, 3),
+            (int(boffs[s]), 0, int(coffs[s]), 0))
+    y = _inv_m_ras_multi(mpc, cols.reshape(6 * B_tot, N_tot, 3), opses)
+    rows = []
+    for s, o in enumerate(opses):
+        B_l, n = Bs[s], ns[s]
+        y_s = y[:, int(coffs[s]):int(coffs[s]) + B_l * n, :]
+        Kb = saddle_mod.body_K_blocks(o.offsets)
+        rows.append(jnp.einsum(
+            "bnif,cbni->cbf", Kb, y_s.reshape(-1, B_l, n, 3),
+            precision=saddle_mod._RAS_PRECISION).reshape(6 * B_tot, 6 * B_l))
+    ninv = jnp.concatenate(rows, axis=1).T                 # [p,q]=KₚᵀM̃⁻¹K_q
+    n_full = saddle_mod._ns_inverse(ninv, saddle_mod._NS_ITERS_N)
+    return mpc._replace(n_full=n_full)
+
+
+def _inv_m_ras_multi(mpc: RasMultiPC, v, opses):
+    """Mixture M̃⁻¹·v: per-species RAS Woodbury rows, halo values read
+    from the CONCATENATED vector (clusters cross species).
+    v (..., N_tot, 3) → (..., N_tot, 3)."""
+    parts = []
+    start = 0
+    for s, o in enumerate(opses):
+        c = o.offsets.shape[0] * o.offsets.shape[1]
+        parts.append(saddle_mod._ras_apply(
+            v[..., start:start + c, :], mpc.pcs[s].minv_ref, o.rot,
+            mpc.halo_idx[s], mpc.halo_w[s], mpc.halo_sinv[s], v_full=v))
+        start += c
+    return jnp.concatenate(parts, axis=-2)
+
+
+def _apply_pc_ras_multi(mpc: RasMultiPC, slip, Fs, opses,
+                        cfg: SimulationConfig):
+    """Coupled mixture saddle PC (same algebra as ``saddle.apply_pc``):
+    (slip, Fs) → (λ, Us) with the RAS M̃⁻¹ and the coupled Ñ."""
+    slip = slip.reshape(-1, 3)
+    im = _inv_m_ras_multi(mpc, slip, opses)
+    rhs = jnp.concatenate([
+        (-F - kin.KT_dot(p.reshape(o.offsets.shape), o.offsets)).reshape(-1)
+        for F, p, o in zip(Fs, split_blobs(im, opses), opses)])
+    U_all = mpc.n_full @ rhs
+    Us, start = [], 0
+    for o in opses:
+        b = o.offsets.shape[0]
+        Us.append(U_all[start:start + 6 * b].reshape(b, 6))
+        start += 6 * b
+    Us = tuple(Us)
+    lam = _inv_m_ras_multi(mpc, slip + K_dot_multi(Us, opses), opses)
+    lam = jnp.asarray(cfg.m_scale, lam.dtype) * lam
+    return lam.reshape(-1, 3), Us
+
+
 def make_noise_preconditioner_multi(mgeom: MultiGeometry, a, eta, dtype=jnp.float32):
     """Per-species body-frame noise factors — mixture analogue of
     :func:`rigid_body_light_tpu.ops.lanczos.make_noise_preconditioner`.
@@ -232,6 +429,8 @@ def m_half_w_precond_multi(mob_apply_multi, opses, npcs, keys,
 
 
 def apply_pc_multi(pcs, slip, Fs, opses, cfg: SimulationConfig):
+    if isinstance(pcs, RasMultiPC):
+        return _apply_pc_ras_multi(pcs, slip, Fs, opses, cfg)
     parts = split_blobs(slip.reshape(-1, 3), opses)
     lams, Us = [], []
     for pc, p, F, o in zip(pcs, parts, Fs, opses):
@@ -300,6 +499,15 @@ def solve_saddle_multi(
         slip = jnp.zeros((n_total, 3), dtype)
     if pcs is None:
         pcs = build_pc_multi(opses, cfg, species_a=mgeom.species_a(cfg))
+    if (cfg.pc_mode == "ras" and axis_name is None
+            and not isinstance(pcs, RasMultiPC)):
+        # attach the mixture RAS halo coupling at THIS solve's geometry
+        # (the per-species static tier arrives prebuilt from the scan
+        # drivers, exactly like the single-species hook in
+        # solvers.solve_saddle).  Distributed mixtures keep the static
+        # per-species PC — the coupled Ñ gather is single-device for now.
+        pcs = build_pc_ras_multi(opses, cfg, static_pcs=pcs,
+                                 species_a=mgeom.species_a(cfg))
 
     def pc_flat(s, fs):
         lam, Us = apply_pc_multi(pcs, s, fs, opses, cfg)

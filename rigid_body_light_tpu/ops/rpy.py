@@ -797,7 +797,7 @@ def mobility_matrix(r, a=1.0, eta=1.0, wall=False, h_floor=WALL_H_FLOOR,
 
 
 def cross_mobility_blocks(ri, rj, a=1.0, eta=1.0, wall=False,
-                          h_floor=WALL_H_FLOOR):
+                          h_floor=WALL_H_FLOOR, radii_i=None, radii_j=None):
     """Pair mobility blocks between two position sets, (..., P, Q, 3, 3).
 
     Same physics/normalization as :func:`mobility_matrix` (free-space RPY
@@ -806,27 +806,47 @@ def cross_mobility_blocks(ri, rj, a=1.0, eta=1.0, wall=False,
     pairs get the r→0 overlap limit α→4/3, β·d⊗d→0 — callers that need
     self terms overwrite them, e.g. with :func:`self_mobility_blocks`)
     and no damping sandwich (apply ``damping_factors`` externally).
-    Monodisperse.  Used by the RAS preconditioner's halo coupling blocks
-    (:func:`rigid_body_light_tpu.ops.saddle.build_pc_ras`).
+    radii_i / radii_j: optional (..., P) / (..., Q) physical radii —
+    polydisperse Zuk RPY + wall a_eff = √(aᵢaⱼ) scaling, exactly
+    :func:`_dense_pair_blocks`' poly branch (give BOTH or neither).
+    Used by the RAS preconditioner's halo coupling blocks
+    (:func:`rigid_body_light_tpu.ops.saddle.build_pc_ras` and the mixture
+    generalization in ``multi.build_pc_ras_multi``).
     """
     ri = jnp.asarray(ri)
     rj = jnp.asarray(rj)
     dtype = ri.dtype
     inv_a = jnp.asarray(1.0 / a, dtype)
+    poly = radii_i is not None
     d = (ri[..., :, None, :] - rj[..., None, :, :]) * inv_a  # (..., P, Q, 3)
     r2 = jnp.sum(d * d, axis=-1)
-    alpha, beta = _free_coeffs(r2, dtype)
+    if poly:
+        ahat_i = jnp.asarray(radii_i, dtype) * inv_a
+        ahat_j = jnp.asarray(radii_j, dtype) * inv_a
+        alpha, beta = _free_coeffs_poly(r2, ahat_i[..., :, None],
+                                        ahat_j[..., None, :], dtype)
+    else:
+        alpha, beta = _free_coeffs(r2, dtype)
     eye3 = jnp.eye(3, dtype=dtype)
     M = (alpha[..., None, None] * eye3
          + beta[..., None, None] * d[..., :, None] * d[..., None, :])
     if wall:
-        zi = ri[..., :, None, 2] * inv_a
-        zj = rj[..., None, :, 2] * inv_a
+        if poly:
+            inv_ae = 1.0 / jnp.sqrt(ahat_i[..., :, None]
+                                    * ahat_j[..., None, :])
+            zi = ri[..., :, None, 2] * inv_a * inv_ae
+            zj = rj[..., None, :, 2] * inv_a * inv_ae
+        else:
+            zi = ri[..., :, None, 2] * inv_a
+            zj = rj[..., None, :, 2] * inv_a
         if h_floor > 0:
             zi = jnp.maximum(zi, h_floor)
             zj = jnp.maximum(zj, h_floor)
-        d_img = d.at[..., 2].set(zi + zj)
+        d_img = ((d * inv_ae[..., None]) if poly else d).at[..., 2].set(
+            zi + zj)
         f1, f2, f3, f4, f5, invR = _wall_coeffs(d_img, zj)
+        if poly:
+            f1, f2, f3, f4, f5 = (f * inv_ae for f in (f1, f2, f3, f4, f5))
         e = d_img * invR[..., None]
         zhat = jnp.zeros((3,), dtype).at[2].set(1.0)
         M = (M + f1[..., None, None] * eye3

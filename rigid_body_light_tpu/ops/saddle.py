@@ -628,7 +628,9 @@ def build_pc_ras(ops: GeometryOps, cfg: SimulationConfig,
     iters).  Generalizes reference ``apply_PC`` (``c_rigid_obj.cpp:589-616``)
     to coupled clusters.
 
-    Monodisperse.  Falls back to the bare static PC when B == 1 or
+    Monodisperse (the mixture/polydisperse generalization lives in
+    ``multi.build_pc_ras_multi`` — cross-species halos, Zuk coupling
+    blocks).  Falls back to the bare static PC when B == 1 or
     pc_halo_max == 0.
 
     axis_name: distributed mode — ``ops`` is the LOCAL body shard inside

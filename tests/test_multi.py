@@ -207,3 +207,97 @@ def test_run_bd_multi_trajectory():
     # bodies actually moved (12 steps at kBT=0.3 — thermal motion dominates
     # the weak pull, so no directional assertion at this trajectory length)
     assert not np.allclose(np.asarray(final[1].X), np.asarray(states[1].X))
+
+
+# ---------------------------------------------------------------------------
+# mixture RAS preconditioner (polydisperse generalization of build_pc_ras —
+# the settled-suspension PC of c_rigid_obj.cpp:589-616, extended to mixtures)
+# ---------------------------------------------------------------------------
+
+def _dense_wall_mixture():
+    """6 small (12-blob) + 3 large (42-blob) bodies packed near a wall —
+    the cross-species near-contact regime the mixture RAS halo is for."""
+    _, cfg12 = load_structure("shell_N_12")
+    _, cfg42 = load_structure("shell_N_42")
+    mgeom = multi.MultiGeometry.create([cfg12, cfg42], dtype=jnp.float64)
+    X12 = np.array([[0, 0, 1.2], [1.4, 0, 1.2], [0, 1.4, 1.1],
+                    [1.4, 1.4, 1.25], [0.7, 0.7, 2.3], [2.1, 0.7, 1.3]])
+    X42 = np.array([[0.7, -1.3, 1.4], [-1.3, 0.7, 1.45], [2.8, 2.2, 1.5]])
+    s12 = make_state(X12, np.tile([1.0, 0, 0, 0], (6, 1)), dtype=jnp.float64)
+    s42 = make_state(X42, np.tile([1.0, 0, 0, 0], (3, 1)), dtype=jnp.float64)
+    return mgeom, (s12, s42)
+
+
+def test_mixture_ras_pc_cuts_iterations_and_matches_block_free():
+    """Dense near-wall mixture: RAS must converge in strictly fewer GMRES
+    iterations than block_free while producing the SAME solution (a PC
+    changes convergence, never the answer)."""
+    mgeom, states = _dense_wall_mixture()
+    rng = np.random.default_rng(7)
+    F12 = jnp.asarray(rng.standard_normal((6, 6)))
+    F42 = jnp.asarray(rng.standard_normal((3, 6)))
+    common = dict(dtype=jnp.float64, a=0.24, wall=True, gmres_tol=1e-9,
+                  gmres_maxiter=300)
+    res_bf = multi.solve_saddle_multi(
+        mgeom, SimulationConfig(pc_mode="block_free", **common),
+        states, None, (F12, F42))
+    res_ras = multi.solve_saddle_multi(
+        mgeom, SimulationConfig(pc_mode="ras", **common),
+        states, None, (F12, F42))
+    assert float(res_bf.residual) < 1e-8 and float(res_ras.residual) < 1e-8
+    # measured on this geometry: 54 -> 19 iterations
+    assert int(res_ras.iters) < int(res_bf.iters) - 10, (
+        int(res_ras.iters), int(res_bf.iters))
+    for u_r, u_b in zip(res_ras.Us, res_bf.Us):
+        np.testing.assert_allclose(np.asarray(u_r), np.asarray(u_b),
+                                   atol=1e-7)
+    np.testing.assert_allclose(np.asarray(res_ras.lam),
+                               np.asarray(res_bf.lam), atol=1e-6)
+
+
+def test_mixture_ras_dispersed_reduces_to_block_free():
+    """Bodies farther apart than the halo cutoff: all halo slots mask out
+    and the mixture RAS solve IS the block_free solve (same iters)."""
+    _, cfg12 = load_structure("shell_N_12")
+    _, cfg42 = load_structure("shell_N_42")
+    mgeom = multi.MultiGeometry.create([cfg12, cfg42], dtype=jnp.float64)
+    s1 = make_state([[0, 0, 3.0], [20.0, 0, 3.0]],
+                    np.tile([1.0, 0, 0, 0], (2, 1)), dtype=jnp.float64)
+    s2 = make_state([[0, 20.0, 3.0]], [[1.0, 0, 0, 0]], dtype=jnp.float64)
+    rng = np.random.default_rng(3)
+    F1 = jnp.asarray(rng.standard_normal((2, 6)))
+    F2 = jnp.asarray(rng.standard_normal((1, 6)))
+    iters, Us = {}, {}
+    for pc in ("block_free", "ras"):
+        cfg = SimulationConfig(dtype=jnp.float64, a=0.24, wall=True,
+                               gmres_tol=1e-9, gmres_maxiter=300, pc_mode=pc,
+                               pc_halo=2.0, pc_halo_max=8)
+        r = multi.solve_saddle_multi(mgeom, cfg, (s1, s2), None, (F1, F2))
+        iters[pc], Us[pc] = int(r.iters), np.asarray(r.Us[0])
+    assert iters["ras"] == iters["block_free"]
+    np.testing.assert_allclose(Us["ras"], Us["block_free"], atol=1e-9)
+
+
+def test_single_species_mixture_ras_matches_plain_ras():
+    """A 1-species mixture under pc_mode='ras' must reproduce the
+    single-species RAS path exactly (same iteration count, same answer)."""
+    _, cfgb = load_structure("shell_N_12")
+    X = np.array([[0, 0, 1.1], [1.3, 0, 1.15], [0, 1.3, 1.1],
+                  [1.3, 1.3, 1.2]])
+    Q = np.tile([1.0, 0, 0, 0], (4, 1))
+    cfg = SimulationConfig(dtype=jnp.float64, a=0.24, wall=True,
+                           gmres_tol=1e-9, gmres_maxiter=300, pc_mode="ras",
+                           pc_halo=4.0, pc_halo_max=24)
+    state = make_state(X, Q, dtype=jnp.float64)
+    rng = np.random.default_rng(2)
+    F = jnp.asarray(rng.standard_normal((4, 6)))
+    mgeom = multi.MultiGeometry.create([cfgb], dtype=jnp.float64)
+    res_m = multi.solve_saddle_multi(mgeom, cfg, (state,), None, (F,))
+    geom = kin.make_ref_geometry(cfgb, dtype=jnp.float64)
+    ops = sad.geometry_ops(geom, state)
+    res_s = solvers.solve_saddle(ops, cfg, jnp.zeros((48, 3)), F)
+    assert int(res_m.iters) == int(res_s.iters)
+    np.testing.assert_allclose(np.asarray(res_m.Us[0]),
+                               np.asarray(res_s.U), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(res_m.lam),
+                               np.asarray(res_s.lam), atol=1e-7)

@@ -172,3 +172,28 @@ def test_mixture_with_species_radii_runs_and_reduces():
     assert float(res.residual) < 1e-6
     for s in ss:
         assert np.isfinite(np.asarray(s.X)).all()
+
+
+@pytest.mark.parametrize("wall", [False, True])
+def test_poly_cross_mobility_blocks_match_dense(wall):
+    """cross_mobility_blocks with radii (the mixture-RAS coupling path,
+    multi.build_pc_ras_multi) must equal the off-diagonal blocks of the
+    dense polydisperse mobility_matrix (damping sandwich stripped — cross
+    blocks apply it externally)."""
+    rng = np.random.default_rng(0)
+    P, Q, a = 5, 7, 0.24
+    ri = jnp.asarray(rng.uniform(0.5, 4.0, (P, 3)))
+    rj = jnp.asarray(rng.uniform(0.5, 4.0, (Q, 3)))
+    ai = jnp.asarray(rng.uniform(0.15, 0.4, (P,)))
+    aj = jnp.asarray(rng.uniform(0.15, 0.4, (Q,)))
+    C = rpy.cross_mobility_blocks(ri, rj, a, 1.0, wall=wall,
+                                  radii_i=ai, radii_j=aj)
+    allpos = jnp.concatenate([ri, rj])
+    allrad = jnp.concatenate([ai, aj])
+    M = rpy.mobility_matrix(allpos, a, 1.0, wall=wall, radii=allrad)
+    if wall:
+        binv = 1.0 / jnp.repeat(rpy.damping_factors(allpos, a,
+                                                    radii=allrad), 3)
+        M = binv[:, None] * M * binv[None, :]
+    Mij = M[:3 * P, 3 * P:].reshape(P, 3, Q, 3).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(C), np.asarray(Mij), atol=1e-14)
