@@ -1,5 +1,9 @@
 """Multi-chip sharding of the mobility matvec and BD step."""
 
+from rigid_body_light_tpu.parallel.ensemble import (
+    make_ensemble_run_bd,
+    make_hybrid_mesh,
+)
 from rigid_body_light_tpu.parallel.sharding import (
     ewald_mobility_apply_local_fn,
     farfield_mobility_apply_local_fn,
@@ -23,6 +27,8 @@ __all__ = [
     "make_distributed_run_bd_multi",
     "make_distributed_step",
     "make_distributed_step_multi",
+    "make_ensemble_run_bd",
+    "make_hybrid_mesh",
     "make_mesh",
     "make_mesh_2d",
     "ring_mobility_apply_fn",
