@@ -60,6 +60,7 @@ class SimulationConfig:
     ewald_tol: float = 1.0e-6  # truncation tolerance of both Ewald parts (sets xi and kmax)
     ewald_rc: float = 0.0  # balanced splitting: real-space cutoff (2a < rc < min(L)/2).  Shifts cost from the O(N²) real sweep to MXU wave matmuls and runs the real part over a sorted-tile neighbor structure at O(N·ρ·rc³) — the at-scale periodic mode (ops/ewald_cells.py).  0 = off (classic min(L)/2 split).  Monodisperse only; incompatible with ewald_xi.
     ewald_nbr_tiles: int = 0  # balanced splitting: static neighbor-list width (tiles of 128 sorted blobs per row tile).  0 = auto (4× the uniform-density estimate + 8).  Overflow NaN-poisons the step (caught by the stepper's rejection guards) — raise for extreme density contrast.
+    ewald_grid_p: int = 0  # gridded (PME-style) wave part for the balanced split (ops/ewald_pme.py): 0 = dense O(N·K) k-sum; p ≥ 2 = evaluate the SAME k-sum on p³ Chebyshev nodes per cell of an oversampled FFT grid at O(N·p³ + G³·p³·log G) — with ewald_rc this makes the whole periodic operator O(N·ρ·rc³ + G³·p³·log G), the at-scale periodic mode.  Exactly symmetric PSD (P2M/L2P share one basis); measured wave-part accuracy p=4 ≈ 3e-5, p=6 ≈ 1e-8 relative (tests/test_ewald_pme.py).  Requires ewald_rc > 0 (with the classic min(L)/2 split K is already small); monodisperse, single-device.
     farfield_grid: Any = None  # proxy-grid far field for open/wall domains (ops/farfield.py): None = off (exact O(N²) sweeps); "auto" = near-cubic grid of ~tile-sized cells; int or (Gx, Gy, Gz) = explicit supercell counts (pass anisotropic counts for flat sedimented slabs).  Splits M into exact near pairs (adjacent cells) + Chebyshev-interpolated far field evaluated as FFT convolutions on the MXU — O(N) at fixed density instead of O(N²).  The operator is approximate (farfield_p controls accuracy) but symmetric to roundoff; polydisperse supported via radius-split kernel lattices.  With a 2-D (Lx, Ly) box + wall=True this becomes the PSEUDO-2D doubly-periodic far field: cyclic xy convolution with image-summed combined (free+wall) kernel lattices — exact in-plane periodicity at O(N) per apply, image depth = image_shells (must be ≥ 1; tail-extrapolated).  Polydisperse supported (four radius-split image lattices); works single-device AND distributed (replicated lattice build + seam-wrapped sharded near sweep).
     farfield_p: int = 4  # Chebyshev nodes per dim for the far field: 4 ≈ 5e-3 relative operator error, 6 ≈ 3e-4 (measured, tests/test_farfield.py)
     farfield_band_p: int = 0  # two-tier mixed-order far field (round 5): 0 = off; ≥ 3 adds a high-order BAND tier — cell offsets with ∞-norm in [2, 3] evaluated at band_p as a direct banded block convolution (a few hundred MXU matmuls, storage ∝ the 316-offset band only, no p⁶ spectrum) while the FFT tier is masked to offsets ≥ 4 where low farfield_p is already accurate (measured interpolation error by offset: p=4 → 6e-3 at 2, 2.3e-4 at ≥4; band_p=6 at 2 → 1.7e-4).  band_p=6 over farfield_p=4 ≈ p=6-class operator error at p=4 lattice cost.  Open/wall domains; does not compose with the pseudo-2D 2-D-box far field.
@@ -195,6 +196,18 @@ class SimulationConfig:
                 )
             if self.box is None or len(self.box) != 3:
                 raise ValueError("ewald_rc needs a 3-D (Lx, Ly, Lz) box")
+        if self.ewald_grid_p:
+            if self.ewald_rc <= 0:
+                raise ValueError(
+                    "ewald_grid_p needs ewald_rc > 0 (balanced splitting): "
+                    "with the classic min(L)/2 split the wavevector count "
+                    "is already small and the dense k-sum is optimal"
+                )
+            if self.ewald_grid_p < 2:
+                raise ValueError(
+                    f"ewald_grid_p must be >= 2 nodes per dim (or 0 = off), "
+                    f"got {self.ewald_grid_p}"
+                )
         if self.drift_mode not in ("midpoint_slip", "em_exact"):
             raise ValueError(
                 f"unknown drift_mode {self.drift_mode!r}; use 'midpoint_slip' "

@@ -360,6 +360,24 @@ def make_poly_tables(params: "EwaldParams", radii) -> PolyTables:
                       coefA=np.stack(coefA), coefB=np.stack(coefB))
 
 
+def wave_weights(kvecs, a, eta, box, xi):
+    """(wk_raw, wk) positively-split wave weights for k ≠ 0 (numpy).
+
+    wk_raw = H(k)/(ηVk²) with H = (1 + k²/4ξ²)·exp(−k²/4ξ²); wk adds the
+    monodisperse sinc²(ka) shape factor.  Shared by :func:`make_params`
+    (explicit k-list) and :func:`rigid_body_light_tpu.ops.ewald_pme.
+    make_grid` (per-spectral-bin weights) so the two paths cannot drift.
+    """
+    k2 = np.sum(np.asarray(kvecs) ** 2, axis=-1)
+    k = np.sqrt(np.maximum(k2, 1e-300))
+    V = box[0] * box[1] * box[2]
+    ka = k * a
+    sinc = np.sin(ka) / np.maximum(ka, 1e-300)
+    H = (1 + k2 / (4 * xi**2)) * np.exp(-k2 / (4 * xi**2))
+    wk_raw = np.where(k2 > 0, H / (eta * V * np.maximum(k2, 1e-300)), 0.0)
+    return wk_raw, wk_raw * sinc**2
+
+
 def make_params(box, a, eta=1.0, xi=None, tol=1e-6, rc=None) -> EwaldParams:
     """Choose ξ and build the wavevector lattice for a (Lx, Ly, Lz) box.
 
@@ -400,14 +418,7 @@ def make_params(box, a, eta=1.0, xi=None, tol=1e-6, rc=None) -> EwaldParams:
     k2 = np.sum(kvecs**2, axis=1)
     keep = (k2 > 0) & (k2 <= kmax**2)
     kvecs = kvecs[keep]
-    k2 = k2[keep]
-    k = np.sqrt(k2)
-    V = box[0] * box[1] * box[2]
-    ka = k * a
-    sinc = np.sin(ka) / ka
-    H = (1 + k2 / (4 * xi**2)) * np.exp(-k2 / (4 * xi**2))
-    wk_raw = H / (eta * V * k2)
-    wk = wk_raw * sinc**2
+    wk_raw, wk = wave_weights(kvecs, a, eta, box, xi)
     # fit covers every distance the sweep can see: rc with cells, else
     # half the box diagonal (minimum image).  Short-range (rc) fits get a
     # low initial degree — the screened length ξ·rc is ~constant and the
@@ -684,11 +695,15 @@ def _wave_space_dense(F, r, params: EwaldParams, radii=None, phases=None,
 
 
 def mobility_apply(F, r, params: EwaldParams, row_tile=512, radii=None,
-                   poly_tables: PolyTables = None, max_nbr=None):
+                   poly_tables: PolyTables = None, max_nbr=None, grid=None):
     """Full periodic RPY product U = M_per(r)·F, SPD by construction.
 
     radii: optional (N,) per-blob physical radii — exact polydisperse
     periodic RPY (sinc(kaᵢ)sinc(kaⱼ) symbol; real-space shifts r±(aᵢ∓aⱼ)).
+    grid: optional :class:`rigid_body_light_tpu.ops.ewald_pme.EwaldGrid` —
+    evaluate the wave part on the cell-spectral grid at O(N + G³·p³·log G)
+    instead of the O(N·K) dense k-sum (monodisperse; the at-scale
+    balanced-splitting mode).
     """
     r = jnp.asarray(r).reshape(-1, 3)
     F = jnp.asarray(F, r.dtype).reshape(-1, 3)
@@ -705,12 +720,17 @@ def mobility_apply(F, r, params: EwaldParams, row_tile=512, radii=None,
         U = real_space_apply(F, r, params, row_tile=row_tile, radii=radii,
                              poly_tables=poly_tables)
     U = U + self_coeff(a_self, xi, eta) * F
+    if grid is not None:
+        from rigid_body_light_tpu.ops import ewald_pme
+
+        return U + ewald_pme.wave_space_apply_grid(F, r, params, grid)
     U = U + wave_space_apply(F, r, params, radii=radii)
     return U
 
 
 def mobility_apply_multi(Fs, r, params: EwaldParams, row_tile=512, radii=None,
-                         poly_tables: PolyTables = None, max_nbr=None):
+                         poly_tables: PolyTables = None, max_nbr=None,
+                         grid=None):
     """Multi-RHS periodic product (k, N, 3) → (k, N, 3) with SHARED pair
     fields: the real-space (A, B) coefficient sweep and the wave-space
     phase matrices are computed once and applied to every RHS — the fused
@@ -730,6 +750,10 @@ def mobility_apply_multi(Fs, r, params: EwaldParams, row_tile=512, radii=None,
         U = real_space_apply(Fs, r, params, row_tile=row_tile, radii=radii,
                              poly_tables=poly_tables)
     U = U + self_coeff(a_self, xi, eta) * Fs
+    if grid is not None:
+        from rigid_body_light_tpu.ops import ewald_pme
+
+        return U + ewald_pme.wave_space_apply_grid(Fs, r, params, grid)
     U = U + wave_space_apply(Fs, r, params, radii=radii)
     return U
 

@@ -231,6 +231,11 @@ def _ewald_apply_fn(cfg: SimulationConfig, radii, multi: bool):
     if params.rc is not None and radii is not None:
         raise ValueError("ewald_rc (balanced splitting) does not support "
                          "per-blob radii yet — use the classic split")
+    grid = None
+    if cfg.ewald_grid_p:
+        from rigid_body_light_tpu.ops import ewald_pme
+
+        grid = ewald_pme.make_grid(params, p=cfg.ewald_grid_p)
     # monodisperse f32: real-space sweep on the Pallas kernel (in-kernel
     # Clenshaw — same piecewise-Chebyshev fit, no VJP; see ops/ewald_pallas).
     # Balanced-splitting (rc) configs skip it: the linked-cell sweep beats
@@ -261,14 +266,15 @@ def _ewald_apply_fn(cfg: SimulationConfig, radii, multi: bool):
         def apply_multi(Fs, r):
             return ewald.mobility_apply_multi(
                 Fs, r, params, row_tile=cfg.matvec_row_tile, radii=radii,
-                poly_tables=pt, max_nbr=max_nbr)
+                poly_tables=pt, max_nbr=max_nbr, grid=grid)
 
         return apply_multi
 
     def apply(F, r):
         return ewald.mobility_apply(F, r, params,
                                     row_tile=cfg.matvec_row_tile, radii=radii,
-                                    poly_tables=pt, max_nbr=max_nbr)
+                                    poly_tables=pt, max_nbr=max_nbr,
+                                    grid=grid)
 
     return apply
 

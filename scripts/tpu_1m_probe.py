@@ -7,7 +7,7 @@ budget.  This probe raises the budget via per-compile DebugOptions
 VMEM-resident layout works at 1M at all, and at what speed, before
 committing to an HBM-streamed kernel variant.
 
-Usage: python scripts/tpu_1m_probe.py [wall]
+Usage: python scripts/tpu_1m_probe.py [wall] [gx gy gz]
 """
 import functools
 import json
@@ -38,6 +38,8 @@ def main():
         side = 12.0 * np.sqrt(n / 10240.0)
         pos = rng.uniform([-side, -side, 1.0], [side, side, 40.0], (n, 3))
         grid, p = (14, 14, 5), 4
+        if len(sys.argv) > 4:
+            grid = tuple(int(v) for v in sys.argv[2:5])
     else:
         pos = rng.uniform(0, 64.9, (n, 3)) * a / 0.243553
         grid, p = None, 4
