@@ -112,12 +112,35 @@ def _lagrange_weights(t, nodes):
     return w
 
 
+@functools.lru_cache(maxsize=None)
+def _outer_selectors(a: int, b: int):
+    """Selector matrices for the flattened outer product (see
+    :func:`_flat_outer`): L (a, ab) with L[i, i·b+j] = 1 and
+    R (b, ab) with R[j, i·b+j] = 1."""
+    L = np.kron(np.eye(a, dtype=np.float32), np.ones((1, b), np.float32))
+    R = np.kron(np.ones((1, a), np.float32), np.eye(b, dtype=np.float32))
+    return L, R
+
+
+def _flat_outer(u, v):
+    """Row-wise outer product flattened WITHOUT a (..., a, b) intermediate:
+    out[n, i·b+j] = u[n, i]·v[n, j], shapes (n, a)·(n, b) → (n, ab).
+
+    TPU lane layout pads the two minor dims of every materialized buffer
+    to (8, 128); a (N, p, p)- or (N, p³, 3)-shaped op boundary at N=10⁶
+    inflates 40×+ (the 1M-blob wall probe OOM'd on exactly such a 34 GiB
+    fusion output).  Two tiny selector matmuls keep every boundary 2-D
+    with the product dim minor."""
+    L, R = _outer_selectors(u.shape[-1], v.shape[-1])
+    return (u @ jnp.asarray(L, u.dtype)) * (v @ jnp.asarray(R, v.dtype))
+
+
 def _blob_weights(t3, nodes):
     """(N, 3) fractional coords → (N, p³) separable tensor weights."""
     wx = _lagrange_weights(t3[:, 0], nodes)
     wy = _lagrange_weights(t3[:, 1], nodes)
     wz = _lagrange_weights(t3[:, 2], nodes)
-    return jnp.einsum("ni,nj,nk->nijk", wx, wy, wz).reshape(t3.shape[0], -1)
+    return _flat_outer(_flat_outer(wx, wy), wz)
 
 
 # ----------------------------------------------------------- grid/binning
@@ -277,21 +300,34 @@ def _conv_pack_z(Kh, Qf):
 
 
 def _p2m(W3, cid, Fs, ncell, p):
-    """Anterpolate forces onto cell nodes: Q (k, ncell, B=3p³)."""
+    """Anterpolate forces onto cell nodes: Q (k, ncell, B=3p³).
+
+    Every op boundary stays 2-D/3-D with the 3p³ product dim MINOR — a
+    (k, N, p³, 3) broadcast product would lane-pad 3 → 128 and OOM at
+    10⁶ blobs (see :func:`_flat_outer`)."""
     k, n = Fs.shape[0], Fs.shape[1]
     p3 = p ** 3
+    L, R = _outer_selectors(p3, 3)
+    # prod[k, n, 3q+x] = W3[n, q] · Fs[k, n, x]
+    prod = (W3 @ jnp.asarray(L, W3.dtype))[None] * (
+        Fs @ jnp.asarray(R, Fs.dtype))
     Q = jax.ops.segment_sum(
-        (W3[None, :, :, None] * Fs[:, :, None, :]).reshape(
-            k, n, p3 * 3).transpose(1, 0, 2).reshape(n, k * p3 * 3),
+        prod.transpose(1, 0, 2).reshape(n, k * p3 * 3),
         cid, num_segments=ncell)
     return Q.reshape(ncell, k, p3 * 3).transpose(1, 0, 2)
 
 
 def _l2p(W3, cid, Unodes, p):
-    """Interpolate node velocities back to blobs (same basis as P2M)."""
-    k, ncell = Unodes.shape[0], Unodes.shape[1]
-    local = Unodes.reshape(k, ncell, p ** 3, 3)[:, cid]      # (k, N, p³, 3)
-    return jnp.einsum("np,knpx->knx", W3, local)
+    """Interpolate node velocities back to blobs (same basis as P2M);
+    the cell gather runs on the B=3p³-flat layout and the p³-sum is a
+    (3p³, 3) selector matmul — no (k, N, p³, 3) boundary (lane padding
+    would inflate it 42× at 10⁶ blobs)."""
+    k = Unodes.shape[0]
+    p3 = p ** 3
+    local = Unodes.reshape(k, -1, p3 * 3)[:, cid]            # (k, N, 3p³)
+    L, R = _outer_selectors(p3, 3)
+    prod = (W3 @ jnp.asarray(L, W3.dtype))[None] * local
+    return prod @ jnp.asarray(R.T, prod.dtype)               # (k, N, 3)
 
 
 def _far_free(Qm, h, grid, p, khat=None):
