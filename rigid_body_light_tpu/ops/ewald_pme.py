@@ -136,6 +136,35 @@ def make_grid(params: "ewald.EwaldParams", p: int = 4,
     )
 
 
+def _analysis_tensors(g: EwaldGrid):
+    """Per-axis spectral contraction tensors on FLAT node layouts.
+
+    The node-moment spectrum Q̂ lives on the q = ((a·p+b)·p+c)·3+t flat
+    axis (B = 3p³ minor — TPU lane layout pads the two minor dims of
+    every buffer to (8, 128), so an (..., p, p, p, 3) op boundary
+    inflates ~85× at production grids; see farfield._flat_outer).  The
+    per-bin plane-wave amplitude Ĝ = φ̄ᵀQ̂ therefore runs as two batched
+    GEMMs with kron-structured selector tensors:
+
+      Tz  (Gz/2+1, 3p³, 3p²):  contract c     — kron(I_{p²}, φ̄z ⊗ I₃)
+      Txy (Gx, Gy, 3p², 3):    contract a, b  — kron(φ̄x ⊗ φ̄y, I₃)
+
+    Synthesis (spread Ĝ back onto node spectra) is the conjugate pair.
+    Both are numpy constants, O(G·p³) bytes total.
+    """
+    p = g.p
+    gx, gy, _ = g.grid
+    I3 = np.eye(3)
+    pz = np.conj(g.phi_z)                                    # (gzh, p)
+    Tz = np.einsum("ik,zc,tu->zictku",
+                   np.eye(p * p), pz, I3).reshape(
+                       pz.shape[0], 3 * p ** 3, 3 * p * p)
+    pxy = np.einsum("xa,yb->xyab", np.conj(g.phi_x),
+                    np.conj(g.phi_y)).reshape(gx, gy, p * p)
+    Txy = np.einsum("xys,tu->xystu", pxy, I3).reshape(gx, gy, 3 * p * p, 3)
+    return Tz, Txy
+
+
 def wave_space_apply_grid(F, r, params: "ewald.EwaldParams", g: EwaldGrid):
     """U_wave = Σ_{k≠0} wk(I − k̂k̂) e^{ik·(rᵢ−rⱼ)} F_j via the cell grid.
 
@@ -161,22 +190,24 @@ def wave_space_apply_grid(F, r, params: "ewald.EwaldParams", g: EwaldGrid):
     W3 = farfield._blob_weights(t3, farfield._cheb_nodes(p))  # (N, p³)
     Q = farfield._p2m(W3, cid, Fs, ncell, p)                 # (k, ncell, 3p³)
     k = Q.shape[0]
-    Qg = Q.reshape(k, gx, gy, gz, p, p, p, 3)
-    Qh = jnp.fft.rfftn(Qg, axes=(1, 2, 3))                   # (k,gx,gy,gzh,...)
-    px = jnp.asarray(g.phi_x, cdtype)
-    py = jnp.asarray(g.phi_y, cdtype)
-    pz = jnp.asarray(g.phi_z, cdtype)
-    # gather the plane-wave amplitude at each bin's single k: Ĝ = φ̄ᵀQ̂
-    A = jnp.einsum("kxyzabct,zc->kxyzabt", Qh, jnp.conj(pz))
-    A = jnp.einsum("kxyzabt,yb->kxyzat", A, jnp.conj(py))
-    A = jnp.einsum("kxyzat,xa->kxyzt", A, jnp.conj(px))      # (k,gx,gy,gzh,3)
-    kh = jnp.asarray(g.khat_bin, dtype)
+    B = 3 * p ** 3
+    # Everything below keeps the node axis FLAT (B or 3p² minor) and the
+    # per-bin 3-vector amplitude in a (k, 3, gx, gy, gzh) MAJOR-t layout:
+    # TPU lane padding inflates any (..., p, p, p, 3)-shaped boundary
+    # ~85× at production grids (see _analysis_tensors).
+    Tz, Txy = _analysis_tensors(g)
+    Tz = jnp.asarray(Tz, cdtype)
+    Txy = jnp.asarray(Txy, cdtype)
+    Qh = jnp.fft.rfftn(Q.reshape(k, gx, gy, gz, B), axes=(1, 2, 3))
+    # analysis: Ĝ(bin) = φ̄ᵀQ̂ — z-stage GEMM then xy-stage GEMM
+    A1 = jnp.einsum("kxyzq,zqs->kxyzs", Qh, Tz)              # (k,x,y,zh,3p²)
+    A = jnp.einsum("kxyzs,xysv->kvxyz", A1, Txy)             # (k,3,x,y,zh)
+    kh = jnp.asarray(np.moveaxis(g.khat_bin, -1, 0), dtype)  # (3,x,y,zh)
     wkb = jnp.asarray(g.wk_bin, dtype)
-    A = wkb[..., None] * (A - kh * jnp.sum(kh * A, axis=-1, keepdims=True))
-    # spread back onto nodes: V̂_u = φ_u·A (rank-3 per bin)
-    V = jnp.einsum("kxyzt,xa->kxyzat", A, px)
-    V = jnp.einsum("kxyzat,yb->kxyzabt", V, py)
-    V = jnp.einsum("kxyzabt,zc->kxyzabct", V, pz)
+    A = wkb * (A - kh * jnp.sum(kh * A, axis=1, keepdims=True))
+    # synthesis: V̂_u = φ_u·Ĝ — conjugate tensors, reverse order
+    V1 = jnp.einsum("kvxyz,xysv->kxyzs", A, jnp.conj(Txy))
+    V = jnp.einsum("kxyzs,zqs->kxyzq", V1, jnp.conj(Tz))     # (k,x,y,zh,B)
     Un = jnp.fft.irfftn(V, s=(gx, gy, gz), axes=(1, 2, 3)).astype(dtype)
-    U = farfield._l2p(W3, cid, Un.reshape(k, ncell, p**3 * 3), p)
+    U = farfield._l2p(W3, cid, Un.reshape(k, ncell, B), p)
     return U[0] if single else U

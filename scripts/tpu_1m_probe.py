@@ -47,9 +47,20 @@ def main():
     F = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
     out = {"n_blobs": n, "wall": wall, "grid": grid, "p": p}
 
+    # Split the lattice build (N-independent, ~GBs of slab temps) and the
+    # blob tier (N-dependent) into separate XLA programs: one monolithic
+    # 1M-blob wall prepare transiently exceeded 16 GiB HBM at runtime.
+    t0 = time.perf_counter()
+    geo = jax.jit(functools.partial(
+        farfield.prepare_geometry, a=a, eta=eta, wall=wall, grid=grid,
+        p=p))(r)
+    _sync(geo.khat_wall[0] if wall else geo.khat_free[0])
+    out["geometry_s"] = round(time.perf_counter() - t0, 1)
+    print(json.dumps(out), flush=True)
     t0 = time.perf_counter()
     ctx = jax.jit(functools.partial(
-        farfield.prepare, a=a, eta=eta, wall=wall, grid=grid, p=p))(r)
+        farfield.prepare, a=a, eta=eta, wall=wall, grid=grid, p=p,
+        geo=geo))(r)
     _sync(ctx.W3)
     out["prepare_s"] = round(time.perf_counter() - t0, 1)
     print(json.dumps(out), flush=True)
