@@ -427,18 +427,21 @@ def _wall_kernel_hat(lo_z, h, grid, p, dtype, h_floor, poly=False,
     nodes = _cheb_nodes(p)
     p3 = p ** 3
     B = 3 * p3
-    OX, OY = np.meshgrid(_signed_offsets(gx), _signed_offsets(gy),
-                         indexing="ij")                      # (2gx, 2gy)
-    oxy = np.stack([OX, OY], axis=-1).reshape(-1, 2)         # (m, 2)
-    near_xy = np.all(np.abs(oxy) <= near_excl, axis=-1)      # (m,)
+    # Slab granularity is (target-z-cell × x-offset): the coarser
+    # target-z-only slabs carried (gz, 2gx·2gy, p³, p³, 3)-shaped temps
+    # whose minor (p³, 3) dims lane-pad to (p³, 128) — 8.2 GiB each at a
+    # (14, 14, 5) 1M-blob wall grid (two of them OOM'd the 16 GiB chip).
+    # Per (ci, ox) slab the same temps are (gz, 2gy, p³, p³, 3) — 2gx×
+    # smaller; the x-FFT moves outside the map (FFT axes commute).
+    oy = _signed_offsets(gy)
+    near_y = np.abs(oy) <= near_excl                         # (2gy,)
+    ox_np = _signed_offsets(gx)
+    near_x = np.abs(ox_np) <= near_excl                      # (2gx,)
     tn = jnp.asarray(
         np.stack(np.meshgrid(nodes, nodes, nodes, indexing="ij"),
                  axis=-1).reshape(-1, 3), dtype)             # (p³, 3)
-    # xy: (m, p³, p³) target-minus-source components
-    oxy_j = jnp.asarray(oxy, dtype)
-    dx = (oxy_j[:, None, None, 0]
-          + tn[None, :, None, 0] - tn[None, None, :, 0]) * h[0]
-    dy = (oxy_j[:, None, None, 1]
+    dtx = tn[:, None, 0] - tn[None, :, 0]                    # (p³, p³)
+    dy = (jnp.asarray(oy, dtype)[:, None, None]
           + tn[None, :, None, 1] - tn[None, None, :, 1]) * h[1]
     # z: node heights per z-cell, floored like every wall evaluation
     cz = jnp.arange(gz, dtype=dtype)
@@ -446,23 +449,28 @@ def _wall_kernel_hat(lo_z, h, grid, p, dtype, h_floor, poly=False,
     znf = jnp.maximum(zn, h_floor) if h_floor > 0 else zn
     eye = jnp.eye(3, dtype=dtype)
     zhat = jnp.zeros(3, dtype).at[2].set(1.0)
-    near_xy_j = jnp.asarray(near_xy)
-    czi_idx = jnp.arange(gz, dtype=jnp.int32)
+    near_y_j = jnp.asarray(near_y)
+    ox_j = jnp.asarray(ox_np, dtype)
+    near_x_j = jnp.asarray(near_x)
+    czj_near = jnp.arange(gz, dtype=jnp.int32)
 
-    def slab(ci):
+    def slab(idx):
+        ci = idx // (2 * gx)
+        xi = idx % (2 * gx)
+        dx = (ox_j[xi] + dtx) * h[0]                         # (p³, p³)
         zi = znf[ci][None, None, :, None]                    # target nodes
         zj = znf[:, None, None, :]                           # (czj, 1, 1, p³)
         d_img = jnp.stack(jnp.broadcast_arrays(
-            dx[None], dy[None], zi + zj), axis=-1)           # (gz, m, p³, p³, 3)
+            dx[None, None], dy[None], zi + zj), axis=-1)     # (gz,2gy,p³,p³,3)
         parts, invR = _wall_coeffs_split(
             d_img, jnp.broadcast_to(zj, d_img.shape[:-1]))
         if not poly:
             parts = (tuple(a + b + c for a, b, c in zip(*parts)),)
         # zero exactly the near(+band) set: both cell-offset components
         # within near_excl (1 plain; _BAND_MAX with the band tier)
-        near_z = jnp.abs(jnp.arange(gz, dtype=jnp.int32) - ci) <= near_excl
-        far = ~(near_z[:, None] & near_xy_j[None, :])        # (gz, m)
-        farb = far.astype(dtype)[..., None, None]
+        near_z = jnp.abs(czj_near - ci) <= near_excl
+        far = ~(near_z[:, None] & (near_x_j[xi] & near_y_j)[None, :])
+        farb = far.astype(dtype)[..., None, None]            # (gz, 2gy, 1, 1)
         e = d_img * invR[..., None]
         Ws = []
         for f1, f2, f3, f4, f5 in parts:
@@ -472,15 +480,16 @@ def _wall_kernel_hat(lo_z, h, grid, p, dtype, h_floor, poly=False,
                  + f3[..., None, None] * e[..., :, None] * zhat[None, :]
                  + f4[..., None, None] * zhat[:, None] * e[..., None, :]
                  + f5[..., None, None] * zhat[:, None] * zhat[None, :])
-            # (gz, m, p³, p³, 3, 3) → (gz, 2gx, 2gy, B, B)
-            W = W.transpose(0, 1, 2, 4, 3, 5).reshape(
-                gz, 2 * gx, 2 * gy, B, B)
-            Ws.append(jnp.fft.fft(jnp.fft.rfft(W, axis=2), axis=1))
-        return jnp.stack(Ws)                   # (nk, gz_s, 2gx, gy+1, B, B)
+            # (gz, 2gy, p³, p³, 3, 3) → (gz, 2gy, B, B)
+            W = W.transpose(0, 1, 2, 4, 3, 5).reshape(gz, 2 * gy, B, B)
+            Ws.append(jnp.fft.rfft(W, axis=1))               # (gz, gy+1, B, B)
+        return jnp.stack(Ws)                   # (nk, gz_s, gy+1, B, B)
 
-    Kh = lax.map(slab, czi_idx)                # (gz_t, nk, gz_s, 2gx, gy+1, B, B)
+    Kh = lax.map(slab, jnp.arange(gz * 2 * gx, dtype=jnp.int32))
     nk = Kh.shape[1]
-    return _pack_hat(Kh.transpose(1, 0, 2, 3, 4, 5, 6).reshape(
+    Kh = Kh.reshape(gz, 2 * gx, nk, gz, gy + 1, B, B)
+    Kh = jnp.fft.fft(Kh, axis=1)                             # x-offset FFT
+    return _pack_hat(Kh.transpose(2, 0, 3, 1, 4, 5, 6).reshape(
         nk, gz, gz, 2 * gx * (gy + 1), B, B), axis=1)
 
 
