@@ -47,14 +47,33 @@ def main():
     F = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
     out = {"n_blobs": n, "wall": wall, "grid": grid, "p": p}
 
-    # Split the lattice build (N-independent, ~GBs of slab temps) and the
-    # blob tier (N-dependent) into separate XLA programs: one monolithic
-    # 1M-blob wall prepare transiently exceeded 16 GiB HBM at runtime.
+    # Split the lattice builds (N-independent, ~GBs of slab/FFT temps
+    # each) and the blob tier (N-dependent) into separate XLA programs:
+    # one monolithic 1M-blob wall prepare transiently exceeded 16 GiB
+    # HBM at runtime, and free+wall lattices in ONE program still did
+    # (XLA schedules their multi-GB pipelines concurrently).
     t0 = time.perf_counter()
-    geo = jax.jit(functools.partial(
-        farfield.prepare_geometry, a=a, eta=eta, wall=wall, grid=grid,
-        p=p))(r)
-    _sync(geo.khat_wall[0] if wall else geo.khat_free[0])
+    if wall:
+        from rigid_body_light_tpu.ops import rpy
+
+        gridt, _ = farfield._resolve(n, wall, grid, p, None, False)
+        x = r * (1.0 / a)
+        lo, h = jax.jit(functools.partial(
+            farfield._grid_geometry, grid=gridt))(x)
+        kf = jax.jit(functools.partial(
+            farfield._far_kernel_hat, grid=gridt, p=p,
+            dtype=jnp.float32))(h)
+        _sync(kf[0])
+        kw = jax.jit(functools.partial(
+            farfield._wall_kernel_hat, grid=gridt, p=p, dtype=jnp.float32,
+            h_floor=rpy.WALL_H_FLOOR))(lo[2], h)
+        _sync(kw[0])
+        geo = farfield.FarGeo(lo=lo, h=h, khat_free=kf, khat_wall=kw)
+    else:
+        geo = jax.jit(functools.partial(
+            farfield.prepare_geometry, a=a, eta=eta, wall=wall, grid=grid,
+            p=p))(r)
+        _sync(geo.khat_free[0])
     out["geometry_s"] = round(time.perf_counter() - t0, 1)
     print(json.dumps(out), flush=True)
     t0 = time.perf_counter()
