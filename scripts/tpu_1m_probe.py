@@ -77,9 +77,12 @@ def main():
     out["geometry_s"] = round(time.perf_counter() - t0, 1)
     print(json.dumps(out), flush=True)
     t0 = time.perf_counter()
+    # geo rides as a jit ARGUMENT — closing over it bakes ~4.5 GB of
+    # lattice constants into the program (the remote-compile tunnel
+    # rejects >~100 MB payloads)
     ctx = jax.jit(functools.partial(
-        farfield.prepare, a=a, eta=eta, wall=wall, grid=grid, p=p,
-        geo=geo))(r)
+        farfield.prepare, a=a, eta=eta, wall=wall, grid=grid,
+        p=p))(r, geo=geo)
     _sync(ctx.W3)
     out["prepare_s"] = round(time.perf_counter() - t0, 1)
     print(json.dumps(out), flush=True)
