@@ -37,7 +37,9 @@ def main():
     if wall:
         side = 12.0 * np.sqrt(n / 10240.0)
         pos = rng.uniform([-side, -side, 1.0], [side, side, 40.0], (n, 3))
-        grid, p = (14, 14, 5), 4
+        # gz=4 (not 5): the wall lattice scales as gz²·2gx·(gy+1)·B² and
+        # the 1M apply sits within ~1.5 GiB of the 16 GiB HBM edge
+        grid, p = (14, 14, 4), 4
         if len(sys.argv) > 4:
             grid = tuple(int(v) for v in sys.argv[2:5])
     else:
