@@ -688,7 +688,7 @@ def _signed_offsets_cyclic(g: int) -> np.ndarray:
 
 
 def _kernel_hat_2p(lo_z, h, grid, p, dtype, h_floor, shells: int,
-                   poly=False):
+                   poly=False, near_excl=1):
     """Doubly-periodic COMBINED (free-space + wall-image) kernel lattice:
     per-z-cell-pair CYCLIC xy-offset lattices, 2-D FFT'd at box size.
 
