@@ -54,13 +54,13 @@ class SimulationConfig:
     dt: float = 1.0
     kBT: float = 0.0
     wall: bool = False
-    box: Any = None  # None (open domain); (Lx, Ly): pseudo-periodic in the plane via minimum-image wrapping (z open — the wall geometry; not guaranteed SPD at high density); or (Lx, Ly, Lz): TRUE triply-periodic RPY via positively-split Ewald (ops/ewald.py) — exact periodic operator, SPD for every splitting, validated against Hasimoto's lattice constants.  3-D boxes require wall=False and are incompatible with per-blob radii for now.  Trajectories keep unwrapped coordinates; only pair interactions see the wrap.
+    box: Any = None  # None (open domain); (Lx, Ly): pseudo-periodic in the plane via minimum-image wrapping (z open — the wall geometry; not guaranteed SPD at high density); or (Lx, Ly, Lz): TRUE triply-periodic RPY via positively-split Ewald (ops/ewald.py) — exact periodic operator, SPD for every splitting, validated against Hasimoto's lattice constants.  3-D boxes require wall=False; per-blob radii are supported exactly (species-pair real-space fits + sinc(kaᵢ)sinc(kaⱼ) wave symbol) on every splitting, incl. balanced (ewald_rc) and gridded (ewald_grid_p).  Trajectories keep unwrapped coordinates; only pair interactions see the wrap.
     image_shells: int = 0  # 2-D boxes only: 0 = minimum-image wrapping (the classic pseudo-periodic approximation); S ≥ 1 = exact doubly-periodic operator truncated at the (2S+1)² nearest in-plane lattice images (ops/rpy.image_offsets).  The wall-corrected pair mobility decays like 1/ρ³, so the sum converges absolutely with an O(1/S) tail (measured in tests/test_pseudo2d.py).  Cost ≈ (2S+1)² × the pair sweep — on every backend: the Pallas kernels carry the offset lattice in-kernel, and the distributed ring/gather/SUMMA sweeps sum it per slab (round 5).  With farfield_grid, sets the kernel-lattice image depth instead (two-ring tail extrapolation; ~2e-4 lattice accuracy at S=6).
     ewald_xi: float = 0.0  # Ewald splitting parameter for 3-D boxes; 0 = auto (real-space error ~ewald_tol at min(L)/2, so the real sweep needs no image loop)
     ewald_tol: float = 1.0e-6  # truncation tolerance of both Ewald parts (sets xi and kmax)
-    ewald_rc: float = 0.0  # balanced splitting: real-space cutoff (2a < rc < min(L)/2).  Shifts cost from the O(N²) real sweep to MXU wave matmuls and runs the real part over a sorted-tile neighbor structure at O(N·ρ·rc³) — the at-scale periodic mode (ops/ewald_cells.py).  0 = off (classic min(L)/2 split).  Monodisperse only; incompatible with ewald_xi.
+    ewald_rc: float = 0.0  # balanced splitting: real-space cutoff (2a < rc < min(L)/2).  Shifts cost from the O(N²) real sweep to MXU wave matmuls and runs the real part over a sorted-tile neighbor structure at O(N·ρ·rc³) — the at-scale periodic mode (ops/ewald_cells.py).  0 = off (classic min(L)/2 split).  Polydisperse supported (species-pair Chebyshev scalars in the tile sweep); incompatible with ewald_xi.
     ewald_nbr_tiles: int = 0  # balanced splitting: static neighbor-list width (tiles of 128 sorted blobs per row tile).  0 = auto (4× the uniform-density estimate + 8).  Overflow NaN-poisons the step (caught by the stepper's rejection guards) — raise for extreme density contrast.
-    ewald_grid_p: int = 0  # gridded (PME-style) wave part for the balanced split (ops/ewald_pme.py): 0 = dense O(N·K) k-sum; p ≥ 2 = evaluate the SAME k-sum on p³ Chebyshev nodes per cell of an oversampled FFT grid at O(N·p³ + G³·p³·log G) — with ewald_rc this makes the whole periodic operator O(N·ρ·rc³ + G³·p³·log G), the at-scale periodic mode.  Exactly symmetric PSD (P2M/L2P share one basis); measured wave-part accuracy p=4 ≈ 3e-5, p=6 ≈ 1e-8 relative (tests/test_ewald_pme.py).  Requires ewald_rc > 0 (with the classic min(L)/2 split K is already small); monodisperse, single-device.
+    ewald_grid_p: int = 0  # gridded (PME-style) wave part for the balanced split (ops/ewald_pme.py): 0 = dense O(N·K) k-sum; p ≥ 2 = evaluate the SAME k-sum on p³ Chebyshev nodes per cell of an oversampled FFT grid at O(N·p³ + G³·p³·log G) — with ewald_rc this makes the whole periodic operator O(N·ρ·rc³ + G³·p³·log G), the at-scale periodic mode.  Exactly symmetric PSD (P2M/L2P share one basis); measured wave-part accuracy p=4 ≈ 3e-5, p=6 ≈ 1e-8 relative (tests/test_ewald_pme.py).  Requires ewald_rc > 0 (with the classic min(L)/2 split K is already small); polydisperse via species-split spread/interp grids (S FFT fields for S distinct radii); single-device.
     farfield_grid: Any = None  # proxy-grid far field for open/wall domains (ops/farfield.py): None = off (exact O(N²) sweeps); "auto" = near-cubic grid of ~tile-sized cells; int or (Gx, Gy, Gz) = explicit supercell counts (pass anisotropic counts for flat sedimented slabs).  Splits M into exact near pairs (adjacent cells) + Chebyshev-interpolated far field evaluated as FFT convolutions on the MXU — O(N) at fixed density instead of O(N²).  The operator is approximate (farfield_p controls accuracy) but symmetric to roundoff; polydisperse supported via radius-split kernel lattices.  With a 2-D (Lx, Ly) box + wall=True this becomes the PSEUDO-2D doubly-periodic far field: cyclic xy convolution with image-summed combined (free+wall) kernel lattices — exact in-plane periodicity at O(N) per apply, image depth = image_shells (must be ≥ 1; tail-extrapolated).  Polydisperse supported (four radius-split image lattices); works single-device AND distributed (replicated lattice build + seam-wrapped sharded near sweep).
     farfield_p: int = 4  # Chebyshev nodes per dim for the far field: 4 ≈ 5e-3 relative operator error, 6 ≈ 3e-4 (measured, tests/test_farfield.py)
     farfield_band_p: int = 0  # two-tier mixed-order far field (round 5): 0 = off; ≥ 3 adds a high-order BAND tier — cell offsets with ∞-norm in [2, 3] evaluated at band_p as a direct banded block convolution (a few hundred MXU matmuls, storage ∝ the 316-offset band only, no p⁶ spectrum) while the FFT tier is masked to offsets ≥ 4 where low farfield_p is already accurate (measured interpolation error by offset: p=4 → 6e-3 at 2, 2.3e-4 at ≥4; band_p=6 at 2 → 1.7e-4).  band_p=6 over farfield_p=4 ≈ p=6-class operator error at p=4 lattice cost.  Open/wall domains; does not compose with the pseudo-2D 2-D-box far field.

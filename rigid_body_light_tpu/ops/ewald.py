@@ -702,8 +702,8 @@ def mobility_apply(F, r, params: EwaldParams, row_tile=512, radii=None,
     periodic RPY (sinc(kaᵢ)sinc(kaⱼ) symbol; real-space shifts r±(aᵢ∓aⱼ)).
     grid: optional :class:`rigid_body_light_tpu.ops.ewald_pme.EwaldGrid` —
     evaluate the wave part on the cell-spectral grid at O(N + G³·p³·log G)
-    instead of the O(N·K) dense k-sum (monodisperse; the at-scale
-    balanced-splitting mode).
+    instead of the O(N·K) dense k-sum (the at-scale balanced-splitting
+    mode; polydisperse needs the grid built with the same ``radii=``).
     """
     r = jnp.asarray(r).reshape(-1, 3)
     F = jnp.asarray(F, r.dtype).reshape(-1, 3)
@@ -712,10 +712,12 @@ def mobility_apply(F, r, params: EwaldParams, row_tile=512, radii=None,
     eta = jnp.asarray(params.eta, dtype)
     a_self = (jnp.asarray(params.a, dtype) if radii is None
               else jnp.asarray(radii, dtype)[:, None])
-    if params.rc is not None and radii is None:
+    if params.rc is not None:
         from rigid_body_light_tpu.ops import ewald_cells
 
-        U = ewald_cells.real_space_apply_cells(F, r, params, max_nbr=max_nbr)
+        U = ewald_cells.real_space_apply_cells(
+            F, r, params, max_nbr=max_nbr, radii=radii,
+            poly_tables=poly_tables)
     else:
         U = real_space_apply(F, r, params, row_tile=row_tile, radii=radii,
                              poly_tables=poly_tables)
@@ -723,6 +725,10 @@ def mobility_apply(F, r, params: EwaldParams, row_tile=512, radii=None,
     if grid is not None:
         from rigid_body_light_tpu.ops import ewald_pme
 
+        if (radii is None) != (grid.sidx is None):
+            raise ValueError("gridded wave part: build the grid with the "
+                             "same radii= as the apply (polydisperse needs "
+                             "species sinc tables)")
         return U + ewald_pme.wave_space_apply_grid(F, r, params, grid)
     U = U + wave_space_apply(F, r, params, radii=radii)
     return U
@@ -742,10 +748,12 @@ def mobility_apply_multi(Fs, r, params: EwaldParams, row_tile=512, radii=None,
     eta = jnp.asarray(params.eta, dtype)
     a_self = (jnp.asarray(params.a, dtype) if radii is None
               else jnp.asarray(radii, dtype)[:, None])
-    if params.rc is not None and radii is None:
+    if params.rc is not None:
         from rigid_body_light_tpu.ops import ewald_cells
 
-        U = ewald_cells.real_space_apply_cells(Fs, r, params, max_nbr=max_nbr)
+        U = ewald_cells.real_space_apply_cells(
+            Fs, r, params, max_nbr=max_nbr, radii=radii,
+            poly_tables=poly_tables)
     else:
         U = real_space_apply(Fs, r, params, row_tile=row_tile, radii=radii,
                              poly_tables=poly_tables)
@@ -753,6 +761,10 @@ def mobility_apply_multi(Fs, r, params: EwaldParams, row_tile=512, radii=None,
     if grid is not None:
         from rigid_body_light_tpu.ops import ewald_pme
 
+        if (radii is None) != (grid.sidx is None):
+            raise ValueError("gridded wave part: build the grid with the "
+                             "same radii= as the apply (polydisperse needs "
+                             "species sinc tables)")
         return U + ewald_pme.wave_space_apply_grid(Fs, r, params, grid)
     U = U + wave_space_apply(Fs, r, params, radii=radii)
     return U
@@ -837,7 +849,8 @@ def real_space_block(r_rows, row_ids, r_cols, col_ids, F_cols,
 
 
 def mobility_apply_local(F_l, r_l, params: EwaldParams, n_devices: int,
-                         axis_name: str, row_tile=512, max_nbr=None):
+                         axis_name: str, row_tile=512, max_nbr=None,
+                         radii_l=None, poly_tables: PolyTables = None):
     """Local-shard periodic RPY product for use INSIDE ``shard_map``.
 
     Distributed triply-periodic Ewald: the screened real-space sweep rides
@@ -847,25 +860,35 @@ def mobility_apply_local(F_l, r_l, params: EwaldParams, n_devices: int,
     with one ``psum`` (phases stay local), and the self term is
     elementwise.  Matches :func:`mobility_apply` to machine precision —
     unlike minimum-image approximations, the distributed operator IS the
-    exact periodic operator.  Monodisperse; F_l (N_l, 3) or multi-RHS
-    (k, N_l, 3) with shared pair fields.
+    exact periodic operator.  F_l (N_l, 3) or multi-RHS (k, N_l, 3) with
+    shared pair fields.
 
     Balanced-splitting params (``rc=``) route the real part through the
     distributed sorted-tile sweep instead of the ring
     (:func:`rigid_body_light_tpu.ops.ewald_cells.
     real_space_apply_cells_local` — O(N·ρ·rc³/D) per device), matching
     the single-device dispatch; ``max_nbr`` is its neighbor-list width.
+
+    radii_l: optional (N_l,) local per-blob radii — exact polydisperse
+    periodic RPY, balanced-splitting (rc) configs only (the ring's
+    monodisperse real-space blocks do not carry radii); ``poly_tables``
+    must be built from the GLOBAL device-major radii (f32).
     """
     r_l = jnp.asarray(r_l).reshape(-1, 3)
     F_l = jnp.asarray(F_l, r_l.dtype)
     F_l = F_l if F_l.ndim == 3 else F_l.reshape(-1, 3)
     dtype = r_l.dtype
     n_l = r_l.shape[0]
+    if radii_l is not None and params.rc is None:
+        raise NotImplementedError(
+            "distributed polydisperse Ewald needs balanced splitting "
+            "(ewald_rc > 0) — the classic-split ring sweep is monodisperse")
     if params.rc is not None:
         from rigid_body_light_tpu.ops import ewald_cells
 
         acc = ewald_cells.real_space_apply_cells_local(
-            F_l, r_l, params, n_devices, axis_name, max_nbr=max_nbr)
+            F_l, r_l, params, n_devices, axis_name, max_nbr=max_nbr,
+            radii_l=radii_l, poly_tables=poly_tables)
     else:
         idx = lax.axis_index(axis_name)
         row_ids = idx * n_l + jnp.arange(n_l, dtype=jnp.int32)
@@ -884,5 +907,8 @@ def mobility_apply_local(F_l, r_l, params: EwaldParams, n_devices: int,
                 blk_r, blk_F = nxt_r, nxt_F
     xi = jnp.asarray(params.xi, dtype)
     eta = jnp.asarray(params.eta, dtype)
-    U = acc + self_coeff(jnp.asarray(params.a, dtype), xi, eta) * F_l
-    return U + wave_space_apply(F_l, r_l, params, axis_name=axis_name)
+    a_self = (jnp.asarray(params.a, dtype) if radii_l is None
+              else jnp.asarray(radii_l, dtype)[:, None])
+    U = acc + self_coeff(a_self, xi, eta) * F_l
+    return U + wave_space_apply(F_l, r_l, params, radii=radii_l,
+                                axis_name=axis_name)

@@ -55,11 +55,17 @@ def _chunk_rows(t: int, max_nbr: int, nrhs: int) -> int:
     return best
 
 
-def real_space_apply_cells(F, r, params: "ewald.EwaldParams", max_nbr=None):
+def real_space_apply_cells(F, r, params: "ewald.EwaldParams", max_nbr=None,
+                           radii=None, poly_tables=None):
     """U_real = Σ_{j≠i, r_ij ≤ rc} [A·I + B·r̂r̂]·F_j via sorted tiles.
 
-    F: (N, 3) or (k, N, 3); monodisperse only.  Returns U shaped like F,
-    NaN-poisoned on neighbor-list overflow (see module docstring).
+    F: (N, 3) or (k, N, 3).  Returns U shaped like F, NaN-poisoned on
+    neighbor-list overflow (see module docstring).
+
+    radii: optional (N,) per-blob radii — exact polydisperse scalars via
+    the same per-species-pair machinery as the all-pairs sweep (f32:
+    masked Chebyshev fits from ``poly_tables`` — built on the fly from
+    concrete radii if not given; f64: closed forms with per-pair shifts).
     """
     if params.rc is None:
         raise ValueError("tile sweep needs params built with rc= "
@@ -70,6 +76,8 @@ def real_space_apply_cells(F, r, params: "ewald.EwaldParams", max_nbr=None):
     k, n = Fs.shape[0], r.shape[0]
     if max_nbr is None:
         max_nbr = default_max_nbr(n, params)
+    if radii is not None and dtype == jnp.float32 and poly_tables is None:
+        poly_tables = ewald.make_poly_tables(params, radii)
     rf = _fold(r, params)
     order = tiles.serpentine_order(
         rf, tiles.column_width(n, float(np.prod(params.box))))
@@ -81,24 +89,46 @@ def real_space_apply_cells(F, r, params: "ewald.EwaldParams", max_nbr=None):
         [order.astype(jnp.int32), jnp.full((pad,), -1, jnp.int32)])
     F_pad = jnp.concatenate(
         [Fs[:, order, :], jnp.zeros((k, pad, 3), dtype)], axis=1)
+    pp = _poly_pad(radii, poly_tables, order, pad, dtype)
 
     adj = tiles.bbox_adjacency(r_pad, t, params.rc, box=params.box)
     nbr, overflow = tiles.pack_neighbor_lists(adj, max_nbr)
 
     U_s = _cell_sweep(r_pad, ids_pad, F_pad, nbr, max_nbr, params,
-                      0, t)[:, :n]
+                      0, t, poly=pp)[:, :n]
     U = jnp.zeros_like(Fs).at[:, order, :].set(U_s)
     U = jnp.where(overflow, jnp.nan, U)
     return U if multi else U[0]
 
 
-def _cell_sweep(r_pad, ids_pad, F_pad, nbr, max_nbr, params, t0, nt):
+def _poly_pad(radii, poly_tables, order, pad, dtype):
+    """Sorted/padded polydisperse sidecar for :func:`_cell_sweep`.
+
+    Returns None (monodisperse) or ``(rad_pad, sidx_pad, poly_tables)``
+    in the sweep's sorted order — pads carry radius 1 / species 0 and are
+    masked out by the id = −1 pair mask either way.
+    """
+    if radii is None:
+        return None
+    rad_s = jnp.asarray(radii, dtype)[order]
+    rad_pad = jnp.concatenate([rad_s, jnp.ones((pad,), dtype)])
+    sidx_pad = None
+    if poly_tables is not None:
+        sidx_s = jnp.asarray(poly_tables.sidx, jnp.int32)[order]
+        sidx_pad = jnp.concatenate([sidx_s, jnp.zeros((pad,), jnp.int32)])
+    return rad_pad, sidx_pad, poly_tables
+
+
+def _cell_sweep(r_pad, ids_pad, F_pad, nbr, max_nbr, params, t0, nt,
+                poly=None):
     """Cutoff pair sweep for the sorted tile range [t0, t0+nt).
 
     r_pad/ids_pad (t·TILE, …) folded sorted padded arrays, F_pad
     (k, t·TILE, 3), nbr (t, max_nbr) neighbor-tile lists.  Returns
     (k, nt·TILE, 3) pair terms in sorted order.  ``t0`` may be traced
     (the distributed caller passes its device's slice start).
+    ``poly``: optional ``(rad_pad, sidx_pad, poly_tables)`` sidecar from
+    :func:`_poly_pad` — per-pair polydisperse scalars.
     """
     dtype = r_pad.dtype
     t = nbr.shape[0]
@@ -112,6 +142,11 @@ def _cell_sweep(r_pad, ids_pad, F_pad, nbr, max_nbr, params, t0, nt):
     rt = r_pad.reshape(t, TILE, 3)
     it = ids_pad.reshape(t, TILE)
     Ft = F_pad.reshape(k, t, TILE, 3)
+    radt = sixt = pt = None
+    if poly is not None:
+        rad_pad, sidx_pad, pt = poly
+        radt = rad_pad.reshape(t, TILE)
+        sixt = None if sidx_pad is None else sidx_pad.reshape(t, TILE)
 
     def chunk_fn(c0):
         z = jnp.zeros((), c0.dtype)
@@ -131,7 +166,24 @@ def _cell_sweep(r_pad, ids_pad, F_pad, nbr, max_nbr, params, t0, nt):
         pair_ok = (cols_id[:, None, :] >= 0) & (
             rows_id[:, :, None] != cols_id[:, None, :])
         rr = jnp.sqrt(jnp.where(pair_ok, jnp.maximum(r2, 1e-24), 1.0))
-        if dtype == jnp.float32:
+        if poly is not None and dtype == jnp.float32:
+            # masked per-species-pair Chebyshev sweeps (ewald.PolyTables)
+            si = lax.dynamic_slice(sixt, (c0, z), (ch, TILE))[:, :, None]
+            sj = sixt[nb].reshape(ch, max_nbr * TILE)[:, None, :]
+            pair = jnp.asarray(pt.pair_map, jnp.int32)[si, sj]
+            A = jnp.zeros_like(rr)
+            B = jnp.zeros_like(rr)
+            for pi in range(pt.bounds.shape[0]):
+                Ap, Bp = ewald._cheb_ab(rr, pt.bounds[pi], pt.coefA[pi],
+                                        pt.coefB[pi])
+                m = pair == pi
+                A = jnp.where(m, Ap, A)
+                B = jnp.where(m, Bp, B)
+        elif poly is not None:
+            ai = lax.dynamic_slice(radt, (c0, z), (ch, TILE))[:, :, None]
+            aj = radt[nb].reshape(ch, max_nbr * TILE)[:, None, :]
+            A, B = ewald.real_space_ab(rr, a, xi, eta, ai=ai, aj=aj)
+        elif dtype == jnp.float32:
             A, B = ewald._cheb_ab(rr, params.cheb_bounds, params.cheb_A,
                                   params.cheb_B)
         else:
@@ -152,7 +204,8 @@ def _cell_sweep(r_pad, ids_pad, F_pad, nbr, max_nbr, params, t0, nt):
 
 def real_space_apply_cells_local(F_l, r_l, params: "ewald.EwaldParams",
                                  n_devices: int, axis_name: str,
-                                 max_nbr=None):
+                                 max_nbr=None, radii_l=None,
+                                 poly_tables=None):
     """Local-shard cutoff real sweep for use INSIDE ``shard_map``.
 
     The distributed form of :func:`real_space_apply_cells` — the same
@@ -162,7 +215,10 @@ def real_space_apply_cells_local(F_l, r_l, params: "ewald.EwaldParams",
     to the sweep), sweep only this device's equal tile slice at
     O(N·ρ·rc³/D), and regather the slices.  Closes the
     ``mobility_apply_local`` caveat that balanced-splitting configs paid
-    an all-pairs ring.  F_l: (N_l, 3) or (k, N_l, 3); monodisperse only.
+    an all-pairs ring.  F_l: (N_l, 3) or (k, N_l, 3).  radii_l: optional
+    (N_l,) local per-blob radii (polydisperse; f32 needs ``poly_tables``
+    built from the GLOBAL radii — a host-side constant, so the shard_map
+    closure carries it).
     """
     multi = F_l.ndim == 3
     Fs = F_l if multi else F_l[None]
@@ -171,10 +227,17 @@ def real_space_apply_cells_local(F_l, r_l, params: "ewald.EwaldParams",
     dtype = r_l.dtype
     if max_nbr is None:
         max_nbr = default_max_nbr(n, params)
+    if radii_l is not None and dtype == jnp.float32 and poly_tables is None:
+        raise ValueError("distributed f32 polydisperse cells sweep needs "
+                         "poly_tables=make_poly_tables(params, radii) built "
+                         "from the global radii outside shard_map")
     idx = lax.axis_index(axis_name)
     rf = _fold(r_l, params)
     rf_all = lax.all_gather(rf, axis_name, tiled=True)        # (N, 3)
     F_all = lax.all_gather(Fs, axis_name, axis=1, tiled=True)
+    rad_all = (None if radii_l is None else
+               lax.all_gather(jnp.asarray(radii_l, dtype), axis_name,
+                              tiled=True))
     order = tiles.serpentine_order(
         rf_all, tiles.column_width(n, float(np.prod(params.box))))
     t = -(-n // TILE)
@@ -192,12 +255,13 @@ def real_space_apply_cells_local(F_l, r_l, params: "ewald.EwaldParams",
         [order.astype(jnp.int32), jnp.full((pad,), -1, jnp.int32)])
     F_pad = jnp.concatenate(
         [F_all[:, order, :], jnp.zeros((k, pad, 3), dtype)], axis=1)
+    pp = _poly_pad(rad_all, poly_tables, order, pad, dtype)
 
     adj = tiles.bbox_adjacency(r_pad, t_pad, params.rc, box=params.box)
     nbr, overflow = tiles.pack_neighbor_lists(adj, max_nbr)
     nt = t_pad // n_devices
     U_slice = _cell_sweep(r_pad, ids_pad, F_pad, nbr, max_nbr, params,
-                          idx * nt, nt)            # (k, nt·TILE, 3)
+                          idx * nt, nt, poly=pp)   # (k, nt·TILE, 3)
     U_sorted = lax.all_gather(U_slice, axis_name, axis=1,
                               tiled=True)[:, :n]
     U_g = jnp.zeros((k, n, 3), dtype).at[:, order, :].set(U_sorted)

@@ -41,10 +41,17 @@ wave operator is exactly symmetric positive semi-definite
 (M_wave = Pᵀ·diag⁺·P), so the full periodic mobility stays SPD —
 Lanczos M^{1/2} draws remain valid.
 
-Monodisperse (the sinc(ka) shape factor is folded into the per-bin
-weights); per-blob radii take the classic split, same as the rc real
-sweep.  Reference counterpart: none — the reference is open-domain
-O(N²) only (``c_rigid_obj.cpp:413-459``).
+Polydisperse: the wave symbol sinc(kaᵢ)·sinc(kaⱼ) FACTORIZES per
+particle per wavevector, so per-blob radii become species-split grids —
+spread each species onto its own node-moment field, weight each
+species' spectrum by its per-bin sinc(|k|a_s) table, sum into one
+plane-wave amplitude, and interpolate each blob from its own species'
+(sinc-weighted) synthesis grid.  Cost S× the FFT/P2M work for S
+distinct radii (mixtures have a handful); exactness and the SPD
+structure are unchanged (M_wave = Pᵀ·diag⁺·P with P now carrying the
+species sinc weights).  Build with ``make_grid(..., radii=)``.
+Reference counterpart: none — the reference is open-domain O(N²) only
+(``c_rigid_obj.cpp:413-459``).
 """
 
 from __future__ import annotations
@@ -68,6 +75,9 @@ class EwaldGrid(NamedTuple):
     phi_x: np.ndarray     # (Gx, p) complex e^{2πi·n(m)·s_u/Gx} node phases
     phi_y: np.ndarray     # (Gy, p)
     phi_z: np.ndarray     # (Gz//2+1, p)
+    sidx: np.ndarray = None      # polydisperse: (N,) int32 species per blob
+    sinc_bin: np.ndarray = None  # (S, Gx, Gy, Gz//2+1) sinc(|k|·a_s) —
+    #                              wk_bin then carries wk_raw (no sinc²)
 
 
 def _next_fast(n: int) -> int:
@@ -89,7 +99,7 @@ def _signed_freq(g: int) -> np.ndarray:
 
 
 def make_grid(params: "ewald.EwaldParams", p: int = 4,
-              oversample: float = 2.0) -> EwaldGrid:
+              oversample: float = 2.0, radii=None) -> EwaldGrid:
     """Build the spectral-bin tables for ``params``' wavevector set.
 
     The grid size per dim is the FFT-friendly round-up of
@@ -97,6 +107,11 @@ def make_grid(params: "ewald.EwaldParams", p: int = 4,
     spectral bins is unambiguous and each bin holds at most one k).
     Larger oversample shrinks the per-cell phase argument (better
     interpolation at fixed p) at O(oversample³) FFT cost.
+
+    radii: optional concrete (N,) per-blob radii — builds the
+    species-split tables (``sidx``/``sinc_bin``) and the sinc-free
+    ``wk_bin``; the apply then runs one spread/interp grid per distinct
+    radius (see module docstring).
     """
     if params.nvecs is None:
         raise ValueError("make_grid needs params.nvecs (ewald.make_params)")
@@ -119,7 +134,17 @@ def make_grid(params: "ewald.EwaldParams", p: int = 4,
     kvec = 2 * np.pi * n_bin / np.asarray(box)
     k2 = np.sum(kvec**2, axis=-1)
     keep = (k2 > 0) & (k2 <= kmax2) & np.all(np.abs(n_bin) <= nmax, axis=-1)
-    _, wk = ewald.wave_weights(kvec, params.a, params.eta, box, params.xi)
+    wk_raw, wk = ewald.wave_weights(kvec, params.a, params.eta, box,
+                                    params.xi)
+    sidx = sinc_bin = None
+    if radii is not None:
+        rad = np.asarray(radii, np.float64)         # concrete (host tables)
+        uniq, sidx = np.unique(rad, return_inverse=True)
+        sidx = sidx.astype(np.int32)
+        kk = np.sqrt(np.maximum(k2, 1e-300))
+        ka = kk[None] * uniq[:, None, None, None]    # (S, gx, gy, gzh)
+        sinc_bin = np.where(keep[None], np.sinc(ka / np.pi), 0.0)
+        wk = wk_raw                                  # sinc² moves per-species
     wk_bin = np.where(keep, wk, 0.0) * float(gx * gy * gz)
     khat = np.where(keep[..., None],
                     kvec / np.sqrt(np.maximum(k2, 1e-300))[..., None], 0.0)
@@ -133,6 +158,7 @@ def make_grid(params: "ewald.EwaldParams", p: int = 4,
         phi_x=phases(gx, _signed_freq(gx)),
         phi_y=phases(gy, _signed_freq(gy)),
         phi_z=phases(gz, np.arange(gzh)),
+        sidx=sidx, sinc_bin=sinc_bin,
     )
 
 
@@ -168,10 +194,12 @@ def _analysis_tensors(g: EwaldGrid):
 def wave_space_apply_grid(F, r, params: "ewald.EwaldParams", g: EwaldGrid):
     """U_wave = Σ_{k≠0} wk(I − k̂k̂) e^{ik·(rᵢ−rⱼ)} F_j via the cell grid.
 
-    Drop-in for :func:`ewald.wave_space_apply` (monodisperse): includes
-    the i = j wave self term, symmetric PSD by construction.  F (N, 3)
-    single RHS or (k, N, 3) multi-RHS (shared P2M weights and spectrum
-    batch — the fused 2-RHS Lanczos noise path).
+    Drop-in for :func:`ewald.wave_space_apply`: includes the i = j wave
+    self term, symmetric PSD by construction.  F (N, 3) single RHS or
+    (k, N, 3) multi-RHS (shared P2M weights and spectrum batch — the
+    fused 2-RHS Lanczos noise path).  Grids built with ``radii=`` run
+    the species-split polydisperse path (S spread/interp fields folded
+    into the RHS batch axis; one shared spectral kernel).
     """
     r = jnp.asarray(r).reshape(-1, 3)
     single = jnp.ndim(F) == 2
@@ -181,6 +209,9 @@ def wave_space_apply_grid(F, r, params: "ewald.EwaldParams", g: EwaldGrid):
     gx, gy, gz = g.grid
     p = g.p
     ncell = gx * gy * gz
+    k = Fs.shape[0]
+    poly = g.sidx is not None
+    S = int(g.sinc_bin.shape[0]) if poly else 1
     box = jnp.asarray(params.box, dtype)
     h = box / jnp.asarray(g.grid, dtype)
     xf = r - box * jnp.floor(r / box)                        # fold into box
@@ -188,8 +219,13 @@ def wave_space_apply_grid(F, r, params: "ewald.EwaldParams", g: EwaldGrid):
     ci, cid = farfield._cell_indices(xf, lo, h, g.grid)
     t3 = jnp.clip(xf / h - ci.astype(dtype), 0.0, 1.0)       # intra-cell
     W3 = farfield._blob_weights(t3, farfield._cheb_nodes(p))  # (N, p³)
-    Q = farfield._p2m(W3, cid, Fs, ncell, p)                 # (k, ncell, 3p³)
-    k = Q.shape[0]
+    if poly:
+        # species-split spread fields, folded into the RHS batch axis
+        onehot = jnp.asarray(
+            np.arange(S)[:, None] == g.sidx[None, :], dtype)  # (S, N)
+        Fs = (Fs[:, None] * onehot[None, :, :, None]).reshape(
+            k * S, -1, 3)
+    Q = farfield._p2m(W3, cid, Fs, ncell, p)             # (k·S, ncell, 3p³)
     B = 3 * p ** 3
     # Everything below keeps the node axis FLAT (B or 3p² minor) and the
     # per-bin 3-vector amplitude in a (k, 3, gx, gy, gzh) MAJOR-t layout:
@@ -198,16 +234,26 @@ def wave_space_apply_grid(F, r, params: "ewald.EwaldParams", g: EwaldGrid):
     Tz, Txy = _analysis_tensors(g)
     Tz = jnp.asarray(Tz, cdtype)
     Txy = jnp.asarray(Txy, cdtype)
-    Qh = jnp.fft.rfftn(Q.reshape(k, gx, gy, gz, B), axes=(1, 2, 3))
+    Qh = jnp.fft.rfftn(Q.reshape(k * S, gx, gy, gz, B), axes=(1, 2, 3))
     # analysis: Ĝ(bin) = φ̄ᵀQ̂ — z-stage GEMM then xy-stage GEMM
-    A1 = jnp.einsum("kxyzq,zqs->kxyzs", Qh, Tz)              # (k,x,y,zh,3p²)
-    A = jnp.einsum("kxyzs,xysv->kvxyz", A1, Txy)             # (k,3,x,y,zh)
+    A1 = jnp.einsum("kxyzq,zqs->kxyzs", Qh, Tz)            # (k·S,x,y,zh,3p²)
+    A = jnp.einsum("kxyzs,xysv->kvxyz", A1, Txy)           # (k·S,3,x,y,zh)
     kh = jnp.asarray(np.moveaxis(g.khat_bin, -1, 0), dtype)  # (3,x,y,zh)
     wkb = jnp.asarray(g.wk_bin, dtype)
+    if poly:
+        # Σ_s sinc_s·Â_s — one plane-wave amplitude per bin, then fan the
+        # kernelled amplitude back out with the same per-species weights
+        sc = jnp.asarray(g.sinc_bin, dtype)[None, :, None]   # (1,S,1,x,y,zh)
+        A = jnp.sum(A.reshape(k, S, 3, gx, gy, gz // 2 + 1) * sc, axis=1)
     A = wkb * (A - kh * jnp.sum(kh * A, axis=1, keepdims=True))
+    if poly:
+        A = (A[:, None] * sc).reshape(k * S, 3, gx, gy, gz // 2 + 1)
     # synthesis: V̂_u = φ_u·Ĝ — conjugate tensors, reverse order
     V1 = jnp.einsum("kvxyz,xysv->kxyzs", A, jnp.conj(Txy))
-    V = jnp.einsum("kxyzs,zqs->kxyzq", V1, jnp.conj(Tz))     # (k,x,y,zh,B)
+    V = jnp.einsum("kxyzs,zqs->kxyzq", V1, jnp.conj(Tz))   # (k·S,x,y,zh,B)
     Un = jnp.fft.irfftn(V, s=(gx, gy, gz), axes=(1, 2, 3)).astype(dtype)
-    U = farfield._l2p(W3, cid, Un.reshape(k, ncell, B), p)
+    U = farfield._l2p(W3, cid, Un.reshape(k * S, ncell, B), p)
+    if poly:
+        # each blob reads its own species' sinc-weighted synthesis field
+        U = jnp.einsum("ksnx,sn->knx", U.reshape(k, S, -1, 3), onehot)
     return U[0] if single else U

@@ -228,14 +228,11 @@ def _ewald_apply_fn(cfg: SimulationConfig, radii, multi: bool):
         rc=cfg.ewald_rc if cfg.ewald_rc > 0 else None,
     )
     max_nbr = cfg.ewald_nbr_tiles if cfg.ewald_nbr_tiles > 0 else None
-    if params.rc is not None and radii is not None:
-        raise ValueError("ewald_rc (balanced splitting) does not support "
-                         "per-blob radii yet — use the classic split")
     grid = None
     if cfg.ewald_grid_p:
         from rigid_body_light_tpu.ops import ewald_pme
 
-        grid = ewald_pme.make_grid(params, p=cfg.ewald_grid_p)
+        grid = ewald_pme.make_grid(params, p=cfg.ewald_grid_p, radii=radii)
     # monodisperse f32: real-space sweep on the Pallas kernel (in-kernel
     # Clenshaw — same piecewise-Chebyshev fit, no VJP; see ops/ewald_pallas).
     # Balanced-splitting (rc) configs skip it: the linked-cell sweep beats

@@ -385,7 +385,8 @@ def farfield_mobility_apply_local_fn(cfg: SimulationConfig, n_devices: int,
 
 
 def ewald_mobility_apply_local_fn(cfg: SimulationConfig, n_devices: int,
-                                  axis_name: str = "bodies") -> Callable:
+                                  axis_name: str = "bodies",
+                                  radii_l=None) -> Callable:
     """Local-view triply-periodic Ewald ``mob_apply`` INSIDE shard_map.
 
     Distributed exact periodic operator (3-D ``cfg.box``): screened
@@ -394,6 +395,11 @@ def ewald_mobility_apply_local_fn(cfg: SimulationConfig, n_devices: int,
     Without this dispatch a 3-D box in distributed mode would silently
     fall back to the ring's 3-D minimum-image RPY, which is NOT the
     operator the single-device path (and the physics) uses.
+
+    radii_l: optional (N_local,) CONCRETE per-blob radii shard
+    (polydisperse mixtures; needs ``ewald_rc > 0``).  Every device holds
+    the same per-species block pattern, so the f32 species-pair tables
+    are built host-side from the device-major tiled global radii.
     """
     from rigid_body_light_tpu.ops import ewald
 
@@ -404,11 +410,16 @@ def ewald_mobility_apply_local_fn(cfg: SimulationConfig, n_devices: int,
     )
 
     max_nbr = cfg.ewald_nbr_tiles if cfg.ewald_nbr_tiles > 0 else None
+    pt = None
+    if radii_l is not None and cfg.dtype == jnp.float32:
+        pt = ewald.make_poly_tables(
+            params, np.tile(np.asarray(radii_l), n_devices))
 
     def apply(F, r):
         return ewald.mobility_apply_local(
             F, r, params, n_devices, axis_name,
             row_tile=cfg.matvec_row_tile, max_nbr=max_nbr,
+            radii_l=radii_l, poly_tables=pt,
         )
 
     return apply
@@ -556,10 +567,12 @@ def _local_mobility_multi_fn(cfg: SimulationConfig, n_devices: int,
                              axis_name: str, radii_l) -> Callable:
     """Per-domain LOCAL mixture mobility (radii_l: (N_local,) per-blob
     radii shard or None).  Same dispatch as :func:`_local_mobility_fn`;
-    3-D boxes are monodisperse by config (``box`` forbids per-blob radii).
+    3-D boxes run the distributed exact polydisperse Ewald (balanced
+    splitting required — the classic-split ring is monodisperse).
     """
     if cfg.box is not None and len(cfg.box) == 3:
-        return ewald_mobility_apply_local_fn(cfg, n_devices, axis_name)
+        return ewald_mobility_apply_local_fn(cfg, n_devices, axis_name,
+                                             radii_l=radii_l)
     if cfg.farfield_grid is not None:
         from rigid_body_light_tpu.ops import farfield
 

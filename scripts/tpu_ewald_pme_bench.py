@@ -29,7 +29,9 @@ CASES = [
     # (n, L, [(rc, grid_p or 0=dense wave)], measure_allpairs)
     (40960, 22.0, [(3.5, 0), (3.5, 4), (4.5, 4)], True),
     (102400, 30.0, [(3.5, 4), (4.5, 4)], True),
-    (409600, 48.0, [(4.5, 4), (5.5, 4)], True),
+    # no all-pairs leg at 410k: the N² kernel compile kernel-faulted the
+    # TPU worker at this size (measured once); extrapolate 690.5 ms × 16
+    (409600, 48.0, [(4.5, 4), (5.5, 4)], False),
 ]
 
 

@@ -342,6 +342,44 @@ def test_distributed_ewald_cells_matches_single_device():
 
 
 @pytest.mark.medium
+def test_distributed_ewald_cells_polydisperse_matches_single_device():
+    """Per-blob radii through the distributed balanced split: the sliced
+    tile sweep carries the species-pair scalars and the psum'd wave
+    moments carry per-blob sinc weights — exact parity with the
+    single-device polydisperse operator.  The classic split (no rc)
+    stays monodisperse and must say so."""
+    from rigid_body_light_tpu.ops import ewald
+
+    _, _, _, mesh = _setup_periodic()
+    rng = np.random.default_rng(17)
+    n = 512
+    box = (12.0, 12.0, 12.0)
+    r = jnp.asarray(rng.uniform(0, 1, (n, 3)) * np.array(box), jnp.float64)
+    F = jnp.asarray(rng.standard_normal((n, 3)), jnp.float64)
+    radii = jnp.asarray(rng.choice([0.4, 0.5, 0.65], size=n), jnp.float64)
+    params = ewald.make_params(box, 0.5, 1.3, rc=3.0)
+    U_ref = ewald.mobility_apply(F, r, params, radii=radii)
+
+    def local(F_l, r_l, a_l):
+        return ewald.mobility_apply_local(F_l, r_l, params, 8, AX,
+                                          radii_l=a_l)
+
+    U = shard_map(local, mesh=mesh, in_specs=(P(AX), P(AX), P(AX)),
+                  out_specs=P(AX), check_vma=False)(F, r, radii)
+    np.testing.assert_allclose(np.asarray(U), np.asarray(U_ref), atol=1e-13)
+
+    params0 = ewald.make_params(box, 0.5, 1.3)
+
+    def local0(F_l, r_l, a_l):
+        return ewald.mobility_apply_local(F_l, r_l, params0, 8, AX,
+                                          radii_l=a_l)
+
+    with pytest.raises(NotImplementedError, match="balanced splitting"):
+        shard_map(local0, mesh=mesh, in_specs=(P(AX), P(AX), P(AX)),
+                  out_specs=P(AX), check_vma=False)(F, r, radii)
+
+
+@pytest.mark.medium
 def test_distributed_run_bd_with_slip():
     """Active slip (squirmers) rides the distributed trajectory: slip_fn is
     per-blob-local, and the kBT=0 distributed run matches the single-device

@@ -113,5 +113,44 @@ def test_config_dispatch_and_validation(cloud):
         SimulationConfig(a=0.3, dt=0.01, ewald_rc=2.5)
     with pytest.raises(ValueError, match="rc"):
         ewald.make_params(box, 0.3, rc=0.5)  # below 2a
-    with pytest.raises(ValueError, match="per-blob radii"):
-        saddle.mobility_apply_fn(cfg, radii=jnp.ones(4) * 0.3)
+
+
+@pytest.mark.parametrize("dtype,tol", [(jnp.float32, 5e-6),
+                                       (jnp.float64, 1e-13)])
+def test_cells_polydisperse_match_allpairs(cloud, dtype, tol):
+    """Per-blob radii through the tile sweep: identical pair set and
+    species-pair scalars as the rc-masked all-pairs polydisperse sweep."""
+    box, r, F = cloud
+    params = ewald.make_params(box, 0.3, tol=1e-5, rc=2.5)
+    rng = np.random.default_rng(7)
+    radii = jnp.asarray(rng.choice([0.2, 0.3, 0.45], size=900), dtype)
+    r = jnp.asarray(r, dtype)
+    F = jnp.asarray(F, dtype)
+    U_ref = ewald.real_space_apply(F, r, params, radii=radii)
+    U_c = ewald_cells.real_space_apply_cells(F, r, params, radii=radii)
+    scale = float(jnp.abs(U_ref).max())
+    assert float(jnp.abs(U_c - U_ref).max()) / scale < tol
+    U1 = ewald_cells.real_space_apply_cells(F[0], r, params, radii=radii)
+    assert float(jnp.abs(U1 - U_ref[0]).max()) / scale < tol
+
+
+def test_config_dispatch_polydisperse(cloud):
+    """ewald_rc + radii: the config-built balanced-split polydisperse
+    operator agrees with the classic-split polydisperse operator at the
+    shared truncation tolerance (the round-4 'monodisperse only' gate is
+    lifted)."""
+    box, r, F = cloud
+    rng = np.random.default_rng(9)
+    radii = jnp.asarray(rng.choice([0.25, 0.3, 0.4], size=200),
+                        jnp.float64)
+    cfg = SimulationConfig(a=0.3, dt=0.01, box=box, ewald_rc=2.5,
+                           ewald_tol=1e-5, dtype=jnp.float64)
+    cfg0 = SimulationConfig(a=0.3, dt=0.01, box=box, ewald_tol=1e-5,
+                            dtype=jnp.float64)
+    fn = saddle.mobility_apply_fn(cfg, radii=radii)
+    fn0 = saddle.mobility_apply_fn(cfg0, radii=radii)
+    r64 = jnp.asarray(r[:200] % 9.0, jnp.float64)
+    F64 = jnp.asarray(F[0, :200], jnp.float64)
+    U = fn(F64, r64)
+    U0 = fn0(F64, r64)
+    assert float(jnp.abs(U - U0).max() / jnp.abs(U0).max()) < 5e-5

@@ -111,6 +111,77 @@ def test_wave_grid_f32(cloud, params, dtype, tol):
     assert float(jnp.abs(U - U_ref).max()) / scale < tol
 
 
+@pytest.fixture(scope="module")
+def radii(cloud):
+    _, r, _ = cloud
+    rng = np.random.default_rng(21)
+    return rng.choice([0.2, 0.3, 0.45], size=r.shape[0])
+
+
+@pytest.mark.parametrize("p,tol", [(4, 3e-4), (6, 3e-6)])
+def test_wave_grid_polydisperse_matches_dense(cloud, params, radii, p, tol):
+    """Species-split grids reproduce the dense polydisperse k-sum
+    (per-blob sinc(|k|aᵢ) weights) to interpolation accuracy."""
+    box, r, F = cloud
+    r = jnp.asarray(r)
+    F = jnp.asarray(F[0])
+    rad = jnp.asarray(radii)
+    g = ewald_pme.make_grid(params, p=p, radii=radii)
+    assert g.sinc_bin.shape[0] == 3           # three species
+    U_ref = ewald.wave_space_apply(F, r, params, radii=rad)
+    U = ewald_pme.wave_space_apply_grid(F, r, params, g)
+    scale = float(jnp.abs(U_ref).max())
+    assert float(jnp.abs(U - U_ref).max()) / scale < tol
+    # multi-RHS consistency
+    U2 = ewald_pme.wave_space_apply_grid(F[None], r, params, g)
+    assert float(jnp.abs(U2[0] - U).max()) < 1e-12
+
+
+def test_wave_grid_polydisperse_symmetric(cloud, params, radii):
+    """The species sinc weights ride P2M/L2P symmetrically →
+    M_wave = Pᵀ·diag⁺·P stays exactly symmetric PSD."""
+    box, r, _ = cloud
+    rng = np.random.default_rng(4)
+    r = jnp.asarray(r)
+    x = jnp.asarray(rng.standard_normal(r.shape))
+    y = jnp.asarray(rng.standard_normal(r.shape))
+    g = ewald_pme.make_grid(params, p=3, oversample=1.0, radii=radii)
+    Mx = ewald_pme.wave_space_apply_grid(x, r, params, g)
+    My = ewald_pme.wave_space_apply_grid(y, r, params, g)
+    lhs = float(jnp.vdot(y.ravel(), Mx.ravel()))
+    rhs = float(jnp.vdot(x.ravel(), My.ravel()))
+    assert abs(lhs - rhs) < 1e-10 * max(abs(lhs), 1.0)
+    assert float(jnp.vdot(x.ravel(), Mx.ravel())) >= 0.0
+
+
+def test_full_mobility_grid_polydisperse_matches_classic(cloud, radii):
+    """Balanced split + species-split gridded wave ≈ classic-split
+    polydisperse operator on the FULL mobility (the whole at-scale
+    periodic pipeline is now radius-exact)."""
+    box, r, F = cloud
+    r, F = jnp.asarray(r), jnp.asarray(F[0])
+    rad = jnp.asarray(radii)
+    params_c = ewald.make_params(box, 0.3, tol=1e-5, rc=2.5)
+    params_0 = ewald.make_params(box, 0.3, tol=1e-5)
+    g = ewald_pme.make_grid(params_c, p=6, radii=radii)
+    U_grid = ewald.mobility_apply(F, r, params_c, radii=rad, grid=g)
+    U_ref = ewald.mobility_apply(F, r, params_0, radii=rad)
+    scale = float(jnp.abs(U_ref).max())
+    assert float(jnp.abs(U_grid - U_ref).max()) / scale < 5e-5
+
+
+def test_grid_radii_mismatch_raises(cloud, params, radii):
+    box, r, F = cloud
+    r, F = jnp.asarray(r), jnp.asarray(F[0])
+    g_mono = ewald_pme.make_grid(params, p=4)
+    g_poly = ewald_pme.make_grid(params, p=4, radii=radii)
+    with pytest.raises(ValueError, match="same radii"):
+        ewald.mobility_apply(F, r, params, radii=jnp.asarray(radii),
+                             grid=g_mono)
+    with pytest.raises(ValueError, match="same radii"):
+        ewald.mobility_apply(F, r, params, grid=g_poly)
+
+
 def test_config_validation():
     with pytest.raises(ValueError, match="ewald_grid_p needs ewald_rc"):
         SimulationConfig(a=1.0, box=(8.0, 8.0, 8.0), ewald_grid_p=4)
