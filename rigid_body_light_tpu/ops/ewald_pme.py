@@ -61,7 +61,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from rigid_body_light_tpu.ops import ewald, farfield
+from rigid_body_light_tpu.ops import ewald, farfield, fftsafe
 
 
 class EwaldGrid(NamedTuple):
@@ -234,7 +234,7 @@ def wave_space_apply_grid(F, r, params: "ewald.EwaldParams", g: EwaldGrid):
     Tz, Txy = _analysis_tensors(g)
     Tz = jnp.asarray(Tz, cdtype)
     Txy = jnp.asarray(Txy, cdtype)
-    Qh = jnp.fft.rfftn(Q.reshape(k * S, gx, gy, gz, B), axes=(1, 2, 3))
+    Qh = fftsafe.rfftn_lanes(Q.reshape(k * S, gx, gy, gz, B), axes=(1, 2, 3))
     # analysis: Ĝ(bin) = φ̄ᵀQ̂ — z-stage GEMM then xy-stage GEMM
     A1 = jnp.einsum("kxyzq,zqs->kxyzs", Qh, Tz)            # (k·S,x,y,zh,3p²)
     A = jnp.einsum("kxyzs,xysv->kvxyz", A1, Txy)           # (k·S,3,x,y,zh)
@@ -251,7 +251,7 @@ def wave_space_apply_grid(F, r, params: "ewald.EwaldParams", g: EwaldGrid):
     # synthesis: V̂_u = φ_u·Ĝ — conjugate tensors, reverse order
     V1 = jnp.einsum("kvxyz,xysv->kxyzs", A, jnp.conj(Txy))
     V = jnp.einsum("kxyzs,zqs->kxyzq", V1, jnp.conj(Tz))   # (k·S,x,y,zh,B)
-    Un = jnp.fft.irfftn(V, s=(gx, gy, gz), axes=(1, 2, 3)).astype(dtype)
+    Un = fftsafe.irfftn_lanes(V, s=(gx, gy, gz), axes=(1, 2, 3)).astype(dtype)
     U = farfield._l2p(W3, cid, Un.reshape(k * S, ncell, B), p)
     if poly:
         # each blob reads its own species' sinc-weighted synthesis field

@@ -63,7 +63,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from rigid_body_light_tpu.ops import rpy, tiles
+from rigid_body_light_tpu.ops import fftsafe, rpy, tiles
 
 
 def _pallas_available():
@@ -352,7 +352,7 @@ def _far_free(Qm, h, grid, p, khat=None):
         Qm.reshape(nm * k, gx, gy, gz, B))
     Khat = khat if khat is not None else _far_kernel_hat(
         h, grid, p, dtype, poly=poly)                        # (nk, n_freq, B, B)
-    Qhat = jnp.fft.rfftn(Qg, axes=(1, 2, 3))                 # (nm·k,2gx,2gy,gz+1,B)
+    Qhat = fftsafe.rfftn_lanes(Qg, axes=(1, 2, 3))           # (nm·k,2gx,2gy,gz+1,B)
     Qf = Qhat.reshape(nm, k, -1, B)
     if poly:
         U0 = _conv_pack(Khat[0], Qf[0]) + _conv_pack(Khat[1], Qf[1])
@@ -362,7 +362,8 @@ def _far_free(Qm, h, grid, p, khat=None):
         Uf = _conv_pack(Khat[0], Qf[0])[None]
     nout = Uf.shape[0]
     Uhat = Uf.reshape(nout * k, 2 * gx, 2 * gy, gz + 1, B)
-    Ug = jnp.fft.irfftn(Uhat, s=(2 * gx, 2 * gy, 2 * gz), axes=(1, 2, 3))[
+    Ug = fftsafe.irfftn_lanes(Uhat, s=(2 * gx, 2 * gy, 2 * gz),
+                              axes=(1, 2, 3))[
         :, :gx, :gy, :gz, :].astype(dtype)
     return Ug.reshape(nout, k, gx * gy * gz, B)
 
@@ -848,7 +849,7 @@ def _far_2p(Qm, lo_z, h, grid, p, h_floor, khat):
     gx, gy, gz = grid
     B = Qm.shape[-1]
     Qg = Qm.reshape(nm * k, gx, gy, gz, B).transpose(0, 3, 1, 2, 4)
-    Qhat = jnp.fft.rfftn(Qg, axes=(2, 3))                  # (nm·k,gz,gx,gy/2+1,B)
+    Qhat = fftsafe.rfftn_lanes(Qg, axes=(2, 3))            # (nm·k,gz,gx,gy/2+1,B)
     Qf = Qhat.reshape(nm, k, gz, -1, B)
     if poly:
         A, G1, G2, K2 = khat
@@ -860,7 +861,7 @@ def _far_2p(Qm, lo_z, h, grid, p, h_floor, khat):
         Uf = _conv_pack_z(khat, Qf[0])
     nout = Uf.shape[0] // k
     Uhat = Uf.reshape(nout * k, gz, gx, gy // 2 + 1, B)
-    Ug = jnp.fft.irfftn(Uhat, s=(gx, gy), axes=(2, 3)).astype(dtype)
+    Ug = fftsafe.irfftn_lanes(Uhat, s=(gx, gy), axes=(2, 3)).astype(dtype)
     return Ug.transpose(0, 2, 3, 1, 4).reshape(nout, k, gx * gy * gz, B)
 
 
@@ -884,11 +885,11 @@ def _far_wall(Qm, lo_z, h, grid, p, h_floor, khat=None):
     Qp = Qp.at[:, :, :gx, :gy, :].set(Qg)
     Khat = khat if khat is not None else _wall_kernel_hat(
         lo_z, h, grid, p, dtype, h_floor, poly=poly)
-    Qhat = jnp.fft.rfftn(Qp, axes=(2, 3))                    # (nm·k,gz,2gx,gy+1,B)
+    Qhat = fftsafe.rfftn_lanes(Qp, axes=(2, 3))              # (nm·k,gz,2gx,gy+1,B)
     Qf = Qhat.reshape(nm, k, gz, -1, B)
     Uf = jnp.stack([_conv_pack_z(Khat[m], Qf[m]) for m in range(nm)])
     Uhat = Uf.reshape(nm * k, gz, 2 * gx, gy + 1, B)
-    Ug = jnp.fft.irfftn(Uhat, s=(2 * gx, 2 * gy), axes=(2, 3))[
+    Ug = fftsafe.irfftn_lanes(Uhat, s=(2 * gx, 2 * gy), axes=(2, 3))[
         :, :, :gx, :gy, :].astype(dtype)
     return Ug.transpose(0, 2, 3, 1, 4).reshape(nm, k, gx * gy * gz, B)
 
